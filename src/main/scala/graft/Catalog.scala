@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: the Spark implementation plus (where SQL-expressible)
+  * an equivalent ANSI-SQL oracle the driver runs in DuckDB over the same parquet
+  * tables. Names referenced from SURVEY.md §2 (Q:`name` markers).
+  *
+  * @param name   stable query id (key in SparkEntry.queries)
+  * @param run    (session, sfDir) => result DataFrame. Column names MUST match
+  *               the oracle's aliases exactly (driver compare is by-name).
+  * @param oracle DuckDB-compatible SQL over tables named region/nation/customer/
+  *               supplier/part/orders/lineitem/events/documents/embeddings.
+  *               None => driver records a weaker rows-only check.
+  * @param bench  member of the headline benchmark set run by graft.Bench.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false)
+
+/** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** The events table is written with nanosecond parquet timestamps, which
+    * Spark's vectorized reader rejects. Read `ts` as a nanos long (legacy
+    * conf) and rebuild a microsecond TimestampType column — the generator's
+    * values are µs-aligned so this is lossless and matches the DuckDB view.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators — the reference's core capability surface re-expressed
+  * over the driver `events` table (event_id, ts, user_id, event_type, value,
+  * props JSON).
+  *
+  * The reference partitions its log by room topic (`{room}-event-topic`,
+  * /root/reference/game-code/pulsar.go:90-92) and attributes deaths to killers
+  * carried in the event payload (ScoreboardFunction.java:18-54). We map that
+  * shape deterministically onto the testbed:
+  *
+  *   room   := 'room' || (user_id % 8)      -- topic/partition key (ST9, S6)
+  *   victim := 'u' || user_id               -- EventMessage.Name
+  *   killer := 'u' || (props.k % 30)        -- EventMessage.Comment (pulsar.go:330-336)
+  *   seq    := event_id                     -- broker total order (pulsar.go:133-138)
+  *   death  := event_type = 'error'         -- UserDeadEvent analog (event.go:12)
+  *
+  * Each query carries a DuckDB oracle over the identical derivation, so the
+  * driver's hash-compare checks full semantics, not just row counts.
+  */
+object EventOps {
+
+  /** Shared SQL prefix for the game-shaped derivation (kept in lockstep with
+    * [[withGameColumns]]). regexp_extract is used on both sides (identical
+    * semantics in Spark and DuckDB) instead of JSON ops to keep the oracle
+    * extension-free; a dedicated json_extract query covers C13.
+    */
+  private val GameCte =
+    """WITH game AS (
+      |  SELECT event_id AS seq,
+      |         ts,
+      |         value,
+      |         event_type,
+      |         'room' || CAST(user_id % 8 AS VARCHAR) AS room,
+      |         'u' || CAST(user_id AS VARCHAR) AS victim,
+      |         'u' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 30 AS VARCHAR) AS killer
+      |  FROM events)""".stripMargin
+
+  private def propK(c: Column): Column =
+    regexp_extract(c, "\"k\": (\\d+)", 1).cast("long")
+
+  /** events → game-shaped columns; filters/aggregates push below this projection. */
+  def gameView(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+      col("event_id").as("seq"),
+      col("ts"),
+      col("value"),
+      col("event_type"),
+      concat(lit("room"), col("user_id") % 8).as("room"),
+      concat(lit("u"), col("user_id")).as("victim"),
+      concat(lit("u"), propK(col("props")) % 30).as("killer"))
+  }
+
+  /** F1+F2: death events excluding self-kills (ScoreboardFunction.java:20-27). */
+  private def deaths(spark: SparkSession, dir: String): DataFrame =
+    gameView(spark, dir)
+      .filter(col("event_type") === "error")
+      .filter(col("victim") =!= col("killer"))
+
+  /** A1: running kill-count per (room, killer) — the scoreboard function's
+    * keyed counter (ScoreboardFunction.java:41-45) as a hash aggregate.
+    * Partial aggregation (map-side combine) comes free from Catalyst; the one
+    * shuffle is on (room, killer), which is exactly the reference's state key.
+    */
+  val aggKillCount = GQuery(
+    "agg_kill_count",
+    (s, d) => deaths(s, d).groupBy("room", "killer").agg(count(lit(1)).as("kills")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, killer, count(*) AS kills FROM game
+         |WHERE event_type = 'error' AND victim <> killer
+         |GROUP BY room, killer""".stripMargin),
+    bench = true)
+
+  /** A4: global scoreboard — re-aggregation of A1 across rooms (the Redis
+    * Lua-sum stage, docs/en/game7-connector.md:76-79). Two-stage agg: the
+    * second shuffle is tiny (one row per (room,killer)).
+    */
+  val aggGlobalScoreboard = GQuery(
+    "agg_global_scoreboard",
+    (s, d) =>
+      deaths(s, d).groupBy("room", "killer").agg(count(lit(1)).as("kills"))
+        .groupBy("killer").agg(sum("kills").as("score")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT killer, sum(kills) AS score FROM (
+         |  SELECT room, killer, count(*) AS kills FROM game
+         |  WHERE event_type = 'error' AND victim <> killer
+         |  GROUP BY room, killer)
+         |GROUP BY killer""".stripMargin),
+    bench = true)
+
+  /** W3: global rank + top-k (scoreboard display, README.md:51-55). Ties broken
+    * by killer name so the result set is deterministic for the oracle.
+    * Physical plan: TakeOrderedAndProject — no global sort materialized.
+    */
+  val topkGlobalRank = GQuery(
+    "topk_global_rank",
+    (s, d) =>
+      deaths(s, d).groupBy("killer").agg(count(lit(1)).as("score"))
+        .orderBy(desc("score"), asc("killer"))
+        .limit(10),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT killer, count(*) AS score FROM game
+         |WHERE event_type = 'error' AND victim <> killer
+         |GROUP BY killer ORDER BY score DESC, killer LIMIT 10""".stripMargin))
+
+  /** S5/A3: TableView compaction — latest value per (room, victim) key
+    * (pulsar.go:160-167). max_by, not a window: one hash aggregate, no sort.
+    */
+  val tableviewLastPerKey = GQuery(
+    "tableview_last_per_key",
+    (s, d) =>
+      gameView(s, d)
+        .groupBy("room", "victim")
+        .agg(max_by(col("value"), col("seq")).as("last_value"),
+             max(col("seq")).as("last_seq")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, victim, max_by(value, seq) AS last_value, max(seq) AS last_seq
+         |FROM game GROUP BY room, victim""".stripMargin),
+    bench = true)
+
+  /** S4: latest-message bootstrap per room (pulsar.go:229-252). */
+  val latestEventPerRoom = GQuery(
+    "latest_event_per_room",
+    (s, d) =>
+      gameView(s, d)
+        .groupBy("room")
+        .agg(max(col("seq")).as("last_seq"),
+             max_by(col("event_type"), col("seq")).as("last_type")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, max(seq) AS last_seq, max_by(event_type, seq) AS last_type
+         |FROM game GROUP BY room""".stripMargin))
+
+  /** W1: same compaction expressed as a recency window (row_number desc = 1) —
+    * the per-key-latest idiom the TableView generalizes to.
+    */
+  val windowLatestPerKey = GQuery(
+    "window_latest_per_key",
+    (s, d) => {
+      val w = Window.partitionBy(col("room"), col("victim")).orderBy(desc("seq"))
+      gameView(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("room"), col("victim"), col("seq").as("last_seq"),
+                col("value").as("last_value"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, victim, seq AS last_seq, value AS last_value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY room, victim ORDER BY seq DESC) AS rn
+         |  FROM game) WHERE rn = 1""".stripMargin))
+
+  /** F1: bare event-type filter (ScoreboardFunction.java:20-21). Projection kept
+    * narrow so the parquet scan prunes to three columns.
+    */
+  val filterEventType = GQuery(
+    "filter_event_type",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("event_type")),
+    oracle = Some(
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'"))
+
+  /** F2: self-kill predicate (ScoreboardFunction.java:23-27). */
+  val filterSelfKill = GQuery(
+    "filter_self_kill",
+    (s, d) =>
+      gameView(s, d)
+        .filter(col("event_type") === "error")
+        .filter(col("victim") === col("killer"))
+        .select(col("seq"), col("room"), col("victim")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT seq, room, victim FROM game
+         |WHERE event_type = 'error' AND victim = killer""".stripMargin))
+
+  /** A5: recent-K scoreboard — the LRU(5) display cache (game.go:372) as top-k
+    * by recency of last score update.
+    */
+  val topkRecentScores = GQuery(
+    "topk_recent_scores",
+    (s, d) =>
+      deaths(s, d)
+        .groupBy("killer")
+        .agg(max(col("seq")).as("last_update_seq"), count(lit(1)).as("score"))
+        .orderBy(desc("last_update_seq"))
+        .limit(5),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT killer, max(seq) AS last_update_seq, count(*) AS score FROM game
+         |WHERE event_type = 'error' AND victim <> killer
+         |GROUP BY killer ORDER BY last_update_seq DESC LIMIT 5""".stripMargin))
+
+  /** S3: bounded replay scan — ordered per-room slice of the log
+    * (watch.go:43-85). Aggregated to a per-room digest so the oracle is
+    * order-insensitive while still proving the scan+order semantics
+    * (first/last event ids per room).
+    */
+  val replayScan = GQuery(
+    "replay_scan",
+    (s, d) =>
+      gameView(s, d)
+        .groupBy("room")
+        .agg(min(col("seq")).as("first_seq"), max(col("seq")).as("last_seq"),
+             count(lit(1)).as("n_events"),
+             min_by(col("event_type"), col("seq")).as("first_type")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, min(seq) AS first_seq, max(seq) AS last_seq,
+         |       count(*) AS n_events, min_by(event_type, seq) AS first_type
+         |FROM game GROUP BY room""".stripMargin))
+
+  /** ST5: offset-based tail read — events after a fixed offset, the batch
+    * analog of Seek(latest)+consume (pulsar.go:154-158). The predicate reaches
+    * the parquet scan (min/max row-group skipping on event_id).
+    */
+  val offsetTailRead = GQuery(
+    "offset_tail_read",
+    (s, d) =>
+      gameView(s, d)
+        .filter(col("seq") > 9000)
+        .groupBy("room", "event_type")
+        .agg(count(lit(1)).as("n"), min(col("seq")).as("min_seq")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, event_type, count(*) AS n, min(seq) AS min_seq FROM game
+         |WHERE seq > 9000 GROUP BY room, event_type""".stripMargin))
+
+  /** C13: JSON payload extraction (pulsar.go:248,269; watch.go:69) — Spark
+    * get_json_object vs DuckDB json_extract_string over the props column.
+    */
+  val jsonExtract = GQuery(
+    "json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 90),
+    oracle = Some(
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 90""".stripMargin))
+
+  /** C10/C9: topic-name round trip — derive `{room}-event-topic` then parse the
+    * room back out (ScoreboardFunction.java:60-74), proving the concat/extract
+    * inverse pair on a distinct row set.
+    */
+  val parseRoomName = GQuery(
+    "parse_room_name",
+    (s, d) =>
+      gameView(s, d)
+        .select(concat(col("room"), lit("-event-topic")).as("topic"))
+        .distinct()
+        .withColumn("room", regexp_extract(col("topic"), "(.*)-event-topic$", 1))
+        .withColumn("score_topic", concat(col("room"), lit("-score-topic"))),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT topic, regexp_extract(topic, '(.*)-event-topic$$', 1) AS room,
+         |       regexp_extract(topic, '(.*)-event-topic$$', 1) || '-score-topic' AS score_topic
+         |FROM (SELECT DISTINCT room || '-event-topic' AS topic FROM game)""".stripMargin))
+
+  /** C15: event-time bucketing — tumbling 1-hour windows per room (batch
+    * equivalent of the streaming windowed count, SURVEY §2.7). Bucket emitted
+    * as an epoch-seconds long to keep the timestamp encoding engine-neutral.
+    */
+  val timeAdd = GQuery(
+    "time_add",
+    (s, d) =>
+      gameView(s, d)
+        .withColumn("bucket", (unix_timestamp(date_trunc("hour", col("ts")))).cast("long"))
+        .groupBy("room", "bucket")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+         |       count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM game GROUP BY room, bucket""".stripMargin),
+    bench = true)
+
+  /** S1/S10: schema round-trip + enforcement — to_json of the typed event then
+    * from_json back under the declared schema (EVENT wire schema analog,
+    * pulsar.go:12-58); malformed rows (bad JSON) must null out and be filtered,
+    * mirroring broker-side schema rejection (docs/en/game5-schema.md:37-67).
+    */
+  val schemaEnforce = GQuery(
+    "schema_enforce",
+    (s, d) => {
+      val wire = gameView(s, d).select(
+        col("seq"),
+        to_json(struct(col("room"), col("victim"), col("event_type"), col("value")))
+          .as("payload"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "room STRING, victim STRING, event_type STRING, value DOUBLE")
+      wire
+        .select(col("seq"), from_json(col("payload"), schema).as("ev"))
+        .select(col("seq"), col("ev.room").as("room"), col("ev.victim").as("victim"),
+                col("ev.value").as("value"))
+        .filter(col("room").isNotNull)
+        .groupBy("room")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM game GROUP BY room""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(
+    aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
+    latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
+    topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
+    timeAdd, schemaEnforce)
+}

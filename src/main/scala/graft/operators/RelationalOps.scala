@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational generalizations of the reference's state lookups (SURVEY §2.3-2.5):
+  * every reference "join" is a hash-map probe against folded state; here they are
+  * declared as equi/semi/anti joins over the TPC-H-ish testbed so Catalyst plans
+  * hash joins (broadcast for dimension sides) and the DuckDB oracle checks values.
+  *
+  * Scale posture (100 TB): fact tables (lineitem, orders, events) are only ever
+  * shuffled on their join/group keys; dimension tables (region, nation, supplier,
+  * customer, part) are broadcast — never shuffle the big side on a small join.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-shaped pricing summary — the canonical scan→hash-agg pipeline.
+    * One shuffle on the 6-value group key; partial aggregation map-side.
+    */
+  val q1Agg = GQuery(
+    "q1_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    bench = true)
+
+  /** J-hash: fact⋈fact equi-join (orders⋈customer is fact⋈dim here, but keyed
+    * at customer granularity). Shuffle only on o_custkey; customer broadcasts.
+    */
+  val joinHashEqui = GQuery(
+    "join_hash_equi",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("total_spend")),
+    oracle = Some(
+      """SELECT c_custkey, c_name, c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment""".stripMargin),
+    bench = true)
+
+  /** J-broadcast: 3-way star join — lineitem⋈supplier⋈nation, revenue per
+    * nation. Both dimension sides broadcast: zero shuffles of lineitem before
+    * the final group-by.
+    */
+  val joinBroadcast = GQuery(
+    "join_broadcast",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items")),
+    oracle = Some(
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
+    bench = true)
+
+  /** J-semi: customers WITH orders (F8 existence-guard idiom, event.go:118-121).
+    * left_semi — no row multiplication, customer side streams once.
+    */
+  val joinSemi = GQuery(
+    "join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000.0),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey"),
+    oracle = Some(
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin))
+
+  /** J-anti: customers WITHOUT orders (F5 occupancy-rejection idiom,
+    * event.go:38-41 — "cell must be free" = anti-join against state).
+    */
+  val joinAnti = GQuery(
+    "join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000.0),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal"),
+    oracle = Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin))
+
+  /** J6-shaped left outer join: every customer with their (possibly absent)
+    * order count — the score-display join (game.go:300-312) where players
+    * without scores still render.
+    */
+  val joinLeftDisplay = GQuery(
+    "join_left_display",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(counts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+                coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey""".stripMargin))
+
+  /** 2-stage agg + having-style filter: order-priority counts for high-value
+    * orders (pushdown check: the o_totalprice predicate reaches the scan).
+    */
+  val aggPriorityCount = GQuery(
+    "agg_priority_count",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("o_totalprice")), 2).as("avg_price")),
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** A6: distinct — distinct (returnflag, linestatus) combos
+    * (ReplaceDistinctWithAggregate; obstacle-set dedup analog, game.go:217-223).
+    */
+  val aggDistinctCells = GQuery(
+    "agg_distinct_cells",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct(),
+    oracle = Some(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  /** W5: set ops — union/except over customer-key sets (obstacle list build,
+    * game.go:213-238: candidates ∪ candidates − spawn-cross).
+    */
+  val setopObstacleBuild = GQuery(
+    "setop_obstacle_build",
+    (s, d) => {
+      val buyers = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 50000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      val machine = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      buyers.union(bigSpenders).distinct().except(machine)
+    },
+    oracle = Some(
+      """SELECT k FROM (
+        |  SELECT DISTINCT o_custkey AS k FROM orders
+        |  UNION
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 50000.0
+        |) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin))
+
+  /** Correlated-style per-group threshold: parts above their type's average
+    * retail price — aggregate-then-rejoin (broadcast of the per-type averages).
+    */
+  val aggAboveTypeAvg = GQuery(
+    "agg_above_type_avg",
+    (s, d) => {
+      val byType = Tables.part(s, d)
+        .groupBy("p_type").agg(avg(col("p_retailprice")).as("type_avg"))
+      Tables.part(s, d)
+        .join(broadcast(byType), Seq("p_type"))
+        .filter(col("p_retailprice") > col("type_avg"))
+        .select(col("p_partkey"), col("p_name"),
+                round(col("p_retailprice"), 2).as("price"))
+    },
+    oracle = Some(
+      """SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+        |FROM part p JOIN (
+        |  SELECT p_type, avg(p_retailprice) AS type_avg FROM part GROUP BY p_type
+        |) t ON p.p_type = t.p_type
+        |WHERE p_retailprice > type_avg""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(
+    q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
+    aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg)
+}
