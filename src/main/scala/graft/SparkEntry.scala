@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every declared engine query, grouped by SURVEY §2 family. */
   def all: Seq[GQuery] =
     EventOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
-      GameOps.queries
+      GameOps.queries ++ FoldOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The scoreboard pipeline (SURVEY §3.3): filter → 2-stage agg → top-k.

@@ -1,0 +1,272 @@
+package graft.game
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference wire event made relational (FIXTURES.md B1): the implicit
+  * broker order is explicit in (room, seq). `list` carries +1-shifted signed
+  * obstacle codes (negative = destructible; shift keeps cell 0 signed,
+  * cf. event.go:229-246).
+  */
+final case class GameEvent(
+    room: String,
+    seq: Long,
+    event_type: String,
+    name: String,
+    bomb_name: String,
+    comment: String,
+    x: Int,
+    y: Int,
+    alive: Boolean,
+    list: Seq[Int])
+
+/** Deterministic projection of folded room state — the oracle-friendly digest
+  * for Q:replay_final_state (SURVEY §5: fold output reduced to per-room
+  * summary counts).
+  */
+final case class RoomSummary(
+    room: String,
+    n_events: Long,
+    n_players: Long,
+    n_alive: Long,
+    n_bombs: Long,
+    n_flames: Long,
+    n_destructible: Long,
+    n_indestructible: Long,
+    last_seq: Long)
+
+/** ST1 — the deterministic event fold (the engine's heart, SURVEY §2.7).
+  *
+  * Semantics mirror the reference's `Event.handle` family
+  * (/root/reference/game-code/event.go:22-225) over the `BombGame` state maps
+  * (game.go:55-90): same guards (bounds utils.go:61-63, occupancy
+  * event.go:38-41/92-95, liveness event.go:42-45, existence event.go:118-121/
+  * 205-211), same flame generation with obstacle blocking (utils.go:132-175),
+  * same "derived events are already in the log" replay rule (watch.go:43-85)
+  * — so the fold itself is timer-free.
+  *
+  * Scale design: the fold is order-sensitive, so it CANNOT be a Catalyst
+  * aggregate (those assume commutativity). Instead:
+  *   repartition($"room") → sortWithinPartitions($"room", $"seq") →
+  *   mapPartitions(streaming per-room fold)
+  * Each partition holds whole rooms (hash partitioning on the group key);
+  * within a partition rooms are contiguous and seq-sorted, so the fold
+  * streams the iterator with O(one room's state) memory — no
+  * collect-to-driver, no per-group materialization. At 100 TB this scales
+  * with the number of rooms per executor, not events.
+  */
+object GameFold {
+
+  val Width = 30 // game.go:25-29
+  val Height = 25
+  val RayLen = 6 // bombLength, game.go:34
+
+  final case class Player(var x: Int, var y: Int, var alive: Boolean)
+
+  private def inBounds(x: Int, y: Int): Boolean =
+    x >= 0 && x < Width && y >= 0 && y < Height // utils.go:61-63
+
+  /** Mutable per-room state — the Spark-side `BombGame` (game.go:55-90). */
+  final class RoomState(val room: String) {
+    val players = mutable.LinkedHashMap.empty[String, Player]
+    val bombs = mutable.LinkedHashMap.empty[String, (Int, Int)]
+    /** flame cell -> owning bomb name (flameMap, game.go:80-84) */
+    val flames = mutable.LinkedHashMap.empty[(Int, Int), String]
+    /** obstacle cell -> destructible? (obstacleMap, game.go:73-78) */
+    val obstacles = mutable.LinkedHashMap.empty[(Int, Int), Boolean]
+    var nEvents = 0L
+    var lastSeq = -1L
+
+    private def decodeList(list: Seq[Int]): Unit = {
+      obstacles.clear()
+      list.foreach { code =>
+        val cell = math.abs(code) - 1
+        if (cell >= 0 && cell < Width * Height)
+          obstacles((cell % Width, cell / Width)) = code < 0
+      }
+    }
+
+    /** Flame rays with blocking (utils.go:132-175 + event.go:141-163):
+      * each direction extends up to RayLen cells; a destructible blocker is
+      * destroyed and lit, an indestructible blocker stops the ray cold.
+      */
+    private def explodeAt(bombName: String, bx: Int, by: Int): Unit = {
+      flames((bx, by)) = bombName
+      for ((dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))) {
+        var d = 1
+        var blocked = false
+        while (d <= RayLen && !blocked) {
+          val (fx, fy) = (bx + dx * d, by + dy * d)
+          if (!inBounds(fx, fy)) blocked = true
+          else obstacles.get((fx, fy)) match {
+            case Some(true) => // destructible: destroy + lit, then stop
+              obstacles.remove((fx, fy))
+              flames((fx, fy)) = bombName
+              blocked = true
+            case Some(false) => blocked = true // indestructible: stop cold
+            case None =>
+              flames((fx, fy)) = bombName
+              d += 1
+          }
+        }
+      }
+    }
+
+    /** One step of the fold — the 9 handlers of event.go:22-225. All guards
+      * make the fold idempotent-tolerant of duplicate/dangling events (F8).
+      */
+    def apply(e: GameEvent): Unit = {
+      nEvents += 1
+      lastSeq = e.seq
+      e.event_type match {
+        case "UserMoveEvent" => // event.go:26-48
+          players.get(e.name).foreach { p =>
+            if (p.alive && inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y))) {
+              p.x = e.x; p.y = e.y
+            }
+          }
+        case "UserDeadEvent" => // event.go:50-59
+          players.get(e.name).foreach(_.alive = false)
+        case "UserReviveEvent" => // event.go:61-68
+          players.get(e.name).foreach { p =>
+            p.alive = true
+            if (inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y))) {
+              p.x = e.x; p.y = e.y
+            }
+          }
+        case "UserJoinEvent" => // event.go:70-83
+          players(e.name) = Player(e.x, e.y, alive = true)
+          if (e.list.nonEmpty) decodeList(e.list)
+        case "SetBombEvent" => // event.go:85-109 (guard 92-95)
+          if (inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y)) &&
+              !bombs.contains(e.bomb_name))
+            bombs(e.bomb_name) = (e.x, e.y)
+        case "ExplodeEvent" => // event.go:111-176 (existence guard 118-121)
+          bombs.remove(e.bomb_name).foreach { case (bx, by) =>
+            explodeAt(e.bomb_name, bx, by)
+          }
+        case "UndoExplodeEvent" => // event.go:178-195
+          flames.filterInPlace((_, owner) => owner != e.bomb_name)
+        case "BombMoveEvent" => // event.go:197-217 (guard 205-211)
+          if (bombs.contains(e.bomb_name) && inBounds(e.x, e.y) &&
+              !obstacles.contains((e.x, e.y)))
+            bombs(e.bomb_name) = (e.x, e.y)
+        case "UpdateMapEvent" => // event.go:219-225
+          decodeList(e.list)
+        case _ => // unknown types ignored (schema evolution tolerance)
+      }
+    }
+
+    def summary: RoomSummary = RoomSummary(
+      room,
+      nEvents,
+      players.size.toLong,
+      players.valuesIterator.count(_.alive).toLong,
+      bombs.size.toLong,
+      flames.size.toLong,
+      obstacles.valuesIterator.count(identity).toLong,
+      obstacles.valuesIterator.count(!_).toLong,
+      lastSeq)
+  }
+
+  /** Streaming per-partition fold: rooms are contiguous + seq-sorted within
+    * the iterator (guaranteed by [[summarize]]'s repartition+sort). Emits one
+    * summary per room, holding only the current room's state.
+    */
+  def foldPartition(it: Iterator[GameEvent]): Iterator[RoomSummary] =
+    new Iterator[RoomSummary] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): RoomSummary = {
+        val state = new RoomState(buf.head.room)
+        while (buf.hasNext && buf.head.room == state.room)
+          state.apply(buf.next())
+        state.summary
+      }
+    }
+
+  /** Reference single-threaded fold — used by tests to cross-check the
+    * distributed plumbing (partitioning + in-partition sort).
+    */
+  def foldLocal(events: Seq[GameEvent]): Seq[RoomSummary] =
+    events.groupBy(_.room).toSeq.sortBy(_._1).map { case (room, evs) =>
+      val st = new RoomState(room)
+      evs.sortBy(_.seq).foreach(st.apply)
+      st.summary
+    }
+
+  /** The distributed fold: one shuffle on the room key, in-partition sort,
+    * then the streaming fold. No other stage re-shuffles the log.
+    */
+  def summarize(events: Dataset[GameEvent]): Dataset[RoomSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("room"))
+      .sortWithinPartitions(col("room"), col("seq"))
+      .mapPartitions(foldPartition)
+  }
+}
+
+/** Deterministic game-event log derived from the driver `events` table —
+  * the stand-in for the reference's per-room topics, used by
+  * Q:replay_final_state and the fold tests. Pure column expressions
+  * (no UDFs) so derivation cost is codegen'd.
+  *
+  * Mapping (documented in lockstep with tests):
+  *   signup   → UserJoinEvent   (player at user-derived cell, no map list)
+  *   click    → UserMoveEvent   (one step from user cell, dir = k % 4)
+  *   view     → UpdateMapEvent when k % 5 = 0 (list = cells ≡ seq mod 7),
+  *              else SetBombEvent at event cell
+  *   purchase → ExplodeEvent / BombMoveEvent / UndoExplodeEvent by k % 3
+  *   error    → UserReviveEvent when k % 4 = 0, else UserDeadEvent
+  * Bomb names are `u{k%30}-b{cell%20}` — the coarse key makes set/explode/
+  * move collisions frequent so the guards actually fire.
+  */
+object GameLog {
+
+  def derive(spark: SparkSession, dir: String): Dataset[GameEvent] = {
+    import spark.implicits._
+    val e = graft.Tables.events(spark, dir)
+    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+    val cell = col("event_id") % 750
+    val ux = (col("user_id") % 30).cast("int")
+    val uy = ((col("user_id") * 7) % 25).cast("int")
+    val owner = concat(lit("u"), col("user_id"))
+    val bombName = concat(lit("u"), k % 30, lit("-b"), cell % 20)
+    val mapList = filter(sequence(lit(0), lit(749)),
+      c => c % 7 === (col("event_id") % 7).cast("int"))
+    val signedList = transform(mapList,
+      c => when(c % 2 === 0, -(c + 1)).otherwise(c + 1))
+
+    e.select(
+      concat(lit("room"), col("user_id") % 8).as("room"),
+      col("event_id").as("seq"),
+      when(col("event_type") === "signup", "UserJoinEvent")
+        .when(col("event_type") === "click", "UserMoveEvent")
+        .when(col("event_type") === "view",
+          when(k % 5 === 0, "UpdateMapEvent").otherwise("SetBombEvent"))
+        .when(col("event_type") === "purchase",
+          when(k % 3 === 0, "UndoExplodeEvent")
+            .when(k % 3 === 1, "BombMoveEvent")
+            .otherwise("ExplodeEvent"))
+        .otherwise(when(k % 4 === 0, "UserReviveEvent")
+          .otherwise("UserDeadEvent")).as("event_type"),
+      owner.as("name"),
+      bombName.as("bomb_name"),
+      concat(lit("u"), k % 30).as("comment"),
+      when(col("event_type") === "click",
+        greatest(lit(0), least(lit(29), ux + when(k % 4 === 0, 1)
+          .when(k % 4 === 1, -1).otherwise(0))))
+        .otherwise((cell % 30).cast("int")).as("x"),
+      when(col("event_type") === "click",
+        greatest(lit(0), least(lit(24), uy + when(k % 4 === 2, 1)
+          .when(k % 4 === 3, -1).otherwise(0))))
+        .otherwise((cell / lit(30)).cast("int").cast("int")).as("y"),
+      lit(true).as("alive"),
+      when(col("event_type") === "view" && k % 5 === 0, signedList)
+        .otherwise(array().cast("array<int>")).as("list"))
+      .as[GameEvent]
+  }
+}

@@ -1,0 +1,297 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines (builder-prompt extension set):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * Every variant is oracle-backed: token hashing uses explicit integer
+  * arithmetic (polynomial base-131 hash mod 2^31−1) instead of engine hash
+  * functions, so Spark and DuckDB compute bit-identical signatures.
+  *
+  * Scale notes (100 TB):
+  *  - shingling + signatures are per-row map work (codegen'd HOFs, no UDFs);
+  *  - LSH banding turns all-pairs O(n²) into groupBy(band, signature) — the
+  *    only shuffles are on band keys and candidate pairs;
+  *  - exact verification joins only LSH candidates, never the full corpus;
+  *  - the all-pairs variants (ngram_jaccard, simhash pairs, embedding pairs)
+  *    exist as correctness baselines for the LSH path and are excluded from
+  *    the headline bench set.
+  */
+object DedupOps {
+
+  val P = 2147483647L // 2^31 − 1
+  /** 131^0 .. 131^7 — exact in Long. */
+  val Pow131: Seq[Long] = Seq(1L, 131L, 17161L, 2248091L, 294499921L,
+    38579489651L, 5053913144281L, 662062621500811L)
+  val NumHashes = 16
+  val BandSize = 4
+  val NumBands = NumHashes / BandSize
+  val HashA: Seq[Long] = (0 until NumHashes).map(j => ((2L * j + 1) * 2654435761L) % P)
+  val HashB: Seq[Long] = (0 until NumHashes).map(j => (j * 40503L + 7) % P)
+  val JaccardThreshold = 0.5
+  val SimhashBits = 32
+  val SimhashMaxDist = 3
+  val CosineThreshold = 0.4
+
+  /** Polynomial hash of the first ≤8 chars of a token, as a SQL expr string
+    * usable verbatim in Spark SQL (DuckDB mirror in [[tkDuck]]).
+    */
+  private def tkSpark(c: String): String =
+    s"aggregate(sequence(1, least(length($c), 8)), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> acc + ascii(substring($c, i, 1)) * " +
+      s"element_at(array(${Pow131.mkString(",")}), i)) % $P"
+
+  private def tkDuck(c: String): String =
+    s"list_sum(list_transform(generate_series(1, least(length($c), 8)), " +
+      s"i -> ascii(substr($c, i, 1)) * ([${Pow131.mkString(",")}])[i])) % $P"
+
+  /** doc_id → exploded distinct 3-gram shingles (one row per shingle). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+    toks
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE: tokens → distinct shingles → integer shingle keys. */
+  private val ShingleCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |shingle AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(t) - 2),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM toks),
+       |keyed AS (
+       |  SELECT doc_id, sh, ${tkDuck("sh")} AS tk FROM shingle),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on the full text; first doc_id per group
+    * survives (row_number, deterministic). Output: per-source kept/dropped.
+    */
+  val dedupExact = GQuery(
+    "dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    },
+    oracle = Some(
+      """SELECT source, count(*) AS n_docs,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        |FROM (SELECT source,
+        |             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |GROUP BY source""".stripMargin))
+
+  /** MinHash signatures (16 permutations) + banded LSH (4 bands × 4) +
+    * exact-Jaccard verification of candidates only — the scale path for
+    * near-dup detection. Finds the corpus's 25 planted near-dup pairs.
+    */
+  val dedupMinhashLsh = GQuery(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      val keyed = shingleRows(s, d).withColumn("tk", expr(tkSpark("sh")))
+      val minCols = (0 until NumHashes).map(j =>
+        min((col("tk") * HashA(j) + HashB(j)) % P).as(s"mh$j"))
+      val sig = keyed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until NumBands).map(b =>
+        concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(s, d, cand)
+    },
+    oracle = Some {
+      val mins = (0 until NumHashes)
+        .map(j => s"min((tk * ${HashA(j)} + ${HashB(j)}) % $P) AS mh$j")
+        .mkString(", ")
+      val bandExprs = (0 until NumBands)
+        .map(b => (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+          .mkString(" || '-' || "))
+        .mkString("[", ", ", "]")
+      s"""$ShingleCte,
+         |sig AS (SELECT doc_id, $mins FROM keyed GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, b.sig FROM sig,
+         |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
+         |                  unnest($bandExprs) AS sig) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c JOIN shingle sa ON sa.doc_id = c.doc_a
+         |              JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(ni * 1.0 / (za.n + zb.n - ni), 4) AS jaccard
+         |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE ni * 1.0 / (za.n + zb.n - ni) >= $JaccardThreshold""".stripMargin
+    },
+    bench = true)
+
+  /** Exact verification: Jaccard over shingle sets for given candidate pairs. */
+  private def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("j", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard (the LSH baseline): the shingle-join
+    * trick — pairs materialize only for docs sharing ≥1 shingle, so the
+    * complexity is Σ_shingle df(shingle)², not n².
+    */
+  val dedupNgramJaccard = GQuery(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val sh = shingleRows(s, d)
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("ni"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("j", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
+        .filter(col("j") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+    },
+    oracle = Some(
+      s"""$ShingleCte,
+         |inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+         |  FROM shingle sa JOIN shingle sb
+         |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+         |  GROUP BY sa.doc_id, sb.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(ni * 1.0 / (za.n + zb.n - ni), 4) AS jaccard
+         |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE ni * 1.0 / (za.n + zb.n - ni) >= $JaccardThreshold""".stripMargin))
+
+  /** 32-bit SimHash over shingle keys: per-bit majority vote, then all-pairs
+    * Hamming ≤ 3. The bit votes are one groupBy(doc, bit) + one groupBy(doc);
+    * the pair scan is the small signature table only (1 row/doc).
+    */
+  val dedupSimhash = GQuery(
+    "dedup_simhash",
+    (s, d) => {
+      val keyed = shingleRows(s, d).withColumn("tk", expr(tkSpark("sh")))
+      val bits = keyed
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
+        .withColumn("vote",
+          when(expr("shiftright(tk, CAST(j AS INT)) & 1") === 1, 1L)
+            .otherwise(-1L))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("vote")).as("s"))
+      val sig = bits
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(0L)).as("sh32"))
+      sig.as("a")
+        .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist",
+          expr("CAST(bit_count(a.sh32 ^ b.sh32) AS BIGINT)"))
+        .filter(col("dist") <= SimhashMaxDist)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("dist"))
+    },
+    oracle = Some(
+      s"""$ShingleCte,
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (tk >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM keyed, generate_series(0, ${SimhashBits - 1}) g(j)
+         |  GROUP BY doc_id, j),
+         |simhash AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS sh32
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS dist
+         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh32, b.sh32)) <= $SimhashMaxDist""".stripMargin))
+
+  /** Embedding near-dup: all-pairs cosine ≥ 0.4 over double-cast vectors.
+    * Dot products via zip_with+aggregate (sequential fold — bit-identical to
+    * the oracle's list_sum). The LSH-bucketed scale path is in SimilarityOps.
+    */
+  val dedupEmbeddingCosine = GQuery(
+    "dedup_embedding_cosine",
+    (s, d) => {
+      val e = normalizedVecs(s, d)
+      e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosExpr())
+        .filter(col("cos") >= CosineThreshold)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 4).as("cosine"))
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
+
+  /** vec_id, v (double array), nrm — shared by cosine queries. */
+  private[operators] def normalizedVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** cosine between aliased sides a/b of a self-join on [[normalizedVecs]]. */
+  private[operators] def cosExpr(): Column =
+    aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
+
+  val queries: Seq[GQuery] = Seq(
+    dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
+    dedupEmbeddingCosine)
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder-prompt extension set). Three tiers:
+  *
+  *  1. brute-force cosine top-k — the exact baseline; fine when the query
+  *     set is small (queries broadcast against the corpus scan);
+  *  2. IVF-style partition-restricted top-k — the corpus is pre-bucketed by a
+  *     coarse quantizer (here: the provided `label` column standing in for a
+  *     k-means centroid assignment); search touches one partition;
+  *  3. random-hyperplane LSH buckets — sign-bit signatures over fixed integer
+  *     hyperplanes; search touches one hash bucket. Sub-linear, recall < 1
+  *     by design.
+  *
+  * All arithmetic is double-precision with deterministic integer hyperplanes,
+  * so DuckDB reproduces every score bit-for-bit (rounded to 4 decimals).
+  */
+object SimilarityOps {
+
+  val TopK = 10
+  val PerQueryK = 5
+  val NumQueries = 10 // query set = vec_id < 10
+  val NumPlanes = 8
+
+  /** Hyperplane component w[p][i] = ((p·64+i)·2654435761 mod 2001) − 1000 —
+    * integer-valued pseudo-random plane, identical in both engines.
+    */
+  private def planeSpark(p: Int): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => ((lit(p) * 64 + i) * 2654435761L % 2001 - 1000).cast("double"))
+
+  private def planeDuck(p: Int): String =
+    s"list_transform(generate_series(0, 63), i -> ((($p * 64 + i) * 2654435761) % 2001 - 1000)::DOUBLE)"
+
+  private val VecCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosAB: Column =
+    aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
+
+  /** Q:ann_cosine_topk — exact top-10 neighbors of query vec_id=0.
+    * Plan shape: broadcast the single query row, scan the corpus once,
+    * TakeOrderedAndProject for the top-k (no global sort).
+    */
+  val annCosineTopk = GQuery(
+    "ann_cosine_topk",
+    (s, d) => {
+      val e = vecs(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("cos",
+          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("qnrm")))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(TopK)
+        .select(col("vec_id"), round(col("cos"), 4).as("cosine"))
+    },
+    oracle = Some(
+      s"""$VecCte
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0
+         |ORDER BY list_sum(list_transform(generate_series(1, len(a.v)),
+         |         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) DESC, b.vec_id
+         |LIMIT $TopK""".stripMargin),
+    bench = true)
+
+  /** Q:ann_topk_per_query — exact top-5 per query (vec_id<10), rank via
+    * window. The query side broadcasts; per-query ranking is one window over
+    * the candidate set, partitioned by query id.
+    */
+  val annTopkPerQuery = GQuery(
+    "ann_topk_per_query",
+    (s, d) => {
+      val e = vecs(s, d)
+      val q = broadcast(e.filter(col("vec_id") < NumQueries).as("a"))
+      val scored = q
+        .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", cosAB)
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          col("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= PerQueryK)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+    },
+    oracle = Some(
+      s"""$VecCte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         list_sum(list_transform(generate_series(1, len(a.v)),
+         |           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= $PerQueryK""".stripMargin))
+
+  /** Q:ann_ivf_label_topk — IVF scale path: search only the query's coarse
+    * partition (label = centroid assignment). At 100 TB the corpus is
+    * bucketed/partitioned by centroid id, so each query reads one partition
+    * instead of the full scan.
+    */
+  val annIvfLabelTopk = GQuery(
+    "ann_ivf_label_topk",
+    (s, d) => {
+      val e = vecs(s, d)
+      val q = broadcast(e.filter(col("vec_id") < NumQueries).as("a"))
+      val scored = q
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", cosAB)
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          col("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= PerQueryK)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+    },
+    oracle = Some(
+      s"""$VecCte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         list_sum(list_transform(generate_series(1, len(a.v)),
+         |           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < $NumQueries AND a.label = b.label
+         |                   AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= $PerQueryK""".stripMargin))
+
+  /** Q:ann_lsh_bucket — random-hyperplane signatures: 8 sign bits → bucket
+    * id; neighbors searched within the query's bucket only. Emits per-query
+    * top-3 found in-bucket (approximate: recall < 1 by design).
+    */
+  val annLshBucket = GQuery(
+    "ann_lsh_bucket",
+    (s, d) => {
+      val e = vecs(s, d)
+      val withBucket = e.withColumn("bucket",
+        (0 until NumPlanes).map { p =>
+          when(aggregate(zip_with(col("v"), planeSpark(p), (x, w) => x * w),
+            lit(0.0), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+        }.reduce(_ + _))
+      val q = broadcast(withBucket.filter(col("vec_id") < NumQueries).as("a"))
+      val scored = q
+        .join(withBucket.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", cosAB)
+        .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
+          col("b.vec_id").as("neighbor_id"), col("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("bucket"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+    },
+    oracle = Some {
+      val bucketExpr = (0 until NumPlanes).map { p =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> v[i] * (${planeDuck(p)})[i])) > 0 THEN 1::BIGINT << $p ELSE 0 END)"
+      }.mkString(" + ")
+      s"""$VecCte,
+         |wb AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, a.bucket AS bucket,
+         |         b.vec_id AS neighbor_id,
+         |         list_sum(list_transform(generate_series(1, len(a.v)),
+         |           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+         |  FROM wb a JOIN wb b ON a.vec_id < $NumQueries
+         |                     AND a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, bucket, neighbor_id, round(cos, 4) AS cosine,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 3""".stripMargin
+    })
+
+  val queries: Seq[GQuery] = Seq(
+    annCosineTopk, annTopkPerQuery, annIvfLabelTopk, annLshBucket)
+}

@@ -49,5 +49,119 @@ object TextOps {
   private def filter_exprs(arr: org.apache.spark.sql.Column) =
     filter(arr, w => w =!= "")
 
-  val queries: Seq[GQuery] = Seq(aggWordCount, textTokenCount)
+  /** Language-ID via marker-token scoring (n-gram/stopword heuristic): score
+    * each doc against small per-language marker vocabularies; argmax with
+    * deterministic tiebreak. The corpus vocabulary is English-only by
+    * construction, so the mechanism (not the synthetic `lang` column) is what
+    * is checked.
+    */
+  val textLangId = GQuery(
+    "text_lang_id",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          filter_exprs(split(col("text"), " ")).as("t"))
+      def score(markers: Seq[String]) =
+        size(filter(col("t"),
+          w => markers.map(m => w === m).reduce(_ || _))) * 1.0 / size(col("t"))
+      toks
+        .withColumn("en_score", round(score(Seq("the", "a", "of", "and", "in")), 4))
+        .withColumn("pred_lang",
+          when(col("en_score") >= 0.05, "en").otherwise("unknown"))
+        .select("doc_id", "lang", "en_score", "pred_lang")
+    },
+    oracle = Some(
+      """SELECT doc_id, lang,
+        |       round(len(list_filter(t, w -> w IN ('the','a','of','and','in')))
+        |             * 1.0 / len(t), 4) AS en_score,
+        |       CASE WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in')))
+        |                 * 1.0 / len(t) >= 0.05
+        |            THEN 'en' ELSE 'unknown' END AS pred_lang
+        |FROM (SELECT doc_id, lang,
+        |             list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |      FROM documents)""".stripMargin))
+
+  /** Quality scoring: mean word length, stopword ratio, uniqueness ratio —
+    * the standard cheap filters of a pretraining-data pipeline, combined into
+    * one bounded score.
+    */
+  val textQualityScore = GQuery(
+    "text_quality_score",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter_exprs(split(col("text"), " ")).as("t"),
+          length(col("text")).cast("double").as("nc"))
+      toks
+        .withColumn("mwl_raw", (col("nc") - size(col("t")) + 1) / size(col("t")))
+        .withColumn("swr_raw",
+          size(filter(col("t"),
+            w => w === "the" || w === "a" || w === "of")) * 1.0 / size(col("t")))
+        .withColumn("uniq_raw",
+          size(array_distinct(col("t"))) * 1.0 / size(col("t")))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          round(col("mwl_raw"), 4).as("mean_word_len"),
+          round(col("swr_raw"), 4).as("stopword_ratio"),
+          round(col("uniq_raw"), 4).as("unique_ratio"),
+          round(least(lit(1.0),
+            col("uniq_raw") * 0.5 + (lit(1.0) - col("swr_raw")) * 0.3 +
+              least(col("mwl_raw") / 8.0, lit(1.0)) * 0.2), 4).as("quality"))
+    },
+    oracle = Some(
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       round((nc - len(t) + 1) / len(t), 4) AS mean_word_len,
+        |       round(len(list_filter(t, w -> w IN ('the','a','of'))) * 1.0 / len(t), 4) AS stopword_ratio,
+        |       round(len(list_distinct(t)) * 1.0 / len(t), 4) AS unique_ratio,
+        |       round(least(1.0,
+        |             len(list_distinct(t)) * 1.0 / len(t) * 0.5 +
+        |             (1.0 - len(list_filter(t, w -> w IN ('the','a','of'))) * 1.0 / len(t)) * 0.3 +
+        |             least(((nc - len(t) + 1) / len(t)) / 8.0, 1.0) * 0.2), 4) AS quality
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t,
+        |             length(text)::DOUBLE AS nc
+        |      FROM documents)""".stripMargin))
+
+  /** BPE-ish token counting: word pieces + punctuation via regex — the
+    * pretraining "token budget" estimator (distinct from whitespace count).
+    */
+  val textBpeTokenCount = GQuery(
+    "text_bpe_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+            .cast("long").as("n_pieces"),
+          size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words")),
+    oracle = Some(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_pieces,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words
+        |FROM documents""".stripMargin))
+
+  /** Document fingerprinting: base-131 rolling hash over the full text mod
+    * 2^31−1 — content-addressable id for exact-dup detection at scale
+    * (constant memory, sequential fold, identical in both engines).
+    */
+  val textFingerprint = GQuery(
+    "text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+            "(acc, i) -> (acc * 131 + ascii(substring(text, i, 1))) % 2147483647)")
+            .as("fingerprint"),
+          length(col("text")).cast("long").as("n_chars_actual")),
+    oracle = Some(
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(generate_series(1, length(text)),
+        |                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |         (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint,
+        |       CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(
+    aggWordCount, textTokenCount, textLangId, textQualityScore,
+    textBpeTokenCount, textFingerprint)
 }

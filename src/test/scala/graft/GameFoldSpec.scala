@@ -1,0 +1,120 @@
+package graft
+
+import graft.game.{GameEvent, GameFold, GameLog, RoomSummary}
+
+/** ST1 correctness: golden scenario, reference-guard semantics, and the
+  * distributed-plumbing invariants SURVEY §7.4 requires asserting (the
+  * repartition+sortWithinPartitions+mapPartitions contract).
+  */
+class GameFoldSpec extends SparkSuite {
+
+  private def ev(
+      seq: Long, tpe: String, room: String = "r1", name: String = "",
+      bomb: String = "", comment: String = "", x: Int = 0, y: Int = 0,
+      list: Seq[Int] = Nil): GameEvent =
+    GameEvent(room, seq, tpe, name, bomb, comment, x, y, alive = true, list)
+
+  // obstacle codes use the +1-shifted sign encoding: cell(2,1)=32 → 33
+  // indestructible; cell(5,5)=155 → -156 destructible
+  private val mapCodes = Seq(33, -156)
+
+  private val kill = Seq(
+    ev(1, "UserJoinEvent", name = "A", x = 1, y = 1),
+    ev(2, "UserJoinEvent", name = "B", x = 3, y = 1),
+    ev(3, "UpdateMapEvent", list = mapCodes),
+    ev(4, "UserMoveEvent", name = "A", x = 2, y = 1), // into obstacle: no-op
+    ev(5, "SetBombEvent", bomb = "A-b1", x = 2, y = 2),
+    ev(6, "ExplodeEvent", bomb = "A-b1"),
+    ev(7, "UserDeadEvent", name = "B", comment = "A"))
+
+  test("golden two-player-kill scenario") {
+    val Seq(s) = GameFold.foldLocal(kill)
+    // flames: center(2,2) + right 6 + left 2 (border) + down 6 + up 0
+    // (blocked at d=1 by indestructible (2,1)) = 15
+    assert(s === RoomSummary("r1", 7, 2, 1, 0, 15, 1, 1, 7))
+  }
+
+  test("undo-explode clears exactly that bomb's flames") {
+    val Seq(s) = GameFold.foldLocal(kill :+ ev(8, "UndoExplodeEvent", bomb = "A-b1"))
+    assert(s.n_flames === 0)
+    assert(s.n_destructible === 1 && s.n_indestructible === 1)
+  }
+
+  test("destructible blocker is destroyed and lit; ray stops there") {
+    // bomb at (3,5): left ray hits destructible (155=(5,5))? no — put bomb at
+    // (7,5): left ray d=1 (6,5), d=2 (5,5) destructible → destroyed+lit, stop.
+    val evs = Seq(
+      ev(1, "UpdateMapEvent", list = mapCodes),
+      ev(2, "SetBombEvent", bomb = "X-b1", x = 7, y = 5),
+      ev(3, "ExplodeEvent", bomb = "X-b1"))
+    val Seq(s) = GameFold.foldLocal(evs)
+    assert(s.n_destructible === 0, "destructible at (5,5) must be destroyed")
+    // flames: center + right 6 + left (6,5),(5,5) = 2 + up 5 (border at y<0
+    // after d=5: y=0 ok, d=1..5 → (7,4)..(7,0)) + down 6 = 1+6+2+5+6 = 20
+    assert(s.n_flames === 20)
+  }
+
+  test("guard gauntlet: every illegal event is a no-op") {
+    val base = Seq(
+      ev(1, "UserJoinEvent", name = "A", x = 1, y = 1),
+      ev(2, "UpdateMapEvent", list = Seq(33)))
+    val gauntlet = Seq(
+      ev(3, "UserMoveEvent", name = "A", x = 30, y = 1), // out of bounds
+      ev(4, "UserMoveEvent", name = "A", x = 2, y = 1), // onto obstacle
+      ev(5, "UserMoveEvent", name = "ghost", x = 5, y = 5), // absent player
+      ev(6, "SetBombEvent", bomb = "A-b1", x = 2, y = 1), // bomb on obstacle
+      ev(7, "ExplodeEvent", bomb = "no-such-bomb"), // dangling explode
+      ev(8, "BombMoveEvent", bomb = "no-such-bomb", x = 4, y = 4), // dangling
+      ev(9, "UserDeadEvent", name = "A"),
+      ev(10, "UserMoveEvent", name = "A", x = 3, y = 3)) // dead can't move
+    val Seq(s) = GameFold.foldLocal(base ++ gauntlet)
+    assert(s.n_players === 1 && s.n_alive === 0)
+    assert(s.n_bombs === 0 && s.n_flames === 0)
+    assert(s.n_indestructible === 1)
+  }
+
+  test("dead player stays put (position-level guard check)") {
+    val st = new GameFold.RoomState("r")
+    st.apply(ev(1, "UserJoinEvent", name = "A", x = 1, y = 1))
+    st.apply(ev(2, "UserDeadEvent", name = "A"))
+    st.apply(ev(3, "UserMoveEvent", name = "A", x = 3, y = 3))
+    assert(st.players("A") === GameFold.Player(1, 1, alive = false))
+    st.apply(ev(4, "UserReviveEvent", name = "A", x = 4, y = 4))
+    assert(st.players("A") === GameFold.Player(4, 4, alive = true))
+  }
+
+  test("duplicate SetBomb is idempotent (first placement wins)") {
+    val st = new GameFold.RoomState("r")
+    st.apply(ev(1, "SetBombEvent", bomb = "A-b1", x = 2, y = 2))
+    st.apply(ev(2, "SetBombEvent", bomb = "A-b1", x = 9, y = 9))
+    assert(st.bombs("A-b1") === ((2, 2)))
+  }
+
+  test("distributed fold == local reference fold on the derived log") {
+    import spark.implicits._
+    val log = GameLog.derive(spark, smokeDir)
+    val distributed = GameFold.summarize(log).collect().sortBy(_.room)
+    val local = GameFold.foldLocal(log.collect().toSeq)
+    assert(distributed.toSeq === local)
+  }
+
+  test("fold is invariant to partitioning") {
+    import spark.implicits._
+    val log = GameLog.derive(spark, smokeDir)
+    val a = GameFold.summarize(log).collect().sortBy(_.room).toSeq
+    val b = GameFold.summarize(log.repartition(7)).collect().sortBy(_.room).toSeq
+    val c = GameFold.summarize(log.repartition(1)).collect().sortBy(_.room).toSeq
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("multi-room interleave: rooms fold independently") {
+    val r1 = kill
+    val r2 = kill.map(e => e.copy(room = "r2", seq = e.seq + 100))
+    // interleave the two rooms' events in shuffled global order
+    val interleaved = (r1 ++ r2).sortBy(e => (e.seq % 3, e.seq))
+    val folded = GameFold.foldLocal(interleaved)
+    assert(folded.map(_.copy(room = "x", last_seq = 0)).distinct.size === 1,
+      "per-room summaries must be identical regardless of interleave")
+  }
+}
