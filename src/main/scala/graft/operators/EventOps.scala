@@ -45,8 +45,14 @@ object EventOps {
     regexp_extract(c, "\"k\": (\\d+)", 1).cast("long")
 
   /** events → game-shaped columns; filters/aggregates push below this projection. */
-  def gameView(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def gameView(spark: SparkSession, dir: String): DataFrame =
+    gameColumns(Tables.events(spark, dir))
+
+  /** The same derivation applied to an arbitrary events-shaped DataFrame —
+    * shared by the batch queries and the Structured Streaming variants
+    * (graft.streaming): one derivation, two execution modes (SURVEY §3.2).
+    */
+  def gameColumns(e: DataFrame): DataFrame = {
     e.select(
       col("event_id").as("seq"),
       col("ts"),

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (builder-prompt extension set): image/audio/video
+  * payloads carried as opaque `binary` columns with typed metadata.
+  *
+  * Architecture: the decode step is an executor-side batch transform over
+  * typed rows — the Scala analog of `mapInPandas` (mapPartitions with an
+  * explicit micro-batch shape, so a vectorized decoder drops in without
+  * changing the plan). The decoder is pluggable:
+  *   - [[RealDecoder]] is the production seam — it requires imaging/audio
+  *     libraries not present in this container and is deliberately stubbed
+  *     with `???`;
+  *   - [[FakeDecoder]] is a deterministic stand-in (shapes derived from a
+  *     byte checksum) so the plumbing — schema, partitioning, batch shape,
+  *     null/mime handling — is fully testable and oracle-checkable.
+  *
+  * Scale posture: payload bytes never shuffle — metadata extraction happens
+  * at the scan, and downstream ops (frame sampling, resize planning) work on
+  * the small typed metadata, joining back to payloads only when re-encoding.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, mime: String, n_bytes: Long, checksum: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** Decoder seam — one call per payload; implementations may batch. */
+  trait MediaDecoder extends Serializable {
+    /** @return (width, height, n_frames) */
+    def decode(mime: String, payload: Array[Byte]): (Long, Long, Long)
+  }
+
+  /** Production decoder: requires javax.imageio / ffmpeg bindings — NOT
+    * available in this container; wire a real implementation here when the
+    * runtime has the codecs.
+    */
+  object RealDecoder extends MediaDecoder {
+    def decode(mime: String, payload: Array[Byte]): (Long, Long, Long) =
+      ??? // stub: no imaging/audio libraries in this environment
+  }
+
+  /** Deterministic fake: dimensions derived from a byte checksum, so tests
+    * and the DuckDB oracle reproduce them exactly.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def checksum(payload: Array[Byte]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < payload.length) { acc = (acc + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+      acc
+    }
+    def decode(mime: String, payload: Array[Byte]): (Long, Long, Long) = {
+      val c = checksum(payload)
+      val w = 64 + c % 512
+      val h = 64 + (c / 512) % 512
+      val frames = if (mime == "video/mp4") 1 + c % 240 else 1L
+      (w, h, frames)
+    }
+  }
+
+  /** The media table: document text bytes standing in for media payloads
+    * (binary column), mime assigned round-robin — the schema a real ingest
+    * would produce.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Metadata extraction: mapPartitions in fixed-size micro-batches (the
+    * Arrow-batch shape a vectorized decoder needs). Decoder errors for a
+    * batch would fail only that task, preserving Spark's retry semantics.
+    */
+  def extractMeta(ds: Dataset[MediaRow], decoder: MediaDecoder,
+                  batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, f) = decoder.decode(r.mime, r.payload)
+          MediaMeta(r.doc_id, r.mime, r.payload.length.toLong,
+            FakeDecoder.checksum(r.payload), w, h, f)
+        }
+      }
+    }
+  }
+
+  private val MetaCte =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |         (['image/png','audio/wav','video/mp4'])[(doc_id % 3 + 1)::INT] AS mime,
+      |         CAST(length(text) AS BIGINT) AS n_bytes,
+      |         list_sum(list_transform(generate_series(1, length(text)),
+      |                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)))
+      |           % 2147483647 AS checksum
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT doc_id, mime, n_bytes, checksum,
+      |         64 + checksum % 512 AS width,
+      |         64 + (checksum // 512) % 512 AS height,
+      |         CASE WHEN mime = 'video/mp4' THEN 1 + checksum % 240 ELSE 1 END AS n_frames
+      |  FROM meta)""".stripMargin
+
+  /** Q:multimodal_meta_extract — the full decode-plumbing pipeline with the
+    * deterministic fake decoder (text is ASCII, so byte checksum ==
+    * character-code checksum, making the oracle exact).
+    */
+  val multimodalMetaExtract = GQuery(
+    "multimodal_meta_extract",
+    (s, d) => extractMeta(mediaTable(s, d), FakeDecoder).toDF(),
+    oracle = Some(
+      s"""$MetaCte
+         |SELECT doc_id, mime, n_bytes, checksum, width, height, n_frames
+         |FROM m2""".stripMargin))
+
+  /** Q:multimodal_frame_sample — frame sampling plan for video payloads:
+    * every 30th frame index per video (the downstream "extract keyframes"
+    * work-list). Metadata-only: no payload bytes move.
+    */
+  val multimodalFrameSample = GQuery(
+    "multimodal_frame_sample",
+    (s, d) => {
+      val meta = extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+      meta
+        .filter(col("mime") === "video/mp4")
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))).as("frame_idx"))
+    },
+    oracle = Some(
+      s"""$MetaCte
+         |SELECT doc_id, n_frames,
+         |       unnest(range(0::BIGINT, n_frames::BIGINT, 30::BIGINT)) AS frame_idx
+         |FROM m2 WHERE mime = 'video/mp4'""".stripMargin))
+
+  /** Q:multimodal_resize_plan — resize planning: target bounding box 256×256
+    * preserving aspect ratio (integer arithmetic, floor semantics in both
+    * engines). The actual pixel work is the decoder seam's job.
+    */
+  val multimodalResizePlan = GQuery(
+    "multimodal_resize_plan",
+    (s, d) =>
+      extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+        .filter(col("mime") === "image/png")
+        .withColumn("scale_num", lit(256L))
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("width") >= col("height"),
+            lit(256L)).otherwise(col("width") * 256L / col("height")).cast("long")
+            .as("target_w"),
+          when(col("width") >= col("height"),
+            col("height") * 256L / col("width")).otherwise(lit(256L)).cast("long")
+            .as("target_h")),
+    oracle = Some(
+      s"""$MetaCte
+         |SELECT doc_id, width, height,
+         |       CASE WHEN width >= height THEN 256
+         |            ELSE width * 256 // height END AS target_w,
+         |       CASE WHEN width >= height THEN height * 256 // width
+         |            ELSE 256 END AS target_h
+         |FROM m2 WHERE mime = 'image/png'""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(
+    multimodalMetaExtract, multimodalFrameSample, multimodalResizePlan)
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the reference's streaming surface
+  * (SURVEY §2.7): the scoreboard function as an update-mode aggregation
+  * (A1/A2, ScoreboardFunction.java:15-101), TableView compaction as keyed
+  * state (S5, pulsar.go:160-167), flame-TTL timers as processing-time
+  * timeouts (ST2, event.go:100-107/167-175), and the effectively-once KV
+  * sink as idempotent overwrite-by-key in foreachBatch (ST6/S7).
+  *
+  * Batch/stream unification: every transform here reuses the SAME column
+  * derivations as the batch queries (graft.operators.EventOps.gameColumns),
+  * so the parity tests can assert stream result == batch result on the same
+  * input files — the Spark restatement of "same initial state + same event
+  * sequence ⇒ same result" (docs/en/game1-introduce.md:93-97).
+  */
+object EventStream {
+
+  /** Wire schema of the events table for the file stream source (`ts` is a
+    * nanos long on disk — see Tables.events; converted after read).
+    */
+  val EventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds since epoch on disk
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S2/S3: the event log as an unbounded stream (file source standing in
+    * for the broker; `maxFilesPerTrigger` bounds micro-batch size the way
+    * the reference's receive loop drains one event per frame).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventsFileSchema)
+      .option("maxFilesPerTrigger", "1")
+      // glob form: the file source requires a directory or glob, and the
+      // testbed stores each table as a single parquet file
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** A1 streaming: running kill-count per (room, killer) — update-mode hash
+    * aggregation; Spark's state store is the BookKeeper counter analog.
+    */
+  def killCounts(events: DataFrame): DataFrame =
+    graft.operators.EventOps.gameColumns(events)
+      .filter(col("event_type") === "error")
+      .filter(col("victim") =!= col("killer"))
+      .groupBy(col("room"), col("killer"))
+      .agg(count(lit(1)).as("kills"))
+
+  /** C15/W-window streaming: tumbling 1-hour windowed count per room with a
+    * watermark — the capability the reference sidesteps by assuming a totally
+    * ordered log (SURVEY §2.7 note).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    graft.operators.EventOps.gameColumns(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("room"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("room"), col("n"))
+
+  // ---- keyed state (S5 TableView / A2 changelog) ------------------------
+
+  case class KeyedEvent(room: String, victim: String, seq: Long, value: Double)
+  case class LastValue(room: String, victim: String, last_seq: Long, last_value: Double)
+
+  /** S5: TableView compaction as explicit keyed state — emits the latest
+    * value per (room, victim) on every update (changelog semantics, A2).
+    */
+  def lastPerKey(events: DataFrame): Dataset[LastValue] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.operators.EventOps.gameColumns(events)
+      .select(col("room"), col("victim"), col("seq"), col("value"))
+      .as[KeyedEvent]
+      .groupByKey(e => (e.room, e.victim))
+      .mapGroupsWithState[LastValue, LastValue](GroupStateTimeout.NoTimeout) {
+        case ((room, victim), events, state) =>
+          val prev = state.getOption
+          val best = (events ++ prev.map(s =>
+            KeyedEvent(room, victim, s.last_seq, s.last_value)).iterator)
+            .maxBy(_.seq)
+          val next = LastValue(room, victim, best.seq, best.value)
+          state.update(next)
+          next
+      }
+  }
+
+  // ---- ST2: timer-derived events ---------------------------------------
+
+  case class FlameState(bombName: String, litAtMs: Long)
+  case class DerivedEvent(bomb_name: String, event_type: String)
+
+  /** ST2: flame TTL — when a bomb's flame state times out (the 2s flameTime,
+    * game.go:40-41), emit the derived UndoExplodeEvent exactly as the owner
+    * client does in live mode (event.go:167-175). In replay these derived
+    * events are already in the log, so the batch fold never needs timers.
+    */
+  def flameTimers(bombs: Dataset[String], ttlMs: Long): Dataset[DerivedEvent] = {
+    val spark = bombs.sparkSession
+    import spark.implicits._
+    bombs
+      .groupByKey(identity)
+      .flatMapGroupsWithState[FlameState, DerivedEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (bombName, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(DerivedEvent(bombName, "UndoExplodeEvent"))
+          } else {
+            if (rows.nonEmpty && !state.exists) {
+              state.update(FlameState(bombName, System.currentTimeMillis()))
+              state.setTimeoutDuration(ttlMs)
+            }
+            Iterator(DerivedEvent(bombName, "ExplodeEvent"))
+          }
+      }
+  }
+
+  // ---- sinks ------------------------------------------------------------
+
+  /** ST6/S7: effectively-once KV sink — overwrite-by-key parquet "store"
+    * refreshed per micro-batch. Idempotent overwrite + checkpointing =
+    * the EFFECTIVELY_ONCE guarantee (ScoreboardFunction.java:93).
+    */
+  def kvSink(scores: DataFrame, kvDir: String, checkpointDir: String): StreamingQuery =
+    scores.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(kvDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Run any streaming DataFrame to a named memory sink until input drains. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

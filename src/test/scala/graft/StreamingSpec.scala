@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+/** Batch/stream parity (SURVEY §3.2's unification claim): the same
+  * derivation run as a stream over the same files must equal the batch
+  * result; keyed-state compaction must equal the batch max_by; timers must
+  * emit the derived events the reference's owner-client emits.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def batchKillCounts = {
+    EventStream.killCounts(Tables.events(spark, smokeDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("streaming kill-count (update mode) == batch aggregation") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      EventStream.killCounts(stream), "kills_stream", OutputMode.Complete)
+    val streamed = spark.table("kills_stream")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchKillCounts)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming windowed count with watermark == batch window agg") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      EventStream.windowedCounts(stream), "win_stream", OutputMode.Complete)
+    val streamed = spark.table("win_stream")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.windowedCounts(Tables.events(spark, smokeDir))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("keyed-state last-per-key == batch max_by compaction") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      EventStream.lastPerKey(stream).toDF(), "last_stream", OutputMode.Update)
+    // update mode emits one row per state change; final state = last per key
+    val streamed = spark.table("last_stream")
+      .groupBy("room", "victim")
+      .agg(max_by(col("last_value"), col("last_seq")).as("v"),
+           max("last_seq").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.operators.EventOps.gameView(spark, smokeDir)
+      .groupBy("room", "victim")
+      .agg(max_by(col("value"), col("seq")).as("v"), max("seq").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
+
+  test("flame timers emit derived UndoExplodeEvent after TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // NOTE: with ProcessingTimeTimeout pending, the default (as-fast-as-
+    // possible) trigger runs a hot no-data batch loop and processAllAvailable
+    // never stabilizes — pace batches with a real trigger and poll the sink.
+    val q = EventStream.flameTimers(input.toDS(), ttlMs = 300)
+      .writeStream.outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .format("memory").queryName("timers").start()
+    input.addData("A-b1", "A-b2")
+    val deadline = System.currentTimeMillis() + 60000
+    def undone = spark.table("timers").as[EventStream.DerivedEvent].collect()
+      .filter(_.event_type == "UndoExplodeEvent").map(_.bomb_name).toSet
+    while (System.currentTimeMillis() < deadline &&
+           !Set("A-b1", "A-b2").subsetOf(undone))
+      Thread.sleep(250)
+    q.stop()
+    assert(Set("A-b1", "A-b2").subsetOf(undone),
+      s"expected TTL-derived undo events within deadline, got $undone")
+  }
+
+  test("effectively-once KV sink: overwrite-by-key parquet store") {
+    val kvDir = java.nio.file.Files.createTempDirectory("kv").toString + "/store"
+    val ckDir = java.nio.file.Files.createTempDirectory("ck").toString
+    val stream = EventStream.readEvents(spark, smokeDir)
+    val q = EventStream.kvSink(EventStream.killCounts(stream), kvDir, ckDir)
+    q.awaitTermination()
+    val store = spark.read.parquet(kvDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(store === batchKillCounts)
+  }
+}
