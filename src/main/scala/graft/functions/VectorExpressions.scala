@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops (SURVEY §4's "custom
+  * work" list). Both participate in whole-stage codegen: the generated Java
+  * is a primitive loop over ArrayData / UTF8String bytes — no boxing, no
+  * lambda dispatch — replacing `aggregate(zip_with(...))` higher-order
+  * functions that dominated the sf0.1 bench.
+  *
+  * Semantics are kept bit-identical to the HOF encodings (sequential
+  * left-to-right summation), so the DuckDB oracles are unchanged.
+  */
+object VectorExpressions {
+
+  /** graft_dot(a, b): Σ a[i]·b[i] over two array<double> columns
+    * (sequential order — matches aggregate(zip_with(a,b,*), 0d, +)).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double graft_acc = 0.0;
+           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+           |  graft_acc += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+           |}
+           |${ev.value} = graft_acc;
+           |""".stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** graft_polyhash(s): Σ_{i<min(len,8)} byte(s,i)·131^i mod 2^31−1 — the
+    * token key used by the minhash/simhash signatures (DedupOps). Byte-level
+    * == code-point-level for the ASCII corpus, matching
+    * ascii(substring(s,i,1)) in the oracle.
+    */
+  case class PolyHash(child: Expression)
+      extends UnaryExpression {
+
+    private val Mod = 2147483647L
+    private val Pow: Array[Long] = Array(1L, 131L, 17161L, 2248091L,
+      294499921L, 38579489651L, 5053913144281L, 662062621500811L)
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String]
+      val n = math.min(s.numBytes(), 8)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += (s.getByte(i) & 0xffL) * Pow(i); i += 1 }
+      acc % Mod
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pows = ctx.addReferenceObj("graftPows", Pow, "long[]")
+      nullSafeCodeGen(ctx, ev, s =>
+        s"""
+           |int graft_n = java.lang.Math.min($s.numBytes(), 8);
+           |long graft_acc = 0L;
+           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+           |  graft_acc += (($s.getByte(graft_i)) & 0xffL) * $pows[graft_i];
+           |}
+           |${ev.value} = graft_acc % ${Mod}L;
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_polyhash" -> (es => PolyHash(es.head)))
+
+  /** Idempotent per-session registration — call before using
+    * expr("graft_*"). The SessionExtensions path below is the spark-submit
+    * route; this one covers sessions we don't construct.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * native functions into every session of a cluster deployment.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.VectorExpressions", name),
+          builder))
+    }
+}

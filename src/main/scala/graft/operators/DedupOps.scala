@@ -36,34 +36,48 @@ object DedupOps {
   val SimhashMaxDist = 3
   val CosineThreshold = 0.4
 
-  /** Polynomial hash of the first ≤8 chars of a token, as a SQL expr string
-    * usable verbatim in Spark SQL (DuckDB mirror in [[tkDuck]]).
+  /** Polynomial hash of the first ≤8 chars of a token — the native codegen
+    * expression (graft.functions.VectorExpressions.PolyHash); identical
+    * arithmetic to the HOF encoding `aggregate(sequence(...), ascii·131^i) %
+    * (2^31−1)` and to [[tkDuck]].
     */
-  private def tkSpark(c: String): String =
-    s"aggregate(sequence(1, least(length($c), 8)), CAST(0 AS BIGINT), " +
-      s"(acc, i) -> acc + ascii(substring($c, i, 1)) * " +
-      s"element_at(array(${Pow131.mkString(",")}), i)) % $P"
+  private def tkSpark(c: String): String = s"graft_polyhash($c)"
 
   private def tkDuck(c: String): String =
     s"list_sum(list_transform(generate_series(1, least(length($c), 8)), " +
       s"i -> ascii(substr($c, i, 1)) * ([${Pow131.mkString(",")}])[i])) % $P"
 
-  /** doc_id → exploded distinct 3-gram shingles (one row per shingle). */
+  /** doc_id → exploded distinct 3-gram shingles (one row per shingle).
+    *
+    * Materialized (localCheckpoint): every dedup query walks this subplan
+    * from several DAG branches (self-joins, signature + verification), and
+    * without materialization Spark recomputes the tokenize→shingle→distinct
+    * pipeline once per branch. At cluster scale the same role is played by
+    * persisting the shingle table (MEMORY_AND_DISK or a checkpoint to
+    * storage) before the pair-generation stages.
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    // the testbed stores documents as one parquet row-group → one input
+    // split; spread the (interpreted) shingle lambdas across the cluster
     val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => w =!= "").as("t"))
+    // row-level guard instead of when(...).otherwise(empty): wrapping the
+    // transform in CASE WHEN forces the projection out of the fast path
+    // (measured 25× slower); docs with <3 tokens shingle to nothing either
+    // way, so filtering them is semantically identical
     toks
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ",
-              element_at(col("t"), i),
-              element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2))))
-          .otherwise(array().cast("array<string>")).as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("sh"))
       .distinct()
+      .localCheckpoint()
   }
 
   /** Shared oracle CTE: tokens → distinct shingles → integer shingle keys. */
@@ -108,10 +122,13 @@ object DedupOps {
   val dedupMinhashLsh = GQuery(
     "dedup_minhash_lsh",
     (s, d) => {
-      val keyed = shingleRows(s, d).withColumn("tk", expr(tkSpark("sh")))
+      val sh = shingleRows(s, d)
+      val keyed = sh.withColumn("tk", expr(tkSpark("sh")))
       val minCols = (0 until NumHashes).map(j =>
         min((col("tk") * HashA(j) + HashB(j)) % P).as(s"mh$j"))
+      // tiny (1 row/doc) but feeds both sides of the band self-join
       val sig = keyed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        .localCheckpoint()
       val bandCols = (0 until NumBands).map(b =>
         concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
       val bands = sig.select(col("doc_id"),
@@ -122,7 +139,7 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(s, d, cand)
+      verifyJaccard(sh, cand)
     },
     oracle = Some {
       val mins = (0 until NumHashes)
@@ -156,8 +173,7 @@ object DedupOps {
     bench = true)
 
   /** Exact verification: Jaccard over shingle sets for given candidate pairs. */
-  private def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val sh = shingleRows(s, d)
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -213,20 +229,18 @@ object DedupOps {
   val dedupSimhash = GQuery(
     "dedup_simhash",
     (s, d) => {
+      // one hash-agg pass with 32 vote columns (no 32× row explosion):
+      // the per-doc bit votes become map-side partial sums immediately
       val keyed = shingleRows(s, d).withColumn("tk", expr(tkSpark("sh")))
-      val bits = keyed
-        .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
-        .withColumn("vote",
-          when(expr("shiftright(tk, CAST(j AS INT)) & 1") === 1, 1L)
-            .otherwise(-1L))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("vote")).as("s"))
-      val sig = bits
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-          .otherwise(0L)).as("sh32"))
+      val voteCols = (0 until SimhashBits).map(j =>
+        sum(when(expr(s"shiftright(tk, $j) & 1") === 1, 1L).otherwise(-1L))
+          .as(s"s$j"))
+      val votes = keyed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val sh32 = (0 until SimhashBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      // 1 row/doc; both sides of the all-pairs join read it
+      val sig = votes.select(col("doc_id"), sh32.as("sh32")).localCheckpoint()
       sig.as("a")
         .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("dist",
@@ -278,18 +292,23 @@ object DedupOps {
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
 
-  /** vec_id, v (double array), nrm — shared by cosine queries. */
-  private[operators] def normalizedVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+  /** vec_id, v (double array), nrm — shared by cosine queries. Norms and dot
+    * products use the native codegen DotProduct expression (primitive loop,
+    * same left-to-right summation as the oracle's list_sum).
+    */
+  private[operators] def normalizedVecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
   /** cosine between aliased sides a/b of a self-join on [[normalizedVecs]]. */
   private[operators] def cosExpr(): Column =
-    aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
+    expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
 
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,

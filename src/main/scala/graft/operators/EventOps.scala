@@ -320,9 +320,54 @@ object EventOps {
          |SELECT room, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM game GROUP BY room""".stripMargin))
 
+  /** S1: producer serialization round trip — typed event → wire JSON →
+    * schema decode → typed event (convertEventToMsg/convertMsgToEvent,
+    * pulsar.go:304-436). Identity is asserted in-plan: mismatched rows are
+    * counted (must be 0) alongside the per-type totals.
+    */
+  val ingestRoundtrip = GQuery(
+    "ingest_roundtrip",
+    (s, d) => {
+      val wire = gameView(s, d).select(
+        col("event_type"),
+        struct(col("room"), col("victim"), col("seq")).as("ev"),
+        to_json(struct(col("room"), col("victim"), col("seq"))).as("payload"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "room STRING, victim STRING, seq BIGINT")
+      wire
+        .withColumn("back", from_json(col("payload"), schema))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("back") === col("ev"), 0L).otherwise(1L))
+               .as("n_mismatched"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT event_type, count(*) AS n, 0::BIGINT AS n_mismatched
+         |FROM game GROUP BY event_type""".stripMargin))
+
+  /** C15/W streaming-batch equivalence: tumbling 1-minute windowed count via
+    * the window() function — the batch twin of the Structured Streaming
+    * windowed aggregation (EventStream.windowedCounts), oracle-checked via
+    * date_trunc.
+    */
+  val streamTumblingCount = GQuery(
+    "stream_tumbling_count",
+    (s, d) =>
+      gameView(s, d)
+        .groupBy(window(col("ts"), "1 minute"), col("room"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).cast("long").as("bucket"),
+          col("room"), col("n")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket,
+         |       room, count(*) AS n
+         |FROM game GROUP BY bucket, room""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
-    timeAdd, schemaEnforce)
+    timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount)
 }

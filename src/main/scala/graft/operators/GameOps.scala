@@ -433,9 +433,31 @@ object GameOps {
          |SELECT 'random-' || bomb_name AS display_name, owner, cell
          |FROM b2 WHERE bomb_seq % 5 = 0""".stripMargin))
 
+  /** Q:join_killer_owner (J3/C11): killer attribution by parsing the bomb
+    * owner out of `{owner}-{suffix}` (game.go:244) and joining back to the
+    * player roster — the lookup the reference does against nameToPlayers.
+    */
+  val joinKillerOwner = GQuery(
+    "join_killer_owner",
+    (s, d) => {
+      val bombOwners = bombs(s, d)
+        .select(substring_index(col("bomb_name"), "-", 1).as("owner_parsed"))
+      players(s, d)
+        .join(bombOwners, col("player") === col("owner_parsed"))
+        .groupBy("player", "px", "py")
+        .agg(count(lit(1)).as("n_bombs"))
+    },
+    oracle = Some(
+      s"""$GridCte
+         |SELECT p.player, p.px, p.py, count(*) AS n_bombs
+         |FROM players p
+         |JOIN (SELECT string_split(bomb_name, '-')[1] AS owner_parsed FROM b2) b
+         |  ON p.player = b.owner_parsed
+         |GROUP BY p.player, p.px, p.py""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     flameCellsQ, flameBlockingQ, joinDeathAttribution, antiJoinSpawnClear,
     antiJoinOccupied, encodeDecodeRoundtrip, nextPosition, filterBounds,
     obstacleDensity, obstacleListExplode, sampleHashBernoulli, arrayMembership,
-    prefixFilter)
+    prefixFilter, joinKillerOwner)
 }

@@ -69,7 +69,9 @@ object MultimodalOps {
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
+    // single-row-group file → spread decode work across the cluster
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         element_at(

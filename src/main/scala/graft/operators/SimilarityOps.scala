@@ -43,16 +43,18 @@ object SimilarityOps {
       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
   private def cosAB: Column =
-    aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
+    expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
 
   /** Q:ann_cosine_topk — exact top-10 neighbors of query vec_id=0.
     * Plan shape: broadcast the single query row, scan the corpus once,
@@ -66,9 +68,7 @@ object SimilarityOps {
         .select(col("v").as("qv"), col("nrm").as("qnrm")))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(q)
-        .withColumn("cos",
-          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm")))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(TopK)
         .select(col("vec_id"), round(col("cos"), 4).as("cosine"))
@@ -170,7 +170,7 @@ object SimilarityOps {
       val withBucket = e.withColumn("bucket",
         (0 until NumPlanes).map { p =>
           when(aggregate(zip_with(col("v"), planeSpark(p), (x, w) => x * w),
-            lit(0.0), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+            lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(0L)
         }.reduce(_ + _))
       val q = broadcast(withBucket.filter(col("vec_id") < NumQueries).as("a"))
       val scored = q
