@@ -1,0 +1,141 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.game.{GameEvent, GameFold}
+
+/** ScalaCheck properties (SURVEY §5): cell-code algebra, fold guards as
+  * invariants over arbitrary event streams, per-room interleave invariance,
+  * flame-ray geometry. All exercise the real engine fold (RoomState), not
+  * re-implementations.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // ---- C1/C2/C3: cell-code algebra (the column encodings mirror this) ----
+
+  property("cell encode/decode roundtrip, all 750 cells") =
+    forAll(Gen.choose(0, 749)) { c =>
+      val (x, y) = (c % 30, c / 30)
+      y * 30 + x == c && x >= 0 && x < 30 && y >= 0 && y < 25
+    }
+
+  property("signed +1-shift code involution") =
+    forAll(Gen.choose(0, 749), Gen.oneOf(true, false)) { (c, destructible) =>
+      val code = if (destructible) -(c + 1) else c + 1
+      math.abs(code) - 1 == c && (code < 0) == destructible
+    }
+
+  // ---- fold generators --------------------------------------------------
+
+  private val names = Gen.oneOf("A", "B", "C")
+  private val bombNames = Gen.oneOf("A-b1", "A-b2", "B-b1", "random-x1")
+  private val eventTypes = Gen.oneOf(
+    "UserMoveEvent", "UserDeadEvent", "UserReviveEvent", "UserJoinEvent",
+    "SetBombEvent", "ExplodeEvent", "UndoExplodeEvent", "BombMoveEvent",
+    "UpdateMapEvent")
+
+  private def genEvent(room: String, seq: Long): Gen[GameEvent] = for {
+    tpe <- eventTypes
+    name <- names
+    bomb <- bombNames
+    x <- Gen.choose(0, 29)
+    y <- Gen.choose(0, 24)
+    listLen <- Gen.choose(0, 15)
+    cells <- Gen.listOfN(listLen, Gen.choose(0, 749))
+    signs <- Gen.listOfN(listLen, Gen.oneOf(true, false))
+  } yield {
+    val list = cells.zip(signs).map { case (c, s) => if (s) -(c + 1) else c + 1 }
+    GameEvent(room, seq, tpe, name, bomb, "", x, y, alive = true, list)
+  }
+
+  private def genEvents(room: String, n: Int): Gen[List[GameEvent]] =
+    Gen.sequence[List[GameEvent], GameEvent](
+      (1 to n).map(i => genEvent(room, i.toLong)))
+
+  private val smallLog = Gen.choose(0, 60).flatMap(n => genEvents("r1", n))
+
+  // ---- fold invariants (the reference guards, as properties) ------------
+
+  property("fold: players never end up out of bounds or on obstacles") =
+    forAll(smallLog) { evs =>
+      val st = new GameFold.RoomState("r1")
+      evs.foreach(st.apply)
+      st.players.values.forall(p =>
+        p.x >= 0 && p.x < 30 && p.y >= 0 && p.y < 25)
+    }
+
+  property("fold: SetBomb onto an obstacle cell is a no-op") =
+    forAll(Gen.choose(0, 29), Gen.choose(0, 24)) { (x, y) =>
+      val st = new GameFold.RoomState("r")
+      val code = y * 30 + x + 1 // indestructible at (x,y)
+      st.apply(GameEvent("r", 1, "UpdateMapEvent", "", "", "", 0, 0, true, Seq(code)))
+      st.apply(GameEvent("r", 2, "SetBombEvent", "", "b-1", "", x, y, true, Nil))
+      st.bombs.isEmpty
+    }
+
+  property("fold: flame cells are always in bounds") =
+    forAll(smallLog) { evs =>
+      val st = new GameFold.RoomState("r1")
+      evs.foreach(st.apply)
+      st.flames.keys.forall { case (x, y) =>
+        x >= 0 && x < 30 && y >= 0 && y < 25 }
+    }
+
+  property("fold: event count and last seq are exact") =
+    forAll(smallLog) { evs =>
+      val st = new GameFold.RoomState("r1")
+      evs.foreach(st.apply)
+      st.nEvents == evs.size &&
+        (evs.isEmpty || st.lastSeq == evs.map(_.seq).max)
+    }
+
+  property("fold: cross-room interleave never changes per-room result") =
+    forAll(
+      Gen.choose(1, 40).flatMap(n => genEvents("r1", n)),
+      Gen.choose(1, 40).flatMap(n => genEvents("r2", n)),
+      Gen.long) { (r1, r2, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // random merge preserving each room's relative order
+      def merge(a: List[GameEvent], b: List[GameEvent]): List[GameEvent] =
+        (a, b) match {
+          case (Nil, ys) => ys
+          case (xs, Nil) => xs
+          case (x :: xs, y :: ys) =>
+            if (rnd.nextBoolean()) x :: merge(xs, y :: ys)
+            else y :: merge(x :: xs, ys)
+        }
+      val separate = GameFold.foldLocal(r1) ++ GameFold.foldLocal(r2)
+      val together = GameFold.foldLocal(merge(r1, r2))
+      together.sortBy(_.room) == separate.sortBy(_.room)
+    }
+
+  property("fold: replay of the same log is deterministic") =
+    forAll(smallLog) { evs =>
+      GameFold.foldLocal(evs) == GameFold.foldLocal(evs)
+    }
+
+  // ---- G1 flame geometry ------------------------------------------------
+
+  property("explode: each direction lights a contiguous prefix of ≤6 cells") =
+    forAll(Gen.choose(0, 29), Gen.choose(0, 24),
+      Gen.listOf(Gen.choose(0, 749)), Gen.oneOf(true, false)) {
+      (bx, by, obstacleCells, destr) =>
+        val st = new GameFold.RoomState("r")
+        val bombCell = by * 30 + bx
+        val list = obstacleCells.distinct.filter(_ != bombCell)
+          .map(c => if (destr) -(c + 1) else c + 1)
+        st.apply(GameEvent("r", 1, "UpdateMapEvent", "", "", "", 0, 0, true, list))
+        st.apply(GameEvent("r", 2, "SetBombEvent", "", "b-1", "", bx, by, true, Nil))
+        st.apply(GameEvent("r", 3, "ExplodeEvent", "", "b-1", "", 0, 0, true, Nil))
+        if (st.obstacles.contains((bx, by))) true // bomb placement was rejected
+        else {
+          val dirs = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+          dirs.forall { case (dx, dy) =>
+            val lit = (1 to 6).map(d => (bx + dx * d, by + dy * d))
+              .map(st.flames.contains)
+            // contiguous prefix: once unlit, never lit again
+            !lit.zip(lit.tail).exists { case (a, b) => !a && b }
+          } && st.flames.contains((bx, by))
+        }
+    }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan assertions (the scale contract): predicates reach the
+  * parquet scan, dimension joins broadcast, top-k avoids global sorts,
+  * compaction avoids windows. These pin the plans we designed for — a
+  * regression here is a 100× problem at 100 TB even if results stay right.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(q: GQuery): String =
+    q.run(spark, smokeDir).queryExecution.executedPlan.toString
+
+  test("filter_event_type pushes the predicate into the parquet scan") {
+    val p = plan(EventOps.filterEventType)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q1_agg prunes the scan to the six referenced columns") {
+    val p = plan(RelationalOps.q1Agg)
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      s"scan reads unused columns:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed:\n$p")
+  }
+
+  test("join_broadcast builds broadcast joins for both dimension sides") {
+    val p = plan(RelationalOps.joinBroadcast)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti") {
+    assert(plan(RelationalOps.joinSemi).contains("LeftSemi"))
+    assert(plan(RelationalOps.joinAnti).contains("LeftAnti"))
+  }
+
+  test("topk_global_rank plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(EventOps.topkGlobalRank)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("tableview_last_per_key is a hash aggregate, not a window sort") {
+    val p = plan(EventOps.tableviewLastPerKey)
+    assert(!p.contains("Window"), s"compaction degraded to window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected hash aggregate:\n$p")
+  }
+
+  test("q1_agg performs map-side partial aggregation") {
+    val p = plan(RelationalOps.q1Agg)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregates:\n$p")
+  }
+
+  test("offset_tail_read pushes the seq predicate to the scan") {
+    val p = plan(EventOps.offsetTailRead)
+    assert(p.contains("GreaterThan(event_id,9000)"),
+      s"offset predicate not pushed:\n$p")
+  }
+}
