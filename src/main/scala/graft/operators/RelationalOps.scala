@@ -211,7 +211,27 @@ object RelationalOps {
         |) t ON p.p_type = t.p_type
         |WHERE p_retailprice > type_avg""".stripMargin))
 
+  /** Skew pattern: two-stage salted aggregation. The events table has only 5
+    * event_type values — at 100 TB each key is a hot partition. Stage 1
+    * spreads each key over 16 salt buckets (map-side + 80-group shuffle);
+    * stage 2 merges the 80 partials. Results are identical to the direct
+    * group-by (the oracle), but no single reducer ever sees a whole key.
+    */
+  val aggSaltedSkew = GQuery(
+    "agg_salted_skew",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", col("event_id") % 16)
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value")),
+    oracle = Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
-    aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg)
+    aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
+    aggSaltedSkew)
 }
