@@ -365,9 +365,80 @@ object EventOps {
          |       room, count(*) AS n
          |FROM game GROUP BY bucket, room""".stripMargin))
 
+  /** Sessionization: session_window(ts, 30 min) per victim — the gap-based
+    * session assignment a training pipeline uses to segment event streams.
+    * Oracle reconstructs identical sessions with the lag+cumulative-sum
+    * encoding (session = maximal run of events with gaps < 30 min; end =
+    * last ts + gap, matching Spark's session_window semantics).
+    */
+  val windowSession = GQuery(
+    "window_session",
+    (s, d) =>
+      gameView(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("victim"), col("n"), col("sum_value")),
+    oracle = Some(
+      s"""$GameCte,
+         |marked AS (
+         |  SELECT victim, ts, value,
+         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY victim ORDER BY ts, seq)
+         |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM game),
+         |sess AS (
+         |  SELECT victim, ts, value,
+         |         sum(brk) OVER (PARTITION BY victim ORDER BY ts
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+         |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+         |       victim, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM sess GROUP BY victim, sid""".stripMargin))
+
+  /** Frame-spec window: per-room running event count + value sum in log
+    * order (rowsBetween unbounded-preceding..current) — the "state so far at
+    * seq" view of the fold.
+    */
+  val windowRunningSum = GQuery(
+    "window_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("room")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gameView(s, d)
+        .select(col("room"), col("seq"),
+          count(lit(1)).over(w).as("n_so_far"),
+          round(sum(col("value")).over(w), 2).as("sum_so_far"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, seq,
+         |       count(*) OVER (PARTITION BY room ORDER BY seq
+         |                      ROWS UNBOUNDED PRECEDING) AS n_so_far,
+         |       round(sum(value) OVER (PARTITION BY room ORDER BY seq
+         |                      ROWS UNBOUNDED PRECEDING), 2) AS sum_so_far
+         |FROM game""".stripMargin))
+
+  /** Rollup: event counts at (room, event_type), (room), and grand-total
+    * grain in one pass — the multi-grain scoreboard rollup.
+    */
+  val aggRollup = GQuery(
+    "agg_rollup",
+    (s, d) =>
+      gameView(s, d)
+        .rollup(col("room"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, event_type, count(*) AS n FROM game
+         |GROUP BY ROLLUP (room, event_type)""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
-    timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount)
+    timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
+    windowSession, windowRunningSum, aggRollup)
 }
