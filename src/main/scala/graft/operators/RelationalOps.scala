@@ -230,8 +230,51 @@ object RelationalOps {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin))
 
+  /** W5 completion: intersect — customers that are both MACHINERY-segment
+    * and big spenders (set semantics, dedup included).
+    */
+  val setopIntersect = GQuery(
+    "setop_intersect",
+    (s, d) => {
+      val machinery = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("k"))
+      machinery.intersect(bigSpenders)
+    },
+    oracle = Some(
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0""".stripMargin))
+
+  /** Pivot: per-user event-type count matrix — one row per user, one column
+    * per event type (fixed column list so the plan is a single pass, no
+    * distinct-values pre-query).
+    */
+  val aggPivot = GQuery(
+    "agg_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error")),
+    oracle = Some(
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS n_click,
+        |       count(*) FILTER (event_type = 'view') AS n_view,
+        |       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
-    aggSaltedSkew)
+    aggSaltedSkew, setopIntersect, aggPivot)
 }
