@@ -435,10 +435,41 @@ object EventOps {
          |SELECT room, event_type, count(*) AS n FROM game
          |GROUP BY ROLLUP (room, event_type)""".stripMargin))
 
+  /** Per-room top-3 killers via the custom TypedImperativeAggregate
+    * (graft_topk): bounded heaps merge map-side, so only k rows per group
+    * cross the shuffle — vs. the window encoding (the oracle) which sorts
+    * and shuffles every row. Deterministic tie-break (score DESC, key ASC)
+    * makes the two encodings value-identical.
+    */
+  val topkPerRoomAgg = GQuery(
+    "topk_per_room_agg",
+    (s, d) => {
+      graft.functions.TopKAggregate.ensureRegistered(s)
+      deaths(s, d)
+        .groupBy("room", "killer").agg(count(lit(1)).as("kills"))
+        .groupBy("room")
+        .agg(expr("graft_topk(kills, killer, 3)").as("top"))
+        .select(col("room"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("room"), (col("pos") + 1).cast("long").as("rank"),
+          col("entry.key").as("killer"), col("entry.score").as("kills"))
+    },
+    oracle = Some(
+      s"""$GameCte,
+         |counts AS (
+         |  SELECT room, killer, count(*) AS kills FROM game
+         |  WHERE event_type = 'error' AND victim <> killer
+         |  GROUP BY room, killer)
+         |SELECT room, CAST(rank AS BIGINT) AS rank, killer, kills FROM (
+         |  SELECT room, killer, kills,
+         |         row_number() OVER (PARTITION BY room
+         |                            ORDER BY kills DESC, killer) AS rank
+         |  FROM counts)
+         |WHERE rank <= 3""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
-    windowSession, windowRunningSum, aggRollup)
+    windowSession, windowRunningSum, aggRollup, topkPerRoomAgg)
 }
