@@ -466,10 +466,41 @@ object EventOps {
          |  FROM counts)
          |WHERE rank <= 3""".stripMargin))
 
+  /** As-of join — a join class the reference lacks (SURVEY §2.3 "absent"):
+    * each death event joined to the most recent map-update at or before it
+    * in the same room ("what did the map look like when X died"). Composed
+    * scale-friendly as union+running-max — ONE shuffle on room, no per-row
+    * subquery, no range-join explosion; both engines use the identical
+    * window encoding so it is exactly oracle-checkable.
+    */
+  val joinAsofLastMap = GQuery(
+    "join_asof_last_map",
+    (s, d) => {
+      val g = gameView(s, d)
+      val w = Window.partitionBy(col("room")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("room"), col("seq"), col("event_type"), col("victim"))
+        .withColumn("last_map_seq",
+          max(when(col("event_type") === "view", col("seq"))).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("room"), col("seq").as("death_seq"), col("victim"),
+          col("last_map_seq"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, seq AS death_seq, victim, last_map_seq FROM (
+         |  SELECT room, seq, event_type, victim,
+         |         max(CASE WHEN event_type = 'view' THEN seq END)
+         |           OVER (PARTITION BY room ORDER BY seq
+         |                 ROWS UNBOUNDED PRECEDING) AS last_map_seq
+         |  FROM game)
+         |WHERE event_type = 'error'""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
-    windowSession, windowRunningSum, aggRollup, topkPerRoomAgg)
+    windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
+    joinAsofLastMap)
 }

@@ -161,7 +161,29 @@ object TextOps {
         |       CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents""".stripMargin))
 
+  /** Text normalization: lowercase → strip non-alphanumerics → squeeze
+    * whitespace — the canonical cleaning pass before dedup/tokenization.
+    * (DuckDB regexp_replace needs the 'g' flag; Spark replaces all by
+    * default.)
+    */
+  val textNormalize = GQuery(
+    "text_normalize",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm"))
+        .withColumn("n_norm_chars", length(col("norm")).cast("long")),
+    oracle = Some(
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |            ' +', ' ', 'g')) AS norm,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |            ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+        |FROM documents""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
-    textBpeTokenCount, textFingerprint)
+    textBpeTokenCount, textFingerprint, textNormalize)
 }

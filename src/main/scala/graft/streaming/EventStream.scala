@@ -125,6 +125,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: dropDuplicates keyed on event_id with a
+    * watermark bounding state retention — the unbounded-stream counterpart
+    * of DedupOps.dedupExact (state is evicted once the watermark passes,
+    * so memory is bounded by the lateness window, not the stream length).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   // ---- sinks ------------------------------------------------------------
 
   /** ST6/S7: effectively-once KV sink — overwrite-by-key parquet "store"

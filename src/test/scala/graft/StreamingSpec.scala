@@ -79,6 +79,25 @@ class StreamingSpec extends SparkSuite {
       s"expected TTL-derived undo events within deadline, got $undone")
   }
 
+  test("streaming dropDuplicates removes duplicate event_ids under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupedEvents(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0, "click"), (2L, t0, "view"), (1L, t0, "click"))
+    q.processAllAvailable()
+    input.addData((2L, t0, "view"), (3L, t0, "error")) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("effectively-once KV sink: overwrite-by-key parquet store") {
     val kvDir = java.nio.file.Files.createTempDirectory("kv").toString + "/store"
     val ckDir = java.nio.file.Files.createTempDirectory("ck").toString
