@@ -19,34 +19,50 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
-  /** graft_dot(a, b): Σ a[i]·b[i] over two array<double> columns
-    * (sequential order — matches aggregate(zip_with(a,b,*), 0d, +)).
+  /** graft_dot(a, b): Σ a[i]·b[i] over two array<double> columns.
+    * Null semantics match `aggregate(zip_with(a,b,*), 0d, +)` EXACTLY
+    * (sequential order; unequal lengths or a null element ⇒ null, because
+    * zip_with pads with nulls and null poisons the sum) — which makes the
+    * [[RewriteDotProduct]] optimizer rule a sound rewrite.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double graft_acc = 0.0;
-           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-           |  graft_acc += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+           |int graft_n = $a.numElements();
+           |if ($b.numElements() != graft_n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double graft_acc = 0.0;
+           |  for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+           |    if ($a.isNullAt(graft_i) || $b.isNullAt(graft_i)) {
+           |      ${ev.isNull} = true; break;
+           |    }
+           |    graft_acc += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+           |  }
+           |  ${ev.value} = graft_acc;
            |}
-           |${ev.value} = graft_acc;
            |""".stripMargin)
 
     override protected def withNewChildrenInternal(
@@ -110,15 +126,59 @@ object VectorExpressions {
     }
 }
 
+/** Optimizer rule: rewrite the declarative HOF dot-product idiom
+  *   aggregate(zip_with(x, y, (a,b) -> a*b), 0d, (acc,v) -> acc+v)
+  * into the native codegen [[VectorExpressions.DotProduct]]. Users keep
+  * writing portable `functions._` code; the plan gets the primitive loop.
+  * Sound because DotProduct reproduces the HOF's null/length semantics.
+  */
+object RewriteDotProduct
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case n: NamedLambdaVariable => n.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+            ZipWith(l, r, LambdaFunction(m: Multiply, Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            LambdaFunction(fin, Seq(res: NamedLambdaVariable), _))
+          if (l.dataType match {
+              case ArrayType(DoubleType, _) => true; case _ => false
+            }) &&
+            (r.dataType match {
+              case ArrayType(DoubleType, _) => true; case _ => false
+            }) &&
+            ((isVar(m.left, a) && isVar(m.right, b)) ||
+              (isVar(m.left, b) && isVar(m.right, a))) &&
+            ((isVar(add.left, acc) && isVar(add.right, v)) ||
+              (isVar(add.left, v) && isVar(add.right, acc))) &&
+            isVar(fin, res) =>
+        VectorExpressions.DotProduct(l, r)
+    }
+}
+
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects the
-  * native functions into every session of a cluster deployment.
+  * native functions and the HOF-rewrite rule into every session of a
+  * cluster deployment. For an existing session, use
+  * `spark.experimental.extraOptimizations :+= RewriteDotProduct` plus
+  * [[VectorExpressions.ensureRegistered]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.registrations.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new ExpressionInfo("graft.functions.VectorExpressions", name),
           builder))
     }
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }

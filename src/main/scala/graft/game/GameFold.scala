@@ -175,16 +175,7 @@ object GameFold {
     * summary per room, holding only the current room's state.
     */
   def foldPartition(it: Iterator[GameEvent]): Iterator[RoomSummary] =
-    new Iterator[RoomSummary] {
-      private val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): RoomSummary = {
-        val state = new RoomState(buf.head.room)
-        while (buf.hasNext && buf.head.room == state.room)
-          state.apply(buf.next())
-        state.summary
-      }
-    }
+    foldPartitionStates(it).map(_.summary)
 
   /** Reference single-threaded fold — used by tests to cross-check the
     * distributed plumbing (partitioning + in-partition sort).
@@ -207,6 +198,43 @@ object GameFold {
       .sortWithinPartitions(col("room"), col("seq"))
       .mapPartitions(foldPartition)
   }
+
+  /** Per-player final state row — the SQL-projectable slice of the folded
+    * state (alive status is reconstructible relationally, which gives the
+    * fold an exact DuckDB oracle; positions stay fold-only because the
+    * movement guards are not SQL-expressible).
+    */
+  final case class PlayerRow(
+      room: String, name: String, x: Int, y: Int, alive: Boolean)
+
+  /** Same execution shape as [[summarize]], emitting per-player rows. */
+  def playerStates(events: Dataset[GameEvent]): Dataset[PlayerRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("room"))
+      .sortWithinPartitions(col("room"), col("seq"))
+      .mapPartitions { it =>
+        foldPartitionStates(it).flatMap { st =>
+          st.players.iterator.map { case (name, p) =>
+            PlayerRow(st.room, name, p.x, p.y, p.alive)
+          }
+        }
+      }
+  }
+
+  /** Streaming per-room fold yielding the full state object per room. */
+  def foldPartitionStates(it: Iterator[GameEvent]): Iterator[RoomState] =
+    new Iterator[RoomState] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): RoomState = {
+        val state = new RoomState(buf.head.room)
+        while (buf.hasNext && buf.head.room == state.room)
+          state.apply(buf.next())
+        state
+      }
+    }
 }
 
 /** Deterministic game-event log derived from the driver `events` table —
