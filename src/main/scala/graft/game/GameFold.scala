@@ -263,12 +263,8 @@ object GameLog {
     val uy = ((col("user_id") * 7) % 25).cast("int")
     val owner = concat(lit("u"), col("user_id"))
     val bombName = concat(lit("u"), k % 30, lit("-b"), cell % 20)
-    val mapList = filter(sequence(lit(0), lit(749)),
-      c => c % 7 === (col("event_id") % 7).cast("int"))
-    val signedList = transform(mapList,
-      c => when(c % 2 === 0, -(c + 1)).otherwise(c + 1))
 
-    e.select(
+    def base(listCol: org.apache.spark.sql.Column) = Seq(
       concat(lit("room"), col("user_id") % 8).as("room"),
       col("event_id").as("seq"),
       when(col("event_type") === "signup", "UserJoinEvent")
@@ -291,10 +287,24 @@ object GameLog {
       when(col("event_type") === "click",
         greatest(lit(0), least(lit(24), uy + when(k % 4 === 2, 1)
           .when(k % 4 === 3, -1).otherwise(0))))
-        .otherwise((cell / lit(30)).cast("int").cast("int")).as("y"),
+        .otherwise((cell / lit(30)).cast("int")).as("y"),
       lit(true).as("alive"),
-      when(col("event_type") === "view" && k % 5 === 0, signedList)
-        .otherwise(array().cast("array<int>")).as("list"))
-      .as[GameEvent]
+      listCol.as("list"))
+
+    // Split instead of when-guarding the list HOFs: a CASE WHEN around
+    // transform/filter forces the whole projection onto the interpreted
+    // slow path for EVERY row (see DedupOps.shingleRows note); here the
+    // ~2% map-update rows compute their 750-cell list in their own
+    // guard-free branch and the union is shuffle-free.
+    val isMapUpdate = col("event_type") === "view" && k % 5 === 0
+    val mapList = filter(sequence(lit(0), lit(749)),
+      c => c % 7 === (col("event_id") % 7).cast("int"))
+    val signedList = transform(mapList,
+      c => when(c % 2 === 0, -(c + 1)).otherwise(c + 1))
+
+    val mapRows = e.filter(isMapUpdate).select(base(signedList): _*)
+    val otherRows = e.filter(!isMapUpdate)
+      .select(base(array().cast("array<int>")): _*)
+    mapRows.unionByName(otherRows).as[GameEvent]
   }
 }
