@@ -496,11 +496,42 @@ object EventOps {
          |  FROM game)
          |WHERE event_type = 'error'""".stripMargin))
 
+  /** lag/lead: per-room inter-event value delta in log order. */
+  val windowLagDelta = GQuery(
+    "window_lag_delta",
+    (s, d) => {
+      val w = Window.partitionBy(col("room")).orderBy(col("seq"))
+      gameView(s, d)
+        .select(col("room"), col("seq"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .withColumn("delta", round(col("value") - col("prev_value"), 2))
+        .select(col("room"), col("seq"), round(col("value"), 2).as("value"),
+          round(col("prev_value"), 2).as("prev_value"), col("delta"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, seq, round(value, 2) AS value,
+         |       round(lag(value, 1) OVER (PARTITION BY room ORDER BY seq), 2) AS prev_value,
+         |       round(value - lag(value, 1) OVER (PARTITION BY room ORDER BY seq), 2) AS delta
+         |FROM game""".stripMargin))
+
+  /** cube: all four grains of (room, event_type) counts in one pass. */
+  val aggCube = GQuery(
+    "agg_cube",
+    (s, d) =>
+      gameView(s, d)
+        .cube(col("room"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, event_type, count(*) AS n FROM game
+         |GROUP BY CUBE (room, event_type)""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
-    joinAsofLastMap)
+    joinAsofLastMap, windowLagDelta, aggCube)
 }

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util
+import scala.collection.JavaConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 table generating a deterministic multi-room game-event log
+  * — the engine-native stand-in for the reference's per-room topics plus its
+  * random event generator (ST4, game.go:332-357), with the broker's ordering
+  * contract built in: one input partition PER ROOM, rows emitted in seq
+  * order within the partition (pulsar.go:90-92,133-138).
+  *
+  *   spark.read.format("graft.sources.GameEventsProvider")
+  *     .option("rooms", 8).option("eventsPerRoom", 1000).option("seed", 42)
+  *     .load()
+  *
+  * Generation is a per-room LCG, so any (rooms, eventsPerRoom, seed) triple
+  * is reproducible on every executor independently — no driver-side data
+  * movement, arbitrarily large logs, and the room-partitioned layout means
+  * a per-room fold needs no further shuffle at the source boundary.
+  */
+class GameEventsProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GameEventsSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GameEventsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GameEventsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("room", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("bomb_name", StringType, nullable = false),
+    StructField("comment", StringType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("alive", BooleanType, nullable = false)))
+
+  val EventTypes: Array[String] = Array(
+    "UserJoinEvent", "UserMoveEvent", "SetBombEvent", "ExplodeEvent",
+    "UndoExplodeEvent", "BombMoveEvent", "UserDeadEvent", "UserReviveEvent",
+    "UpdateMapEvent")
+}
+
+class GameEventsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val rooms = options.getInt("rooms", 4)
+  private val eventsPerRoom = options.getLong("eventsPerRoom", 1000L)
+  private val seed = options.getLong("seed", 42L)
+
+  override def name(): String = s"graft_events(rooms=$rooms, n=$eventsPerRoom)"
+  override def schema(): StructType = GameEventsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GameEventsScan(rooms, eventsPerRoom, seed)
+}
+
+final case class RoomPartition(room: Int, n: Long, seed: Long)
+    extends InputPartition
+
+class GameEventsScan(rooms: Int, eventsPerRoom: Long, seed: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = GameEventsSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String = "graft deterministic game-event log"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until rooms).map(r =>
+      RoomPartition(r, eventsPerRoom, seed): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val rp = p.asInstanceOf[RoomPartition]
+      new GameEventsReader(rp.room, rp.n, rp.seed)
+    }
+}
+
+/** Per-room deterministic generator: LCG (numerical-recipes constants)
+  * seeded by (seed, room); emits rows in strictly increasing seq order.
+  */
+class GameEventsReader(room: Int, n: Long, seed: Long)
+    extends PartitionReader[InternalRow] {
+
+  private var state: Long = seed * 6364136223846793005L + room * 1442695040888963407L
+  private var i: Long = -1L
+
+  private def nextRand(): Long = {
+    state = state * 6364136223846793005L + 1442695040888963407L
+    state >>> 16
+  }
+
+  override def next(): Boolean = { i += 1; i < n }
+
+  override def get(): InternalRow = {
+    val r = nextRand()
+    val tpe =
+      if (i < 3) "UserJoinEvent" // every room starts with joins
+      else GameEventsSource.EventTypes((r % 9).toInt)
+    val player = (r / 9) % 6
+    val cell = (r / 64) % 750
+    val bombId = (r / 13) % 24
+    InternalRow(
+      UTF8String.fromString(s"room$room"),
+      i,
+      UTF8String.fromString(tpe),
+      UTF8String.fromString(s"p$player"),
+      UTF8String.fromString(s"p${bombId % 6}-b${bombId / 6}"),
+      UTF8String.fromString(s"p${(player + 1) % 6}"),
+      (cell % 30).toInt,
+      (cell / 30).toInt,
+      true)
+  }
+
+  override def close(): Unit = ()
+}
