@@ -199,6 +199,18 @@ object GameFold {
       .mapPartitions(foldPartition)
   }
 
+  /** Fold WITHOUT the repartition+sort, for inputs that already satisfy the
+    * layout contract (rooms contiguous per partition, seq-sorted) — e.g. the
+    * DSV2 source (one partition per room, in-order) or a bucketed+sorted
+    * table. At 100 TB this removes the only shuffle in the replay path;
+    * the caller owns the contract (asserted in tests against [[summarize]]).
+    */
+  def summarizePresorted(events: Dataset[GameEvent]): Dataset[RoomSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.mapPartitions(foldPartition)
+  }
+
   /** Per-player final state row — the SQL-projectable slice of the folded
     * state (alive status is reconstructible relationally, which gives the
     * fold an exact DuckDB oracle; positions stay fold-only because the

@@ -273,8 +273,27 @@ object RelationalOps {
         |       count(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin))
 
+  /** Exact interpolated percentiles per return flag (Spark `percentile` and
+    * DuckDB `quantile_cont` share the continuous-interpolation definition).
+    */
+  val aggPercentiles = GQuery(
+    "agg_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price")),
+    oracle = Some(
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
-    aggSaltedSkew, setopIntersect, aggPivot)
+    aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles)
 }

@@ -183,7 +183,34 @@ object TextOps {
         |            ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
         |FROM documents""".stripMargin))
 
+  /** Top-20 bigrams corpus-wide (deterministic tiebreak) — the n-gram
+    * frequency profile used for corpus fingerprinting / contamination scans.
+    */
+  val textTopBigrams = GQuery(
+    "text_top_bigrams",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(filter_exprs(split(col("text"), " ")).as("t"))
+        .filter(size(col("t")) >= 2)
+      toks
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20)
+    },
+    oracle = Some(
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 2)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
-    textBpeTokenCount, textFingerprint, textNormalize)
+    textBpeTokenCount, textFingerprint, textNormalize, textTopBigrams)
 }

@@ -69,13 +69,27 @@ class GameEventsTable(options: CaseInsensitiveStringMap)
 }
 
 final case class RoomPartition(room: Int, n: Long, seed: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(s"room$room"))
+}
 
 class GameEventsScan(rooms: Int, eventsPerRoom: Long, seed: Long)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = GameEventsSource.Schema
   override def toBatch: Batch = this
   override def description(): String = "graft deterministic game-event log"
+
+  /** Advertise key-grouped layout on `room`: with
+    * spark.sql.sources.v2.bucketing.enabled=true, per-room aggregation and
+    * the fold need NO shuffle — the broker's room-topic co-location carried
+    * through to the physical plan.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("room")),
+      rooms)
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until rooms).map(r =>

@@ -53,6 +53,31 @@ class GameEventsSourceSpec extends SparkSuite {
     assert(summaries.forall(_.n_players > 0))
   }
 
+  test("reported key-grouped partitioning eliminates the groupBy shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = log(rooms = 6, n = 100)
+        .groupBy("room").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy(room) still shuffles despite reported partitioning:\n$plan")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        .values.forall(_ === 100L))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("presorted fold on the source == shuffling fold, with zero exchanges") {
+    import spark.implicits._
+    val events = log(rooms = 4, n = 300)
+      .withColumn("list", array().cast("array<int>"))
+      .as[GameEvent]
+    val fast = GameFold.summarizePresorted(events)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"presorted fold still shuffles:\n$plan")
+    assert(fast.collect().sortBy(_.room).toSeq ===
+      GameFold.summarize(events).collect().sortBy(_.room).toSeq)
+  }
+
   test("predicates and projections apply on top of the source") {
     val df = log(rooms = 4, n = 300)
       .filter(col("room") === "room2")
