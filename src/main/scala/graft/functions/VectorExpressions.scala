@@ -70,42 +70,40 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** graft_polyhash(s): Σ_{i<min(len,8)} byte(s,i)·131^i mod 2^31−1 — the
-    * token key used by the minhash/simhash signatures (DedupOps). Byte-level
-    * == code-point-level for the ASCII corpus, matching
-    * ascii(substring(s,i,1)) in the oracle.
+  /** graft_polyhash(s): base-131 rolling hash over ALL bytes mod 2^31−1
+    * (acc ← (acc·131 + byte) mod p) — the token/shingle key used by the
+    * minhash/simhash signatures (DedupOps). Full-length hashing keeps the
+    * collision rate at ~2⁻³¹ so jaccard over hashed shingle sets tracks
+    * string jaccard. Byte-level == code-point-level for the ASCII corpus,
+    * matching the oracle's ascii(substr) fold.
     */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
 
     private val Mod = 2147483647L
-    private val Pow: Array[Long] = Array(1L, 131L, 17161L, 2248091L,
-      294499921L, 38579489651L, 5053913144281L, 662062621500811L)
 
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String]
-      val n = math.min(s.numBytes(), 8)
+      val n = s.numBytes()
       var acc = 0L
       var i = 0
-      while (i < n) { acc += (s.getByte(i) & 0xffL) * Pow(i); i += 1 }
-      acc % Mod
+      while (i < n) { acc = (acc * 131 + (s.getByte(i) & 0xffL)) % Mod; i += 1 }
+      acc
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val pows = ctx.addReferenceObj("graftPows", Pow, "long[]")
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, s =>
         s"""
-           |int graft_n = java.lang.Math.min($s.numBytes(), 8);
+           |int graft_n = $s.numBytes();
            |long graft_acc = 0L;
            |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-           |  graft_acc += (($s.getByte(graft_i)) & 0xffL) * $pows[graft_i];
+           |  graft_acc = (graft_acc * 131L + (($s.getByte(graft_i)) & 0xffL)) % ${Mod}L;
            |}
-           |${ev.value} = graft_acc % ${Mod}L;
+           |${ev.value} = graft_acc;
            |""".stripMargin)
-    }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -36,16 +36,17 @@ object DedupOps {
   val SimhashMaxDist = 3
   val CosineThreshold = 0.4
 
-  /** Polynomial hash of the first ≤8 chars of a token — the native codegen
-    * expression (graft.functions.VectorExpressions.PolyHash); identical
-    * arithmetic to the HOF encoding `aggregate(sequence(...), ascii·131^i) %
-    * (2^31−1)` and to [[tkDuck]].
+  /** Full-length base-131 rolling hash of a token/shingle — the native
+    * codegen expression (graft.functions.VectorExpressions.PolyHash);
+    * [[tkDuck]] is the bit-identical DuckDB fold.
     */
   private def tkSpark(c: String): String = s"graft_polyhash($c)"
 
   private def tkDuck(c: String): String =
-    s"list_sum(list_transform(generate_series(1, least(length($c), 8)), " +
-      s"i -> ascii(substr($c, i, 1)) * ([${Pow131.mkString(",")}])[i])) % $P"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($c)), " +
+      s"i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 131 + x) % $P)"
 
   /** doc_id → exploded distinct 3-gram shingles (one row per shingle).
     *
@@ -115,6 +116,34 @@ object DedupOps {
         |      FROM documents)
         |GROUP BY source""".stripMargin))
 
+  /** Per-doc minhash signature computed ROW-LOCALLY: mh_j = min over the
+    * doc's distinct shingles of h_j(polyhash(shingle)). A per-doc minimum
+    * needs no explode and no shuffle — the signature stage is a pure
+    * projection; only banding and verification join. (The previous encoding
+    * exploded 500k shingle rows through a 16-min hash aggregate.)
+    */
+  /** doc_id → distinct hashed-shingle array (row-local, no shuffle). */
+  private def hashedShingleArrays(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> graft_polyhash(concat_ws(' ', element_at(t, i), " +
+          "element_at(t, i + 1), element_at(t, i + 2)))))")
+          .as("tks"))
+  }
+
+  private def rowLocalSignatures(tks: DataFrame): DataFrame = {
+    val mhCols = (0 until NumHashes).map(j =>
+      array_min(transform(col("tks"),
+        t => (t * HashA(j) + HashB(j)) % P)).as(s"mh$j"))
+    tks.select(col("doc_id") +: mhCols: _*)
+  }
+
   /** MinHash signatures (16 permutations) + banded LSH (4 bands × 4) +
     * exact-Jaccard verification of candidates only — the scale path for
     * near-dup detection. Finds the corpus's 25 planted near-dup pairs.
@@ -122,13 +151,9 @@ object DedupOps {
   val dedupMinhashLsh = GQuery(
     "dedup_minhash_lsh",
     (s, d) => {
-      val sh = shingleRows(s, d)
-      val keyed = sh.withColumn("tk", expr(tkSpark("sh")))
-      val minCols = (0 until NumHashes).map(j =>
-        min((col("tk") * HashA(j) + HashB(j)) % P).as(s"mh$j"))
-      // tiny (1 row/doc) but feeds both sides of the band self-join
-      val sig = keyed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        .localCheckpoint()
+      // one materialization feeds signatures AND verification
+      val tks = hashedShingleArrays(s, d).localCheckpoint()
+      val sig = rowLocalSignatures(tks)
       val bandCols = (0 until NumBands).map(b =>
         concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
       val bands = sig.select(col("doc_id"),
@@ -139,7 +164,16 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(sh, cand)
+      // verification on hashed-shingle sets: candidates only, array ops —
+      // the exploded shingle join never materializes
+      cand
+        .join(tks.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
+        .join(tks.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
+        .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("j",
+          col("ni") * 1.0 / (size(col("ta")) + size(col("tb")) - col("ni")))
+        .filter(col("j") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
     },
     oracle = Some {
       val mins = (0 until NumHashes)
@@ -150,7 +184,9 @@ object DedupOps {
           .mkString(" || '-' || "))
         .mkString("[", ", ", "]")
       s"""$ShingleCte,
-         |sig AS (SELECT doc_id, $mins FROM keyed GROUP BY doc_id),
+         |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
+         |tksizes AS (SELECT doc_id, count(*) AS n FROM tkset GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $mins FROM tkset GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, b.band, b.sig FROM sig,
          |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
@@ -161,13 +197,13 @@ object DedupOps {
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS ni
-         |  FROM cand c JOIN shingle sa ON sa.doc_id = c.doc_a
-         |              JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  FROM cand c JOIN tkset sa ON sa.doc_id = c.doc_a
+         |              JOIN tkset sb ON sb.doc_id = c.doc_b AND sb.tk = sa.tk
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT i.doc_a, i.doc_b,
          |       round(ni * 1.0 / (za.n + zb.n - ni), 4) AS jaccard
-         |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
-         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |FROM inter i JOIN tksizes za ON za.doc_id = i.doc_a
+         |             JOIN tksizes zb ON zb.doc_id = i.doc_b
          |WHERE ni * 1.0 / (za.n + zb.n - ni) >= $JaccardThreshold""".stripMargin
     },
     bench = true)
@@ -229,13 +265,13 @@ object DedupOps {
   val dedupSimhash = GQuery(
     "dedup_simhash",
     (s, d) => {
-      // one hash-agg pass with 32 vote columns (no 32× row explosion):
-      // the per-doc bit votes become map-side partial sums immediately
-      val keyed = shingleRows(s, d).withColumn("tk", expr(tkSpark("sh")))
+      // fully row-local: each doc's 32 bit-votes fold over its own hashed
+      // shingle array — no explosion, no shuffle before the pair join
+      val tks = hashedShingleArrays(s, d)
       val voteCols = (0 until SimhashBits).map(j =>
-        sum(when(expr(s"shiftright(tk, $j) & 1") === 1, 1L).otherwise(-1L))
-          .as(s"s$j"))
-      val votes = keyed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        expr(s"aggregate(tks, CAST(0 AS BIGINT), " +
+          s"(acc, t) -> acc + IF(shiftright(t, $j) & 1 = 1, 1, -1))").as(s"s$j"))
+      val votes = tks.select(col("doc_id") +: voteCols: _*)
       val sh32 = (0 until SimhashBits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
@@ -251,10 +287,11 @@ object DedupOps {
     },
     oracle = Some(
       s"""$ShingleCte,
+         |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
          |bits AS (
          |  SELECT doc_id, j,
          |         sum(CASE WHEN (tk >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM keyed, generate_series(0, ${SimhashBits - 1}) g(j)
+         |  FROM tkset, generate_series(0, ${SimhashBits - 1}) g(j)
          |  GROUP BY doc_id, j),
          |simhash AS (
          |  SELECT doc_id,
