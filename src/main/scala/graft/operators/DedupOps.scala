@@ -23,9 +23,6 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   val P = 2147483647L // 2^31 − 1
-  /** 131^0 .. 131^7 — exact in Long. */
-  val Pow131: Seq[Long] = Seq(1L, 131L, 17161L, 2248091L, 294499921L,
-    38579489651L, 5053913144281L, 662062621500811L)
   val NumHashes = 16
   val BandSize = 4
   val NumBands = NumHashes / BandSize
@@ -36,12 +33,10 @@ object DedupOps {
   val SimhashMaxDist = 3
   val CosineThreshold = 0.4
 
-  /** Full-length base-131 rolling hash of a token/shingle — the native
-    * codegen expression (graft.functions.VectorExpressions.PolyHash);
-    * [[tkDuck]] is the bit-identical DuckDB fold.
+  /** Full-length base-131 rolling hash of a token/shingle — the DuckDB
+    * fold bit-identical to the native graft_polyhash
+    * (graft.functions.VectorExpressions.PolyHash).
     */
-  private def tkSpark(c: String): String = s"graft_polyhash($c)"
-
   private def tkDuck(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($c)), " +
@@ -122,11 +117,12 @@ object DedupOps {
     * projection; only banding and verification join. (The previous encoding
     * exploded 500k shingle rows through a 16-min hash aggregate.)
     */
-  /** doc_id → distinct hashed-shingle array (row-local, no shuffle). */
-  private def hashedShingleArrays(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  /** (doc_id, text) → distinct hashed-shingle array — row-local, works on
+    * batch AND streaming DataFrames (the streaming LSH detector reuses it).
+    */
+  def hashedShinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => w =!= "").as("t"))
       .filter(size(col("t")) >= 3)
@@ -137,11 +133,25 @@ object DedupOps {
           .as("tks"))
   }
 
-  private def rowLocalSignatures(tks: DataFrame): DataFrame = {
+  private def hashedShingleArrays(s: SparkSession, d: String): DataFrame =
+    hashedShinglesOf(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+
+  /** doc_id + tks → doc_id, mh0..mh{15}: row-local minhash signature. */
+  def rowLocalSignatures(tks: DataFrame): DataFrame = {
     val mhCols = (0 until NumHashes).map(j =>
       array_min(transform(col("tks"),
         t => (t * HashA(j) + HashB(j)) % P)).as(s"mh$j"))
     tks.select(col("doc_id") +: mhCols: _*)
+  }
+
+  /** doc_id + mh columns → (doc_id, band_key) rows; band_key = "b:sig". */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      concat(lit(s"$b:"),
+        concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
   }
 
   /** MinHash signatures (16 permutations) + banded LSH (4 bands × 4) +
