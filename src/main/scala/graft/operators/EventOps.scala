@@ -527,11 +527,27 @@ object EventOps {
          |SELECT room, event_type, count(*) AS n FROM game
          |GROUP BY CUBE (room, event_type)""".stripMargin))
 
+  /** grouping sets: the (room) and (event_type) grains only — neither the
+    * cross grain nor the grand total (distinct from rollup/cube).
+    */
+  val aggGroupingSets = GQuery(
+    "agg_grouping_sets",
+    (s, d) => {
+      gameView(s, d).createOrReplaceTempView("graft_game_gs")
+      s.sql(
+        """SELECT room, event_type, count(*) AS n FROM graft_game_gs
+          |GROUP BY GROUPING SETS ((room), (event_type))""".stripMargin)
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room, event_type, count(*) AS n FROM game
+         |GROUP BY GROUPING SETS ((room), (event_type))""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
-    joinAsofLastMap, windowLagDelta, aggCube)
+    joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets)
 }

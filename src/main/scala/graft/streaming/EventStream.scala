@@ -135,6 +135,16 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Stricter state bound: duplicates only matter within the watermark
+    * delay, so state for an id is dropped as soon as the watermark passes
+    * its event time (dropDuplicates keeps ids forever without an event-time
+    * key column; this variant is the 100 TB-stream default).
+    */
+  def dedupedWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- sinks ------------------------------------------------------------
 
   /** ST6/S7: effectively-once KV sink — overwrite-by-key parquet "store"

@@ -98,6 +98,25 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("dropDuplicatesWithinWatermark dedups in-window duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupedWithinWatermark(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_wm_stream").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0, "click"), (1L, t0, "click"), (2L, t0, "view"))
+    q.processAllAvailable()
+    input.addData((2L, t0, "view"), (3L, t0, "error"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("effectively-once KV sink: overwrite-by-key parquet store") {
     val kvDir = java.nio.file.Files.createTempDirectory("kv").toString + "/store"
     val ckDir = java.nio.file.Files.createTempDirectory("ck").toString
