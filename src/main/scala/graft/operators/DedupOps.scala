@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * functions, so Spark and DuckDB compute bit-identical signatures.
   *
   * Scale notes (100 TB):
-  *  - shingling + signatures are per-row map work (codegen'd HOFs, no UDFs);
-  *  - LSH banding turns all-pairs O(n²) into groupBy(band, signature) — the
-  *    only shuffles are on band keys and candidate pairs;
-  *  - exact verification joins only LSH candidates, never the full corpus;
+  *  - shingle hashing, minhash signatures, and simhash bit votes are all
+  *    ROW-LOCAL projections (per-doc folds over the hashed-shingle array) —
+  *    zero shuffle before pair generation;
+  *  - LSH banding turns all-pairs O(n²) into a self-join on (band,
+  *    signature) — the only shuffles are band keys and candidate pairs;
+  *  - verification intersects candidate hashed-shingle arrays only — the
+  *    full corpus never joins;
   *  - the all-pairs variants (ngram_jaccard, simhash pairs, embedding pairs)
   *    exist as correctness baselines for the LSH path and are excluded from
   *    the headline bench set.
