@@ -92,35 +92,40 @@ object TextOps {
         .select(col("doc_id"),
           filter_exprs(split(col("text"), " ")).as("t"),
           length(col("text")).cast("double").as("nc"))
+      // the combined score is INTEGER arithmetic (floor division) end to
+      // end: a weighted double sum can land exactly on a decimal rounding
+      // boundary (observed: 0.60125 at sf0.001) where engines' last-ulp
+      // doubles disagree; integer floor division is bit-identical
       toks
-        .withColumn("mwl_raw", (col("nc") - size(col("t")) + 1) / size(col("t")))
-        .withColumn("swr_raw",
-          size(filter(col("t"),
-            w => w === "the" || w === "a" || w === "of")) * 1.0 / size(col("t")))
-        .withColumn("uniq_raw",
-          size(array_distinct(col("t"))) * 1.0 / size(col("t")))
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("du", size(array_distinct(col("t"))).cast("long"))
+        .withColumn("ds", size(filter(col("t"),
+          w => w === "the" || w === "a" || w === "of")).cast("long"))
         .select(
           col("doc_id"),
-          size(col("t")).cast("long").as("n_tokens"),
-          round(col("mwl_raw"), 4).as("mean_word_len"),
-          round(col("swr_raw"), 4).as("stopword_ratio"),
-          round(col("uniq_raw"), 4).as("unique_ratio"),
-          round(least(lit(1.0),
-            col("uniq_raw") * 0.5 + (lit(1.0) - col("swr_raw")) * 0.3 +
-              least(col("mwl_raw") / 8.0, lit(1.0)) * 0.2), 4).as("quality"))
+          col("n").as("n_tokens"),
+          round((col("nc") - col("n") + 1) / col("n"), 4).as("mean_word_len"),
+          round(col("ds") * 1.0 / col("n"), 4).as("stopword_ratio"),
+          round(col("du") * 1.0 / col("n"), 4).as("unique_ratio"),
+          (expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
+            least(expr("(CAST(nc AS BIGINT) - n + 1) * 200 div (8 * n)"),
+              lit(200L))).as("quality_milli"))
     },
     oracle = Some(
-      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-        |       round((nc - len(t) + 1) / len(t), 4) AS mean_word_len,
-        |       round(len(list_filter(t, w -> w IN ('the','a','of'))) * 1.0 / len(t), 4) AS stopword_ratio,
-        |       round(len(list_distinct(t)) * 1.0 / len(t), 4) AS unique_ratio,
-        |       round(least(1.0,
-        |             len(list_distinct(t)) * 1.0 / len(t) * 0.5 +
-        |             (1.0 - len(list_filter(t, w -> w IN ('the','a','of'))) * 1.0 / len(t)) * 0.3 +
-        |             least(((nc - len(t) + 1) / len(t)) / 8.0, 1.0) * 0.2), 4) AS quality
-        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t,
+      """SELECT doc_id, n AS n_tokens,
+        |       round((nc - n + 1) / n, 4) AS mean_word_len,
+        |       round(ds * 1.0 / n, 4) AS stopword_ratio,
+        |       round(du * 1.0 / n, 4) AS unique_ratio,
+        |       (du * 500 // n) + ((n - ds) * 300 // n) +
+        |         least((CAST(nc AS BIGINT) - n + 1) * 200 // (8 * n), 200) AS quality_milli
+        |FROM (SELECT doc_id,
+        |             CAST(len(t) AS BIGINT) AS n,
+        |             CAST(len(list_distinct(t)) AS BIGINT) AS du,
+        |             CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS ds,
         |             length(text)::DOUBLE AS nc
-        |      FROM documents)""".stripMargin))
+        |      FROM (SELECT doc_id, text,
+        |                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |            FROM documents))""".stripMargin))
 
   /** BPE-ish token counting: word pieces + punctuation via regex — the
     * pretraining "token budget" estimator (distinct from whitespace count).
