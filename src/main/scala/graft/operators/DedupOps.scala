@@ -179,14 +179,19 @@ object DedupOps {
         .distinct()
       // verification on hashed-shingle sets: candidates only, array ops —
       // the exploded shingle join never materializes
+      // integer jaccard: the threshold (ni·2 ≥ union ⟺ j ≥ 0.5) and the
+      // emitted score (e4 via floor division) are exact integer arithmetic
+      // — round(double) is not cross-engine-stable on small-denominator
+      // ratios (see .claude/skills/verify/SKILL.md)
       cand
         .join(tks.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
         .join(tks.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
-        .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
-        .withColumn("j",
-          col("ni") * 1.0 / (size(col("ta")) + size(col("tb")) - col("ni")))
-        .filter(col("j") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+        .withColumn("ni", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
+        .filter(col("ni") * 2 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("ni * 10000 div uni").as("jaccard_e4"))
     },
     oracle = Some {
       val mins = (0 until NumHashes)
@@ -214,10 +219,10 @@ object DedupOps {
          |              JOIN tkset sb ON sb.doc_id = c.doc_b AND sb.tk = sa.tk
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT i.doc_a, i.doc_b,
-         |       round(ni * 1.0 / (za.n + zb.n - ni), 4) AS jaccard
+         |       ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
          |FROM inter i JOIN tksizes za ON za.doc_id = i.doc_a
          |             JOIN tksizes zb ON zb.doc_id = i.doc_b
-         |WHERE ni * 1.0 / (za.n + zb.n - ni) >= $JaccardThreshold""".stripMargin
+         |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
     },
     bench = true)
 
@@ -254,9 +259,10 @@ object DedupOps {
       pairs
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .withColumn("j", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
-        .filter(col("j") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+        .withColumn("uni", col("na") + col("nb") - col("ni"))
+        .filter(col("ni") * 2 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("ni * 10000 div uni").as("jaccard_e4"))
     },
     oracle = Some(
       s"""$ShingleCte,
@@ -266,10 +272,10 @@ object DedupOps {
          |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
          |  GROUP BY sa.doc_id, sb.doc_id)
          |SELECT i.doc_a, i.doc_b,
-         |       round(ni * 1.0 / (za.n + zb.n - ni), 4) AS jaccard
+         |       ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
          |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
          |             JOIN sizes zb ON zb.doc_id = i.doc_b
-         |WHERE ni * 1.0 / (za.n + zb.n - ni) >= $JaccardThreshold""".stripMargin))
+         |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin))
 
   /** 32-bit SimHash over shingle keys: per-bit majority vote, then all-pairs
     * Hamming ≤ 3. The bit votes are one groupBy(doc, bit) + one groupBy(doc);

@@ -61,25 +61,29 @@ object TextOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           filter_exprs(split(col("text"), " ")).as("t"))
-      def score(markers: Seq[String]) =
-        size(filter(col("t"),
-          w => markers.map(m => w === m).reduce(_ || _))) * 1.0 / size(col("t"))
+      // integer score + integer threshold: markers/n >= 1/20 <=> 20*markers >= n
+      val markers = Seq("the", "a", "of", "and", "in")
       toks
-        .withColumn("en_score", round(score(Seq("the", "a", "of", "and", "in")), 4))
+        .withColumn("nm", size(filter(col("t"),
+          w => markers.map(m => w === m).reduce(_ || _))).cast("long"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("en_score_e4", expr("nm * 10000 div n"))
         .withColumn("pred_lang",
-          when(col("en_score") >= 0.05, "en").otherwise("unknown"))
-        .select("doc_id", "lang", "en_score", "pred_lang")
+          when(col("nm") * 20 >= col("n"), "en").otherwise("unknown"))
+        .select("doc_id", "lang", "en_score_e4", "pred_lang")
     },
     oracle = Some(
       """SELECT doc_id, lang,
-        |       round(len(list_filter(t, w -> w IN ('the','a','of','and','in')))
-        |             * 1.0 / len(t), 4) AS en_score,
-        |       CASE WHEN len(list_filter(t, w -> w IN ('the','a','of','and','in')))
-        |                 * 1.0 / len(t) >= 0.05
-        |            THEN 'en' ELSE 'unknown' END AS pred_lang
+        |       nm * 10000 // n AS en_score_e4,
+        |       CASE WHEN nm * 20 >= n THEN 'en' ELSE 'unknown' END AS pred_lang
         |FROM (SELECT doc_id, lang,
-        |             list_filter(string_split(text, ' '), w -> w <> '') AS t
-        |      FROM documents)""".stripMargin))
+        |             CAST(len(list_filter(t, w -> w IN ('the','a','of','and','in'))) AS BIGINT) AS nm,
+        |             CAST(len(t) AS BIGINT) AS n
+        |      FROM (SELECT doc_id, lang,
+        |                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |            FROM documents))
+        |WHERE n > 0""".stripMargin))
 
   /** Quality scoring: mean word length, stopword ratio, uniqueness ratio —
     * the standard cheap filters of a pretraining-data pipeline, combined into
@@ -92,40 +96,46 @@ object TextOps {
         .select(col("doc_id"),
           filter_exprs(split(col("text"), " ")).as("t"),
           length(col("text")).cast("double").as("nc"))
-      // the combined score is INTEGER arithmetic (floor division) end to
-      // end: a weighted double sum can land exactly on a decimal rounding
-      // boundary (observed: 0.60125 at sf0.001) where engines' last-ulp
-      // doubles disagree; integer floor division is bit-identical
+      // Every output is INTEGER arithmetic (floor division), end to end.
+      // round(double, k) is NOT cross-engine safe even on the identical
+      // IEEE double: Spark rounds the shortest decimal representation
+      // HALF_UP while DuckDB scales+nearbyints, so e.g. 57/800 rounds to
+      // 0.0713 in Spark and 0.0712 in DuckDB. Scaled integers (x·10⁴ via
+      // div) are bit-identical. n=0 docs are filtered (ANSI mode would
+      // throw DIVIDE_BY_ZERO; the oracle filters identically).
       toks
         .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("ncl", col("nc").cast("long"))
         .withColumn("du", size(array_distinct(col("t"))).cast("long"))
         .withColumn("ds", size(filter(col("t"),
           w => w === "the" || w === "a" || w === "of")).cast("long"))
         .select(
           col("doc_id"),
           col("n").as("n_tokens"),
-          round((col("nc") - col("n") + 1) / col("n"), 4).as("mean_word_len"),
-          round(col("ds") * 1.0 / col("n"), 4).as("stopword_ratio"),
-          round(col("du") * 1.0 / col("n"), 4).as("unique_ratio"),
+          expr("(ncl - n + 1) * 10000 div n").as("mean_word_len_e4"),
+          expr("ds * 10000 div n").as("stopword_ratio_e4"),
+          expr("du * 10000 div n").as("unique_ratio_e4"),
           (expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
-            least(expr("(CAST(nc AS BIGINT) - n + 1) * 200 div (8 * n)"),
+            least(expr("(ncl - n + 1) * 200 div (8 * n)"),
               lit(200L))).as("quality_milli"))
     },
     oracle = Some(
       """SELECT doc_id, n AS n_tokens,
-        |       round((nc - n + 1) / n, 4) AS mean_word_len,
-        |       round(ds * 1.0 / n, 4) AS stopword_ratio,
-        |       round(du * 1.0 / n, 4) AS unique_ratio,
+        |       (ncl - n + 1) * 10000 // n AS mean_word_len_e4,
+        |       ds * 10000 // n AS stopword_ratio_e4,
+        |       du * 10000 // n AS unique_ratio_e4,
         |       (du * 500 // n) + ((n - ds) * 300 // n) +
-        |         least((CAST(nc AS BIGINT) - n + 1) * 200 // (8 * n), 200) AS quality_milli
+        |         least((ncl - n + 1) * 200 // (8 * n), 200) AS quality_milli
         |FROM (SELECT doc_id,
         |             CAST(len(t) AS BIGINT) AS n,
         |             CAST(len(list_distinct(t)) AS BIGINT) AS du,
         |             CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS ds,
-        |             length(text)::DOUBLE AS nc
+        |             CAST(length(text) AS BIGINT) AS ncl
         |      FROM (SELECT doc_id, text,
         |                   list_filter(string_split(text, ' '), w -> w <> '') AS t
-        |            FROM documents))""".stripMargin))
+        |            FROM documents))
+        |WHERE n > 0""".stripMargin))
 
   /** BPE-ish token counting: word pieces + punctuation via regex — the
     * pretraining "token budget" estimator (distinct from whitespace count).
