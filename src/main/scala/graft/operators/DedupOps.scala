@@ -31,7 +31,6 @@ object DedupOps {
   val NumBands = NumHashes / BandSize
   val HashA: Seq[Long] = (0 until NumHashes).map(j => ((2L * j + 1) * 2654435761L) % P)
   val HashB: Seq[Long] = (0 until NumHashes).map(j => (j * 40503L + 7) % P)
-  val JaccardThreshold = 0.5
   val SimhashBits = 32
   val SimhashMaxDist = 3
   val CosineThreshold = 0.4
@@ -225,22 +224,6 @@ object DedupOps {
          |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
     },
     bench = true)
-
-  /** Exact verification: Jaccard over shingle sets for given candidate pairs. */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("j", col("ni") * 1.0 / (col("na") + col("nb") - col("ni")))
-      .filter(col("j") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-  }
 
   /** Exact all-pairs n-gram Jaccard (the LSH baseline): the shingle-join
     * trick — pairs materialize only for docs sharing ≥1 shingle, so the
