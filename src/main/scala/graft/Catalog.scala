@@ -39,10 +39,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    table(s, d, "events").withColumn("ts", nanosColToMicrosTs("ts"))
   }
+
+  /** Nanos-long column → µs TimestampType via INTEGER division: epoch nanos
+    * (~1.7e18) exceed double's 53-bit mantissa, so `/ 1000` through double
+    * can be off by a microsecond. Shared by batch and streaming readers.
+    */
+  def nanosColToMicrosTs(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"timestamp_micros(CAST($name div 1000 AS BIGINT))")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

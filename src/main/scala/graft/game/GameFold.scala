@@ -70,8 +70,19 @@ object GameFold {
   /** Mutable per-room state — the Spark-side `BombGame` (game.go:55-90). */
   final class RoomState(val room: String) {
     val players = mutable.LinkedHashMap.empty[String, Player]
+    /** nameToBombs (game.go:67-69): bomb name -> position */
     val bombs = mutable.LinkedHashMap.empty[String, (Int, Int)]
-    /** flame cell -> owning bomb name (flameMap, game.go:80-84) */
+    /** posToBombs (game.go:70-72): position -> last bomb set there. The
+      * reference leaves STALE entries behind when a bomb name is re-set at a
+      * new position (setBombWithTrigger overwrites only the new key,
+      * game.go:241-251) — mirrored exactly, quirks included.
+      */
+    val posToBombs = mutable.LinkedHashMap.empty[(Int, Int), String]
+    /** explodingBombs (game.go:79): keyed by POSITION, like the reference */
+    val explodingBombs = mutable.LinkedHashMap.empty[(Int, Int), String]
+    /** flameMap (game.go:80-84): recomputed from ALL exploding bombs on
+      * every Explode/UndoExplode (event.go:152-163, 184-195)
+      */
     val flames = mutable.LinkedHashMap.empty[(Int, Int), String]
     /** obstacle cell -> destructible? (obstacleMap, game.go:73-78) */
     val obstacles = mutable.LinkedHashMap.empty[(Int, Int), Boolean]
@@ -87,71 +98,101 @@ object GameFold {
       }
     }
 
-    /** Flame rays with blocking (utils.go:132-175 + event.go:141-163):
-      * each direction extends up to RayLen cells; a destructible blocker is
-      * destroyed and lit, an indestructible blocker stops the ray cold.
+    /** getExplodeFlame's four ray loops (utils.go:132-175): left/up start one
+      * cell out, right/down start AT the bomb cell; each stops at the border
+      * or when the callback vetoes the cell.
       */
-    private def explodeAt(bombName: String, bx: Int, by: Int): Unit = {
-      flames((bx, by)) = bombName
-      for ((dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))) {
-        var d = 1
-        var blocked = false
-        while (d <= RayLen && !blocked) {
-          val (fx, fy) = (bx + dx * d, by + dy * d)
-          if (!inBounds(fx, fy)) blocked = true
-          else obstacles.get((fx, fy)) match {
-            case Some(true) => // destructible: destroy + lit, then stop
-              obstacles.remove((fx, fy))
-              flames((fx, fy)) = bombName
-              blocked = true
-            case Some(false) => blocked = true // indestructible: stop cold
-            case None =>
-              flames((fx, fy)) = bombName
-              d += 1
-          }
+    private def rays(bx: Int, by: Int)(f: ((Int, Int)) => Boolean): Unit = {
+      def walk(xs: Iterator[(Int, Int)]): Unit = {
+        var go = true
+        while (go && xs.hasNext) {
+          val p = xs.next()
+          go = inBounds(p._1, p._2) && f(p)
+        }
+      }
+      walk(Iterator.range(bx - 1, bx - RayLen - 1, -1).map((_, by)))
+      walk(Iterator.range(bx, bx + RayLen + 1).map((_, by)))
+      walk(Iterator.range(by - 1, by - RayLen - 1, -1).map((bx, _)))
+      walk(Iterator.range(by, by + RayLen + 1).map((bx, _)))
+    }
+
+    /** Destroy pass (event.go:141-151): destructibles along the ray are
+      * deleted and the ray CONTINUES; only indestructibles stop it.
+      */
+    private def destroyPass(bx: Int, by: Int): Unit =
+      rays(bx, by) { p =>
+        obstacles.get(p) match {
+          case Some(false) => false // indestructible: stop
+          case Some(true) => obstacles.remove(p); true // destroyed, continue
+          case None => true
+        }
+      }
+
+    /** Flame recompute (event.go:152-163 / 184-193): from ALL currently
+      * exploding bombs against the CURRENT obstacle map; only
+      * indestructibles block.
+      */
+    private def recomputeFlames(): Unit = {
+      flames.clear()
+      explodingBombs.foreach { case ((bx, by), owner) =>
+        rays(bx, by) { p =>
+          if (obstacles.get(p).contains(false)) false
+          else { flames(p) = owner; true }
         }
       }
     }
 
-    /** One step of the fold — the 9 handlers of event.go:22-225. All guards
-      * make the fold idempotent-tolerant of duplicate/dangling events (F8).
+    /** removeBomb (game.go:253-260): deletes the name and whatever bomb
+      * currently occupies its position (possibly a different bomb).
+      */
+    private def removeBomb(name: String): Unit =
+      bombs.remove(name).foreach { pos =>
+        if (posToBombs.contains(pos)) posToBombs.remove(pos)
+      }
+
+    /** One step of the fold — the 9 handlers of event.go:22-225, mirrored
+      * exactly (guards, upserts, and quirks verified against the reference).
       */
     def apply(e: GameEvent): Unit = {
       nEvents += 1
       lastSeq = e.seq
       e.event_type match {
-        case "UserMoveEvent" => // event.go:26-48
-          players.get(e.name).foreach { p =>
-            if (p.alive && inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y))) {
-              p.x = e.x; p.y = e.y
-            }
-          }
-        case "UserDeadEvent" => // event.go:50-59
-          players.get(e.name).foreach(_.alive = false)
-        case "UserReviveEvent" => // event.go:61-68
-          players.get(e.name).foreach { p =>
-            p.alive = true
-            if (inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y))) {
-              p.x = e.x; p.y = e.y
-            }
-          }
-        case "UserJoinEvent" => // event.go:70-83
-          players(e.name) = Player(e.x, e.y, alive = true)
-          if (e.list.nonEmpty) decodeList(e.list)
-        case "SetBombEvent" => // event.go:85-109 (guard 92-95)
+        case "UserMoveEvent" => // event.go:30-47: guarded UPSERT
           if (inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y)) &&
-              !bombs.contains(e.bomb_name))
+              !players.get(e.name).exists(!_.alive))
+            players(e.name) = Player(e.x, e.y, e.alive)
+        case "UserDeadEvent" => // event.go:53-57
+          players.get(e.name).foreach(_.alive = false)
+        case "UserReviveEvent" => // event.go:63-66: unconditional upsert
+          players(e.name) = Player(e.x, e.y, alive = true)
+        case "UserJoinEvent" => // event.go:75-81: map ALWAYS replaced
+          players(e.name) = Player(e.x, e.y, alive = true)
+          decodeList(e.list)
+        case "SetBombEvent" => // event.go:88-93 guard + game.go:241-251
+          if (!obstacles.contains((e.x, e.y))) {
             bombs(e.bomb_name) = (e.x, e.y)
-        case "ExplodeEvent" => // event.go:111-176 (existence guard 118-121)
-          bombs.remove(e.bomb_name).foreach { case (bx, by) =>
-            explodeAt(e.bomb_name, bx, by)
+            posToBombs((e.x, e.y)) = e.bomb_name
           }
-        case "UndoExplodeEvent" => // event.go:178-195
-          flames.filterInPlace((_, owner) => owner != e.bomb_name)
-        case "BombMoveEvent" => // event.go:197-217 (guard 205-211)
-          if (bombs.contains(e.bomb_name) && inBounds(e.x, e.y) &&
-              !obstacles.contains((e.x, e.y)))
-            bombs(e.bomb_name) = (e.x, e.y)
+        case "ExplodeEvent" => // event.go:115-163
+          bombs.get(e.bomb_name).foreach { pos =>
+            if (posToBombs.contains(pos)) {
+              removeBomb(e.bomb_name)
+              explodingBombs(pos) = e.bomb_name
+              destroyPass(pos._1, pos._2)
+              recomputeFlames()
+            }
+          }
+        case "UndoExplodeEvent" => // event.go:178-195: keyed by POSITION
+          explodingBombs.remove((e.x, e.y))
+          recomputeFlames()
+        case "BombMoveEvent" => // event.go:203-217: no bounds/obstacle guard
+          bombs.get(e.bomb_name).foreach { pos =>
+            if (posToBombs.contains(pos)) {
+              posToBombs.remove(pos)
+              bombs(e.bomb_name) = (e.x, e.y)
+              posToBombs((e.x, e.y)) = e.bomb_name
+            }
+          }
         case "UpdateMapEvent" => // event.go:219-225
           decodeList(e.list)
         case _ => // unknown types ignored (schema evolution tolerance)
@@ -308,7 +349,10 @@ object GameLog {
     // slow path for EVERY row (see DedupOps.shingleRows note); here the
     // ~2% map-update rows compute their 750-cell list in their own
     // guard-free branch and the union is shuffle-free.
-    val isMapUpdate = col("event_type") === "view" && k % 5 === 0
+    // null-safe: a props row without a parseable k must not vanish from
+    // BOTH branches (null filters as false on each side)
+    val isMapUpdate =
+      coalesce(col("event_type") === "view" && k % 5 === 0, lit(false))
     val mapList = filter(sequence(lit(0), lit(749)),
       c => c % 7 === (col("event_id") % 7).cast("int"))
     val signedList = transform(mapList,

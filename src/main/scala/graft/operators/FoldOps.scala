@@ -22,17 +22,26 @@ object FoldOps {
     bench = true)
 
   /** Q:replay_alive_status — a projection of the ACTUAL fold output that IS
-    * SQL-reconstructible: final alive status per player. The oracle
-    * replays the join/dead/revive semantics relationally (a player exists
-    * after their first join; alive = last join/dead/revive event at or
-    * after it), so the fold's ordering and liveness handlers are
-    * hash-checked by DuckDB, not just row-counted.
+    * SQL-reconstructible: final alive status per player, restricted to
+    * players with at least one UNCONDITIONAL creation event (join or
+    * revive — reference upserts both, event.go:63-66/75-77). For that
+    * cohort, alive = (last join/dead/revive event ≠ dead): a dead event
+    * that is last necessarily follows some join/revive, so the player
+    * existed and the flip applied; move-created players are excluded
+    * because their existence depends on non-SQL-expressible guards.
     */
   val replayAliveStatus = GQuery(
     "replay_alive_status",
-    (s, d) =>
-      GameFold.playerStates(GameLog.derive(s, d)).toDF()
-        .select("room", "name", "alive"),
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val states = GameFold.playerStates(GameLog.derive(s, d)).toDF()
+      val creators = GameLog.derive(s, d).toDF()
+        .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))
+        .select("room", "name").distinct()
+      states
+        .join(creators, Seq("room", "name"), "left_semi")
+        .select("room", "name", "alive")
+    },
     oracle = Some(
       """WITH ev AS (
         |  SELECT user_id, event_id AS seq,
@@ -42,13 +51,11 @@ object FoldOps {
         |                THEN 'revive'
         |              ELSE 'dead' END AS act
         |  FROM events WHERE event_type IN ('signup', 'error')),
-        |j AS (
-        |  SELECT user_id, min(seq) FILTER (act = 'join') AS fj
-        |  FROM ev GROUP BY user_id),
+        |cohort AS (
+        |  SELECT DISTINCT user_id FROM ev WHERE act IN ('join', 'revive')),
         |last AS (
         |  SELECT e.user_id, max_by(e.act, e.seq) AS last_act
-        |  FROM ev e JOIN j ON e.user_id = j.user_id
-        |  WHERE j.fj IS NOT NULL AND e.seq >= j.fj
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
         |  GROUP BY e.user_id)
         |SELECT 'room' || CAST(user_id % 8 AS VARCHAR) AS room,
         |       'u' || CAST(user_id AS VARCHAR) AS name,

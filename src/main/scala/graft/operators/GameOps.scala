@@ -92,17 +92,15 @@ object GameOps {
       |    AND b.by + d.dy * g.dist BETWEEN 0 AND 24),
       |withobs AS (
       |  SELECT c.*, c.fy * 30 + c.fx AS fcell,
-      |         (o.ocell IS NOT NULL) AS is_obs,
-      |         coalesce(o.destructible, false) AS destr
+      |         (o.ocell IS NOT NULL AND NOT coalesce(o.destructible, false)) AS indestr
       |  FROM cand c LEFT JOIN obstacles o ON c.fy * 30 + c.fx = o.ocell),
       |blocked AS (
-      |  SELECT *, min(CASE WHEN is_obs THEN dist END)
+      |  SELECT *, min(CASE WHEN indestr THEN dist END)
       |              OVER (PARTITION BY bomb_name, dir) AS block_dist
       |  FROM withobs),
       |flame AS (
       |  SELECT * FROM blocked
-      |  WHERE dist < coalesce(block_dist, 99)
-      |     OR (dist = block_dist AND destr))""".stripMargin
+      |  WHERE dist < coalesce(block_dist, 99))""".stripMargin
 
   /** Flame-ray candidates: bombs × 4 directions × dist 1..6, border-clamped
     * (F4 bounds predicate). The generator half of G1 (utils.go:132-152).
@@ -117,23 +115,24 @@ object GameOps {
 
   /** Flame cells after obstacle blocking — the full G1+J4+W2 pipeline:
     * left-join candidates to the obstacle map, per-(bomb,dir) window computes
-    * the first blocking distance, rays keep strictly-closer cells plus a
-    * destructible blocker itself (event.go:141-163: destructibles are
-    * destroyed and lit; indestructibles stop the ray cold).
+    * the first INDESTRUCTIBLE distance, rays keep strictly-closer cells.
+    * Reference semantics (event.go:141-163): the destroy pass deletes
+    * destructibles along the ray and CONTINUES, then the flame pass blocks
+    * only on indestructibles — so for a single explosion, destructibles
+    * never block the flame at all.
     */
   private def flameCells(s: SparkSession, d: String): DataFrame = {
     val cand = flameCandidates(s, d)
       .withColumn("fcell", col("fy") * W + col("fx"))
     val withObs = cand
       .join(broadcast(obstacles(s)), col("fcell") === col("ocell"), "left")
-      .withColumn("is_obs", col("ocell").isNotNull)
-      .withColumn("destr", coalesce(col("destructible"), lit(false)))
+      .withColumn("indestr",
+        col("ocell").isNotNull && !coalesce(col("destructible"), lit(false)))
     val w = Window.partitionBy(col("bomb_name"), col("dir"))
     withObs
       .withColumn("block_dist",
-        min(when(col("is_obs"), col("dist"))).over(w))
-      .filter(col("dist") < coalesce(col("block_dist"), lit(99L)) ||
-        (col("dist") === col("block_dist") && col("destr")))
+        min(when(col("indestr"), col("dist"))).over(w))
+      .filter(col("dist") < coalesce(col("block_dist"), lit(99L)))
   }
 
   /** Q:flame_cells — unblocked ray coverage per cell (pure generator G1). */

@@ -110,15 +110,18 @@ class GameEventsReader(room: Int, n: Long, seed: Long)
 
   private var state: Long = seed * 6364136223846793005L + room * 1442695040888963407L
   private var i: Long = -1L
+  private var current: InternalRow = _
 
   private def nextRand(): Long = {
     state = state * 6364136223846793005L + 1442695040888963407L
     state >>> 16
   }
 
-  override def next(): Boolean = { i += 1; i < n }
-
-  override def get(): InternalRow = {
+  // row is built in next(): the PartitionReader contract allows repeated
+  // get() calls per advance, and the LCG must step exactly once per row
+  override def next(): Boolean = {
+    i += 1
+    if (i >= n) return false
     val r = nextRand()
     val tpe =
       if (i < 3) "UserJoinEvent" // every room starts with joins
@@ -126,7 +129,7 @@ class GameEventsReader(room: Int, n: Long, seed: Long)
     val player = (r / 9) % 6
     val cell = (r / 64) % 750
     val bombId = (r / 13) % 24
-    InternalRow(
+    current = InternalRow(
       UTF8String.fromString(s"room$room"),
       i,
       UTF8String.fromString(tpe),
@@ -136,7 +139,10 @@ class GameEventsReader(room: Int, n: Long, seed: Long)
       (cell % 30).toInt,
       (cell / 30).toInt,
       true)
+    true
   }
+
+  override def get(): InternalRow = current
 
   override def close(): Unit = ()
 }

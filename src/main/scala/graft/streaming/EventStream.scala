@@ -43,7 +43,7 @@ object EventStream {
       // glob form: the file source requires a directory or glob, and the
       // testbed stores each table as a single parquet file
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", graft.Tables.nanosColToMicrosTs("ts"))
   }
 
   /** A1 streaming: running kill-count per (room, killer) — update-mode hash
@@ -115,20 +115,24 @@ object EventStream {
           if (state.hasTimedOut) {
             state.remove()
             Iterator(DerivedEvent(bombName, "UndoExplodeEvent"))
-          } else {
-            if (rows.nonEmpty && !state.exists) {
-              state.update(FlameState(bombName, System.currentTimeMillis()))
-              state.setTimeoutDuration(ttlMs)
-            }
+          } else if (rows.nonEmpty && !state.exists) {
+            state.update(FlameState(bombName, System.currentTimeMillis()))
+            state.setTimeoutDuration(ttlMs)
             Iterator(DerivedEvent(bombName, "ExplodeEvent"))
+          } else {
+            // bomb already lit: re-arrivals are suppressed, mirroring the
+            // reference's existence guard (event.go:118-121) — no duplicate
+            // explode/undo pairs reach the derived-event stream
+            Iterator.empty
           }
       }
   }
 
-  /** Streaming exact dedup: dropDuplicates keyed on event_id with a
-    * watermark bounding state retention — the unbounded-stream counterpart
-    * of DedupOps.dedupExact (state is evicted once the watermark passes,
-    * so memory is bounded by the lateness window, not the stream length).
+  /** Streaming exact dedup keyed on event_id. NOTE: without the event-time
+    * column among the keys, dropDuplicates state grows with the number of
+    * distinct ids for the stream's lifetime — use [[dedupedWithinWatermark]]
+    * for unbounded streams; this variant exists for exact global dedup over
+    * bounded replays.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events

@@ -34,41 +34,48 @@ class GameFoldSpec extends SparkSuite {
     assert(s === RoomSummary("r1", 7, 2, 1, 0, 15, 1, 1, 7))
   }
 
-  test("undo-explode clears exactly that bomb's flames") {
-    val Seq(s) = GameFold.foldLocal(kill :+ ev(8, "UndoExplodeEvent", bomb = "A-b1"))
+  test("undo-explode is keyed by position and clears recomputed flames") {
+    val Seq(s) = GameFold.foldLocal(
+      kill :+ ev(8, "UndoExplodeEvent", x = 2, y = 2))
     assert(s.n_flames === 0)
     assert(s.n_destructible === 1 && s.n_indestructible === 1)
+    // undo at the WRONG position is a no-op (reference deletes
+    // explodingBombs[pos], event.go:184)
+    val Seq(s2) = GameFold.foldLocal(
+      kill :+ ev(8, "UndoExplodeEvent", x = 9, y = 9))
+    assert(s2.n_flames === 15)
   }
 
-  test("destructible blocker is destroyed and lit; ray stops there") {
-    // bomb at (3,5): left ray hits destructible (155=(5,5))? no — put bomb at
-    // (7,5): left ray d=1 (6,5), d=2 (5,5) destructible → destroyed+lit, stop.
+  test("destructible is destroyed and the ray CONTINUES through it") {
+    // reference destroy pass (event.go:141-151) deletes destructibles and
+    // keeps walking; only indestructibles stop the ray. Bomb at (7,5),
+    // destructible at (5,5): left ray reaches the full 6 cells.
     val evs = Seq(
       ev(1, "UpdateMapEvent", list = mapCodes),
       ev(2, "SetBombEvent", bomb = "X-b1", x = 7, y = 5),
       ev(3, "ExplodeEvent", bomb = "X-b1"))
     val Seq(s) = GameFold.foldLocal(evs)
     assert(s.n_destructible === 0, "destructible at (5,5) must be destroyed")
-    // flames: center + right 6 + left (6,5),(5,5) = 2 + up 5 (border at y<0
-    // after d=5: y=0 ok, d=1..5 → (7,4)..(7,0)) + down 6 = 1+6+2+5+6 = 20
-    assert(s.n_flames === 20)
+    // flames: center + left 6 + right 6 + up 5 (border) + down 6 = 24
+    assert(s.n_flames === 24)
   }
 
-  test("guard gauntlet: every illegal event is a no-op") {
+  test("guard gauntlet: reference guards and upserts") {
     val base = Seq(
       ev(1, "UserJoinEvent", name = "A", x = 1, y = 1),
       ev(2, "UpdateMapEvent", list = Seq(33)))
     val gauntlet = Seq(
       ev(3, "UserMoveEvent", name = "A", x = 30, y = 1), // out of bounds
       ev(4, "UserMoveEvent", name = "A", x = 2, y = 1), // onto obstacle
-      ev(5, "UserMoveEvent", name = "ghost", x = 5, y = 5), // absent player
+      ev(5, "UserMoveEvent", name = "ghost", x = 5, y = 5), // CREATES ghost (ref upsert)
       ev(6, "SetBombEvent", bomb = "A-b1", x = 2, y = 1), // bomb on obstacle
       ev(7, "ExplodeEvent", bomb = "no-such-bomb"), // dangling explode
       ev(8, "BombMoveEvent", bomb = "no-such-bomb", x = 4, y = 4), // dangling
       ev(9, "UserDeadEvent", name = "A"),
       ev(10, "UserMoveEvent", name = "A", x = 3, y = 3)) // dead can't move
     val Seq(s) = GameFold.foldLocal(base ++ gauntlet)
-    assert(s.n_players === 1 && s.n_alive === 0)
+    // A (dead) + ghost (created by the move upsert, event.go:45-46)
+    assert(s.n_players === 2 && s.n_alive === 1)
     assert(s.n_bombs === 0 && s.n_flames === 0)
     assert(s.n_indestructible === 1)
   }
@@ -83,11 +90,13 @@ class GameFoldSpec extends SparkSuite {
     assert(st.players("A") === GameFold.Player(4, 4, alive = true))
   }
 
-  test("duplicate SetBomb is idempotent (first placement wins)") {
+  test("duplicate SetBomb overwrites (reference setBombWithTrigger)") {
     val st = new GameFold.RoomState("r")
     st.apply(ev(1, "SetBombEvent", bomb = "A-b1", x = 2, y = 2))
     st.apply(ev(2, "SetBombEvent", bomb = "A-b1", x = 9, y = 9))
-    assert(st.bombs("A-b1") === ((2, 2)))
+    assert(st.bombs("A-b1") === ((9, 9)))
+    // the reference leaves the old posToBombs entry stale — mirrored
+    assert(st.posToBombs.contains((2, 2)) && st.posToBombs.contains((9, 9)))
   }
 
   test("distributed fold == local reference fold on the derived log") {
