@@ -41,8 +41,9 @@ case class FlameRayGenerator(bx: Expression, by: Expression)
     val x0 = bx.eval(input)
     val y0 = by.eval(input)
     if (x0 == null || y0 == null) return Iterator.empty
-    val bxv = x0.asInstanceOf[Long]
-    val byv = y0.asInstanceOf[Long]
+    // accept any integral input type (int literals parse as IntegerType)
+    val bxv = x0.asInstanceOf[Number].longValue()
+    val byv = y0.asInstanceOf[Number].longValue()
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var d = 0
     while (d < Dirs.length) {

@@ -17,11 +17,20 @@ object LastBySeqAggregator
 
   override def zero: (Long, Double) = (Long.MinValue, Double.NaN)
 
+  // tie-break on equal seq by the larger value, so reduce AND merge are
+  // genuinely commutative (partition-order-independent) even on duplicate
+  // seq keys — a claim max_by itself does not make
+  private def pick(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+    if (a._1 > b._1) a
+    else if (a._1 < b._1) b
+    else if (a._2 >= b._2 || b._2.isNaN) a
+    else b
+
   override def reduce(b: (Long, Double), a: (Long, Double)): (Long, Double) =
-    if (a._1 >= b._1) a else b
+    pick(a, b)
 
   override def merge(b1: (Long, Double), b2: (Long, Double)): (Long, Double) =
-    if (b1._1 >= b2._1) b1 else b2
+    pick(b1, b2)
 
   override def finish(r: (Long, Double)): Double = r._2
 

@@ -31,9 +31,15 @@ case class TopKAggregate(
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, String)]] {
 
   // PriorityQueue is a max-heap; order so the head is the WORST kept
-  // element (eviction candidate): smallest score, then largest key
+  // element (eviction candidate): smallest score, then largest key.
+  // Explicit comparator — negating the score would overflow Long.MinValue.
   private val heapOrdering: Ordering[(Long, String)] =
-    Ordering.by { case (s, n) => (-s, n) }
+    new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val byScore = java.lang.Long.compare(b._1, a._1) // smaller score = greater
+        if (byScore != 0) byScore else a._2.compareTo(b._2) // larger key = greater
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, String)] =
     mutable.PriorityQueue.empty[(Long, String)](heapOrdering)
@@ -53,7 +59,8 @@ case class TopKAggregate(
     val s = score.eval(input)
     val n = key.eval(input)
     if (s != null && n != null)
-      offer(buf, (s.asInstanceOf[Long], n.asInstanceOf[UTF8String].toString))
+      offer(buf, (s.asInstanceOf[Number].longValue(),
+        n.asInstanceOf[UTF8String].toString))
     buf
   }
 
@@ -122,9 +129,9 @@ object TopKAggregate {
       "graft_topk",
       es => {
         val k = es(2) match {
-          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Int, IntegerType) if v > 0 => v
           case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an integer literal, got $other")
+            s"graft_topk k must be a positive integer literal, got $other")
         }
         TopKAggregate(es(0), es(1), k)
       },

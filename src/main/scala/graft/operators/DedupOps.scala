@@ -45,14 +45,11 @@ object DedupOps {
       s"i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))), " +
       s"(acc, x) -> (acc * 131 + x) % $P)"
 
-  /** doc_id → exploded distinct 3-gram shingles (one row per shingle).
-    *
-    * Materialized (localCheckpoint): every dedup query walks this subplan
-    * from several DAG branches (self-joins, signature + verification), and
-    * without materialization Spark recomputes the tokenize→shingle→distinct
-    * pipeline once per branch. At cluster scale the same role is played by
-    * persisting the shingle table (MEMORY_AND_DISK or a checkpoint to
-    * storage) before the pair-generation stages.
+  /** doc_id → exploded distinct 3-gram shingles (one row per shingle) —
+    * used by the exact all-pairs baseline (dedup_ngram_jaccard), whose
+    * self-join walks this subplan from both sides; localCheckpoint
+    * materializes it once. (The LSH/simhash paths use the row-local
+    * [[hashedShinglesOf]] arrays instead.)
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
@@ -305,8 +302,9 @@ object DedupOps {
          |WHERE bit_count(xor(a.sh32, b.sh32)) <= $SimhashMaxDist""".stripMargin))
 
   /** Embedding near-dup: all-pairs cosine ≥ 0.4 over double-cast vectors.
-    * Dot products via zip_with+aggregate (sequential fold — bit-identical to
-    * the oracle's list_sum). The LSH-bucketed scale path is in SimilarityOps.
+    * Dot products use the native codegen DotProduct expression (sequential
+    * primitive loop — bit-identical to the oracle's list_sum fold). The
+    * LSH-bucketed scale path is in SimilarityOps.
     */
   val dedupEmbeddingCosine = GQuery(
     "dedup_embedding_cosine",
@@ -331,7 +329,8 @@ object DedupOps {
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
 
-  /** vec_id, v (double array), nrm — shared by cosine queries. Norms and dot
+  /** vec_id, label, v (double array), nrm — the single normalization used
+    * by BOTH the dedup and ANN cosine paths (SimilarityOps). Norms and dot
     * products use the native codegen DotProduct expression (primitive loop,
     * same left-to-right summation as the oracle's list_sum).
     */
@@ -340,8 +339,8 @@ object DedupOps {
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
 

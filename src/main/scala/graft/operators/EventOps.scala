@@ -384,13 +384,13 @@ object EventOps {
     oracle = Some(
       s"""$GameCte,
          |marked AS (
-         |  SELECT victim, ts, value,
+         |  SELECT victim, ts, seq, value,
          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY victim ORDER BY ts, seq)
          |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
          |  FROM game),
          |sess AS (
          |  SELECT victim, ts, value,
-         |         sum(brk) OVER (PARTITION BY victim ORDER BY ts
+         |         sum(brk) OVER (PARTITION BY victim ORDER BY ts, seq
          |                        ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM marked)
          |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,

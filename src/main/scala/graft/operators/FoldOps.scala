@@ -34,8 +34,10 @@ object FoldOps {
     "replay_alive_status",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      val states = GameFold.playerStates(GameLog.derive(s, d)).toDF()
-      val creators = GameLog.derive(s, d).toDF()
+      // one materialized derivation feeds both DAG branches (fold + cohort)
+      val log = GameLog.derive(s, d).localCheckpoint()
+      val states = GameFold.playerStates(log).toDF()
+      val creators = log.toDF()
         .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))
         .select("room", "name").distinct()
       states

@@ -156,14 +156,11 @@ object MultimodalOps {
     (s, d) =>
       extractMeta(mediaTable(s, d), FakeDecoder).toDF()
         .filter(col("mime") === "image/png")
-        .withColumn("scale_num", lit(256L))
         .select(col("doc_id"), col("width"), col("height"),
-          when(col("width") >= col("height"),
-            lit(256L)).otherwise(col("width") * 256L / col("height")).cast("long")
-            .as("target_w"),
-          when(col("width") >= col("height"),
-            col("height") * 256L / col("width")).otherwise(lit(256L)).cast("long")
-            .as("target_h")),
+          when(col("width") >= col("height"), lit(256L))
+            .otherwise(expr("width * 256 div height")).as("target_w"),
+          when(col("width") >= col("height"), expr("height * 256 div width"))
+            .otherwise(lit(256L)).as("target_h")),
     oracle = Some(
       s"""$MetaCte
          |SELECT doc_id, width, height,

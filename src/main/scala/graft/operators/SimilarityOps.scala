@@ -43,18 +43,11 @@ object SimilarityOps {
       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  private def vecs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-  }
+  // one normalization + one cosine definition, shared with the dedup path
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    DedupOps.normalizedVecs(s, d)
 
-  private def cosAB: Column =
-    expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+  private def cosAB: Column = DedupOps.cosExpr()
 
   /** Q:ann_cosine_topk — exact top-10 neighbors of query vec_id=0.
     * Plan shape: broadcast the single query row, scan the corpus once,
