@@ -80,51 +80,88 @@ object GameFold {
     val posToBombs = mutable.LinkedHashMap.empty[(Int, Int), String]
     /** explodingBombs (game.go:79): keyed by POSITION, like the reference */
     val explodingBombs = mutable.LinkedHashMap.empty[(Int, Int), String]
-    /** flameMap (game.go:80-84): recomputed from ALL exploding bombs on
-      * every Explode/UndoExplode (event.go:152-163, 184-195)
-      */
-    val flames = mutable.LinkedHashMap.empty[(Int, Int), String]
-    /** obstacle cell -> destructible? (obstacleMap, game.go:73-78) */
-    val obstacles = mutable.LinkedHashMap.empty[(Int, Int), Boolean]
+
+    // grid state is array-backed: the flame recompute runs over ALL
+    // exploding bombs on EVERY explode/undo (reference semantics,
+    // event.go:152-163), so the inner loops must be primitive stores, not
+    // hash-map puts. 0 = empty, 1 = destructible, 2 = indestructible.
+    private val obstacleGrid = new Array[Byte](Width * Height)
+    private val flameGrid = new Array[String](Width * Height)
+    private var destrCount = 0
+    private var indestrCount = 0
+    private var flameCount = 0
+
     var nEvents = 0L
     var lastSeq = -1L
 
+    @inline private def cellOf(x: Int, y: Int): Int = y * Width + x
+    @inline private def hasObstacle(x: Int, y: Int): Boolean =
+      obstacleGrid(cellOf(x, y)) != 0
+
+    /** read-only map views for tests/inspection (not on the hot path) */
+    def obstacles: collection.Map[(Int, Int), Boolean] = {
+      val m = mutable.LinkedHashMap.empty[(Int, Int), Boolean]
+      var c = 0
+      while (c < obstacleGrid.length) {
+        if (obstacleGrid(c) != 0)
+          m((c % Width, c / Width)) = obstacleGrid(c) == 1
+        c += 1
+      }
+      m
+    }
+    def flames: collection.Map[(Int, Int), String] = {
+      val m = mutable.LinkedHashMap.empty[(Int, Int), String]
+      var c = 0
+      while (c < flameGrid.length) {
+        if (flameGrid(c) != null) m((c % Width, c / Width)) = flameGrid(c)
+        c += 1
+      }
+      m
+    }
+
     private def decodeList(list: Seq[Int]): Unit = {
-      obstacles.clear()
+      java.util.Arrays.fill(obstacleGrid, 0.toByte)
+      destrCount = 0
+      indestrCount = 0
       list.foreach { code =>
         val cell = math.abs(code) - 1
-        if (cell >= 0 && cell < Width * Height)
-          obstacles((cell % Width, cell / Width)) = code < 0
+        if (cell >= 0 && cell < Width * Height) {
+          val prev = obstacleGrid(cell)
+          if (prev == 1) destrCount -= 1 else if (prev == 2) indestrCount -= 1
+          if (code < 0) { obstacleGrid(cell) = 1; destrCount += 1 }
+          else { obstacleGrid(cell) = 2; indestrCount += 1 }
+        }
       }
     }
 
     /** getExplodeFlame's four ray loops (utils.go:132-175): left/up start one
       * cell out, right/down start AT the bomb cell; each stops at the border
-      * or when the callback vetoes the cell.
+      * or when the callback vetoes the cell. f receives the cell index.
       */
-    private def rays(bx: Int, by: Int)(f: ((Int, Int)) => Boolean): Unit = {
-      def walk(xs: Iterator[(Int, Int)]): Unit = {
-        var go = true
-        while (go && xs.hasNext) {
-          val p = xs.next()
-          go = inBounds(p._1, p._2) && f(p)
-        }
-      }
-      walk(Iterator.range(bx - 1, bx - RayLen - 1, -1).map((_, by)))
-      walk(Iterator.range(bx, bx + RayLen + 1).map((_, by)))
-      walk(Iterator.range(by - 1, by - RayLen - 1, -1).map((bx, _)))
-      walk(Iterator.range(by, by + RayLen + 1).map((bx, _)))
+    private def rays(bx: Int, by: Int)(f: Int => Boolean): Unit = {
+      // full inBounds per cell (reference validCoordinate, utils.go:61-63):
+      // an out-of-grid bomb position must not alias into a wrong grid row
+      var i = 0
+      var go = true
+      i = bx - 1; go = true
+      while (go && i >= bx - RayLen && inBounds(i, by)) { go = f(cellOf(i, by)); i -= 1 }
+      i = bx; go = true
+      while (go && i <= bx + RayLen && inBounds(i, by)) { go = f(cellOf(i, by)); i += 1 }
+      i = by - 1; go = true
+      while (go && i >= by - RayLen && inBounds(bx, i)) { go = f(cellOf(bx, i)); i -= 1 }
+      i = by; go = true
+      while (go && i <= by + RayLen && inBounds(bx, i)) { go = f(cellOf(bx, i)); i += 1 }
     }
 
     /** Destroy pass (event.go:141-151): destructibles along the ray are
       * deleted and the ray CONTINUES; only indestructibles stop it.
       */
     private def destroyPass(bx: Int, by: Int): Unit =
-      rays(bx, by) { p =>
-        obstacles.get(p) match {
-          case Some(false) => false // indestructible: stop
-          case Some(true) => obstacles.remove(p); true // destroyed, continue
-          case None => true
+      rays(bx, by) { c =>
+        obstacleGrid(c) match {
+          case 2 => false // indestructible: stop
+          case 1 => obstacleGrid(c) = 0; destrCount -= 1; true // destroyed
+          case _ => true
         }
       }
 
@@ -133,11 +170,16 @@ object GameFold {
       * indestructibles block.
       */
     private def recomputeFlames(): Unit = {
-      flames.clear()
+      java.util.Arrays.fill(flameGrid.asInstanceOf[Array[AnyRef]], null)
+      flameCount = 0
       explodingBombs.foreach { case ((bx, by), owner) =>
-        rays(bx, by) { p =>
-          if (obstacles.get(p).contains(false)) false
-          else { flames(p) = owner; true }
+        rays(bx, by) { c =>
+          if (obstacleGrid(c) == 2) false
+          else {
+            if (flameGrid(c) == null) flameCount += 1
+            flameGrid(c) = owner
+            true
+          }
         }
       }
     }
@@ -158,7 +200,7 @@ object GameFold {
       lastSeq = e.seq
       e.event_type match {
         case "UserMoveEvent" => // event.go:30-47: guarded UPSERT
-          if (inBounds(e.x, e.y) && !obstacles.contains((e.x, e.y)) &&
+          if (inBounds(e.x, e.y) && !hasObstacle(e.x, e.y) &&
               !players.get(e.name).exists(!_.alive))
             players(e.name) = Player(e.x, e.y, e.alive)
         case "UserDeadEvent" => // event.go:53-57
@@ -169,7 +211,12 @@ object GameFold {
           players(e.name) = Player(e.x, e.y, alive = true)
           decodeList(e.list)
         case "SetBombEvent" => // event.go:88-93 guard + game.go:241-251
-          if (!obstacles.contains((e.x, e.y))) {
+          if (inBounds(e.x, e.y) && !hasObstacle(e.x, e.y)) {
+            bombs(e.bomb_name) = (e.x, e.y)
+            posToBombs((e.x, e.y)) = e.bomb_name
+          } else if (!inBounds(e.x, e.y)) {
+            // reference has no bounds guard on set (client-validated);
+            // out-of-grid positions cannot index the grid — store only
             bombs(e.bomb_name) = (e.x, e.y)
             posToBombs((e.x, e.y)) = e.bomb_name
           }
@@ -178,7 +225,7 @@ object GameFold {
             if (posToBombs.contains(pos)) {
               removeBomb(e.bomb_name)
               explodingBombs(pos) = e.bomb_name
-              destroyPass(pos._1, pos._2)
+              if (inBounds(pos._1, pos._2)) destroyPass(pos._1, pos._2)
               recomputeFlames()
             }
           }
@@ -205,9 +252,9 @@ object GameFold {
       players.size.toLong,
       players.valuesIterator.count(_.alive).toLong,
       bombs.size.toLong,
-      flames.size.toLong,
-      obstacles.valuesIterator.count(identity).toLong,
-      obstacles.valuesIterator.count(!_).toLong,
+      flameCount.toLong,
+      destrCount.toLong,
+      indestrCount.toLong,
       lastSeq)
   }
 
