@@ -114,6 +114,41 @@ object GraftProperties extends Properties("graft") {
       GameFold.foldLocal(evs) == GameFold.foldLocal(evs)
     }
 
+  // ---- reference-exact explosion semantics ------------------------------
+
+  property("explode destroys every destructible up to the first indestructible") =
+    forAll(Gen.choose(1, 28), Gen.choose(1, 23),
+      Gen.listOf(Gen.choose(1, 6))) { (bx, by, destrOffsets) =>
+      // place destructibles to the RIGHT of the bomb at the given offsets
+      val cells = destrOffsets.distinct.filter(d => bx + d < 30)
+        .map(d => by * 30 + (bx + d))
+      val list = cells.map(c => -(c + 1))
+      val st = new GameFold.RoomState("r")
+      st.apply(GameEvent("r", 1, "UpdateMapEvent", "", "", "", 0, 0, true, list))
+      st.apply(GameEvent("r", 2, "SetBombEvent", "", "b", "", bx, by, true, Nil))
+      st.apply(GameEvent("r", 3, "ExplodeEvent", "", "b", "", 0, 0, true, Nil))
+      // no indestructibles anywhere: ALL in-ray destructibles are destroyed
+      // (destroy-and-continue, event.go:141-151) and the ray is never blocked
+      st.obstacles.isEmpty &&
+        (1 to 6).filter(d => bx + d < 30)
+          .forall(d => st.flames.contains((bx + d, by)))
+    }
+
+  property("undo of one bomb keeps overlapping bombs' flames lit") =
+    forAll(Gen.choose(2, 27), Gen.choose(0, 24)) { (bx, by) =>
+      // two bombs 2 apart on the same row: their rays overlap heavily
+      val st = new GameFold.RoomState("r")
+      st.apply(GameEvent("r", 1, "SetBombEvent", "", "b1", "", bx, by, true, Nil))
+      st.apply(GameEvent("r", 2, "SetBombEvent", "", "b2", "", bx - 2, by, true, Nil))
+      st.apply(GameEvent("r", 3, "ExplodeEvent", "", "b1", "", 0, 0, true, Nil))
+      st.apply(GameEvent("r", 4, "ExplodeEvent", "", "b2", "", 0, 0, true, Nil))
+      st.apply(GameEvent("r", 5, "UndoExplodeEvent", "", "", "", bx, by, true, Nil))
+      // b2 still exploding: its own cell and rays remain lit after b1's undo
+      // (flameMap recomputed from the remaining exploding bombs,
+      // event.go:184-195)
+      st.flames.contains((bx - 2, by)) && st.flames.contains((bx, by))
+    }
+
   // ---- G1 flame geometry ------------------------------------------------
 
   property("explode: each direction lights a contiguous prefix of ≤6 cells") =
