@@ -75,6 +75,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
+        # The driver hashes value REPRESENTATIONS, so a dtype divergence
+        # (e.g. DuckDB widening integer sum() to HUGEINT, which pandas
+        # materializes as float64 vs Spark's int64) fails its gate even
+        # though 25 == 25.0 passes a loose value compare. Catch it here.
+        dtype_bad = None
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            if gk != ek and {gk, ek} != {"O", "O"}:
+                # int vs float (or any numeric-kind mismatch) = driver fail
+                if not (gk in "OU" and ek in "OU"):
+                    dtype_bad = (c, got[c].dtype, exp[c].dtype)
+                    break
+        if dtype_bad:
+            print(f"FAIL {name}: dtype col={dtype_bad[0]} "
+                  f"spark={dtype_bad[1]} oracle={dtype_bad[2]} "
+                  f"(driver hashes representations; cast the oracle)")
+            failures += 1
+            continue
         bad = None
         ga, ea = got.values, exp.values
         for i in range(len(got)):

@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** G1 as a native UDTF (SURVEY §2.8): `graft_flame_rays(bx, by)` emits one
-  * row per candidate flame cell — up to 6 cells in each of the 4 directions
-  * from a bomb position, stopping at the grid border (the generator half of
-  * utils.go:132-175; blocking against obstacles stays relational, J4/W2).
+  * row per candidate flame cell, mirroring the reference's asymmetric rays
+  * (utils.go:132-175): right/down loops start AT the bomb cell (dist 0..6,
+  * so the bomb cell is emitted twice — once per axis, as the reference
+  * appends it twice), left/up start one off (dist 1..6); all stop at the
+  * grid border (blocking against obstacles stays relational, J4/W2).
   *
   * Plans to GenerateExec exactly like explode — the engine-level integration
   * (lateral view, codegen'd consumers downstream) comes free. Used via
@@ -23,11 +25,12 @@ case class FlameRayGenerator(bx: Expression, by: Expression)
   private val Width = 30L
   private val Height = 25L
   private val RayLen = 6
-  private val Dirs: Array[(UTF8String, Long, Long)] = Array(
-    (UTF8String.fromString("R"), 1L, 0L),
-    (UTF8String.fromString("L"), -1L, 0L),
-    (UTF8String.fromString("D"), 0L, 1L),
-    (UTF8String.fromString("U"), 0L, -1L))
+  // (name, dx, dy, startDist): R/D start at the bomb cell (utils.go:144,164)
+  private val Dirs: Array[(UTF8String, Long, Long, Int)] = Array(
+    (UTF8String.fromString("R"), 1L, 0L, 0),
+    (UTF8String.fromString("L"), -1L, 0L, 1),
+    (UTF8String.fromString("D"), 0L, 1L, 0),
+    (UTF8String.fromString("U"), 0L, -1L, 1))
 
   override def children: Seq[Expression] = Seq(bx, by)
 
@@ -47,8 +50,8 @@ case class FlameRayGenerator(bx: Expression, by: Expression)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var d = 0
     while (d < Dirs.length) {
-      val (name, dx, dy) = Dirs(d)
-      var dist = 1
+      val (name, dx, dy, startDist) = Dirs(d)
+      var dist = startDist
       var inside = true
       while (dist <= RayLen && inside) {
         val fx = bxv + dx * dist

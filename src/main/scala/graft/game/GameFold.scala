@@ -225,7 +225,10 @@ object GameFold {
             if (posToBombs.contains(pos)) {
               removeBomb(e.bomb_name)
               explodingBombs(pos) = e.bomb_name
-              if (inBounds(pos._1, pos._2)) destroyPass(pos._1, pos._2)
+              // unguarded like the reference (event.go:141-151): rays() does
+              // per-cell inBounds checks, so an out-of-grid bomb position
+              // still destroys the in-grid cells its left/up rays reach
+              destroyPass(pos._1, pos._2)
               recomputeFlames()
             }
           }

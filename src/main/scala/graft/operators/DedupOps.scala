@@ -35,6 +35,14 @@ object DedupOps {
   val SimhashMaxDist = 3
   val CosineThreshold = 0.4
 
+  /** Stop-shingle document-frequency cap for the n-gram Jaccard path: a
+    * shingle occurring in more than this many documents is boilerplate, not
+    * a similarity signal, and contributes df² rows to the pair join — the
+    * Σdf² term that kills the shingle-join at scale. Both the Spark query
+    * and its oracle compute Jaccard over the capped shingle universe.
+    */
+  val ShingleDfCap = 64L
+
   /** Full-length base-131 rolling hash of a token/shingle — the DuckDB
     * fold bit-identical to the native graft_polyhash
     * (graft.functions.VectorExpressions.PolyHash).
@@ -50,6 +58,11 @@ object DedupOps {
     * self-join walks this subplan from both sides; localCheckpoint
     * materializes it once. (The LSH/simhash paths use the row-local
     * [[hashedShinglesOf]] arrays instead.)
+    *
+    * Scale caveat: localCheckpoint pins blocks in EXECUTOR storage — right
+    * for this sf-scale baseline, but a full-corpus run should materialize
+    * to a reliable checkpoint dir / temp parquet instead (executor loss =
+    * recompute storm; storage eviction = job failure at 100 TB).
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
@@ -104,7 +117,7 @@ object DedupOps {
     },
     oracle = Some(
       """SELECT source, count(*) AS n_docs,
-        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM (SELECT source,
         |             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |      FROM documents)
@@ -160,7 +173,10 @@ object DedupOps {
   val dedupMinhashLsh = GQuery(
     "dedup_minhash_lsh",
     (s, d) => {
-      // one materialization feeds signatures AND verification
+      // one materialization feeds signatures AND verification; this is the
+      // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
+      // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
+      // plan shape is identical, only the materialization medium changes
       val tks = hashedShingleArrays(s, d).localCheckpoint()
       val sig = rowLocalSignatures(tks)
       val bandCols = (0 until NumBands).map(b =>
@@ -222,14 +238,22 @@ object DedupOps {
     },
     bench = true)
 
-  /** Exact all-pairs n-gram Jaccard (the LSH baseline): the shingle-join
-    * trick — pairs materialize only for docs sharing ≥1 shingle, so the
-    * complexity is Σ_shingle df(shingle)², not n².
+  /** Exact n-gram Jaccard over the df-capped shingle universe (the LSH
+    * baseline): the shingle-join trick — pairs materialize only for docs
+    * sharing ≥1 shingle, so the complexity is Σ_shingle df(shingle)² — with
+    * stop-shingles (df > [[ShingleDfCap]]) dropped BEFORE the pair join,
+    * which bounds every df term and keeps the join skew-free at scale. The
+    * df filter is one map-side-combinable aggregate on the same key the
+    * pair join shuffles on.
     */
   val dedupNgramJaccard = GQuery(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val sh = shingleRows(s, d)
+      val shAll = shingleRows(s, d)
+      val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("sh")
+      val sh = shAll.join(keepSh, Seq("sh"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
@@ -246,20 +270,34 @@ object DedupOps {
     },
     oracle = Some(
       s"""$ShingleCte,
+         |capped AS (
+         |  SELECT s.doc_id, s.sh FROM shingle s
+         |  JOIN (SELECT sh FROM shingle GROUP BY sh
+         |        HAVING count(*) <= $ShingleDfCap) k USING (sh)),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
          |inter AS (
          |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
-         |  FROM shingle sa JOIN shingle sb
+         |  FROM capped sa JOIN capped sb
          |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
          |  GROUP BY sa.doc_id, sb.doc_id)
          |SELECT i.doc_a, i.doc_b,
          |       ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
-         |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
-         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |FROM inter i JOIN csizes za ON za.doc_id = i.doc_a
+         |             JOIN csizes zb ON zb.doc_id = i.doc_b
          |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin))
 
-  /** 32-bit SimHash over shingle keys: per-bit majority vote, then all-pairs
-    * Hamming ≤ 3. The bit votes are one groupBy(doc, bit) + one groupBy(doc);
-    * the pair scan is the small signature table only (1 row/doc).
+  /** 32-bit SimHash over shingle keys: per-bit majority vote, then
+    * Hamming-ball banding instead of an all-pairs scan. The signature is
+    * split into 4 non-overlapping 8-bit bands; by pigeonhole, any pair at
+    * Hamming distance ≤ 3 differs in at most 3 bands and so agrees exactly
+    * on ≥ 1 band — a self-join on (band, band_value) finds every qualifying
+    * pair, and `bit_count` verifies candidates. No cartesian anywhere: the
+    * only shuffles are band keys and the candidate set.
+    *
+    * Scale note: 4×8-bit bands give only 4·256 distinct join keys — fine
+    * for the 32-bit oracle-checked form, but at 100 TB you widen the
+    * signature to 64 bits and band 4×16 (4·65536 keys) to keep bucket
+    * cardinality bounded; the plan shape is unchanged.
     */
   val dedupSimhash = GQuery(
     "dedup_simhash",
@@ -274,15 +312,25 @@ object DedupOps {
       val sh32 = (0 until SimhashBits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
-      // 1 row/doc; both sides of the all-pairs join read it
+      // 1 row/doc, read by both sides of the band self-join; localCheckpoint
+      // is safe here at any scale (the signature table is ~16 bytes/doc)
       val sig = votes.select(col("doc_id"), sh32.as("sh32")).localCheckpoint()
-      sig.as("a")
-        .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist",
-          expr("CAST(bit_count(a.sh32 ^ b.sh32) AS BIGINT)"))
+      val nBands = SimhashMaxDist + 1           // ≥ maxDist+1 bands required
+      val bandBits = SimhashBits / nBands
+      val bandVals = array((0 until nBands).map(b =>
+        expr(s"shiftright(sh32, ${b * bandBits}) & ${(1L << bandBits) - 1}")): _*)
+      val bands = sig.select(col("doc_id"), col("sh32"),
+        posexplode(bandVals).as(Seq("band", "bv")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.sh32").as("sha"),
+          col("b.doc_id").as("doc_b"), col("b.sh32").as("shb"))
+        .distinct() // a pair can agree on several bands
+        .withColumn("dist", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
         .filter(col("dist") <= SimhashMaxDist)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("dist"))
+        .select(col("doc_a"), col("doc_b"), col("dist"))
     },
     oracle = Some(
       s"""$ShingleCte,

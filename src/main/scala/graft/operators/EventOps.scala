@@ -95,7 +95,7 @@ object EventOps {
         .groupBy("killer").agg(sum("kills").as("score")),
     oracle = Some(
       s"""$GameCte
-         |SELECT killer, sum(kills) AS score FROM (
+         |SELECT killer, CAST(sum(kills) AS BIGINT) AS score FROM (
          |  SELECT room, killer, count(*) AS kills FROM game
          |  WHERE event_type = 'error' AND victim <> killer
          |  GROUP BY room, killer)

@@ -34,7 +34,10 @@ object FoldOps {
     "replay_alive_status",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      // one materialized derivation feeds both DAG branches (fold + cohort)
+      // one materialized derivation feeds both DAG branches (fold + cohort);
+      // the derived log is bounded by the events table, but at 100 TB this
+      // localCheckpoint (executor-storage-pinned) should become a reliable
+      // checkpoint/temp parquet — same plan, different materialization
       val log = GameLog.derive(s, d).localCheckpoint()
       val states = GameFold.playerStates(log).toDF()
       val creators = log.toDF()

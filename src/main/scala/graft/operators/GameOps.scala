@@ -57,11 +57,17 @@ object GameOps {
         ((col("user_id") * 7) % H).as("py"))
 
   /** Direction table — always broadcast (4 rows). */
+  /** The four rays with their per-direction start distance: the reference's
+    * right/down loops start AT the bomb cell (utils.go:144,164 — dist 0..6),
+    * left/up start one off (utils.go:134,154 — dist 1..6). The bomb cell is
+    * therefore emitted twice (once by R, once by D), exactly as the
+    * reference appends it twice.
+    */
   private def dirs(s: SparkSession): DataFrame = {
     import s.implicits._
     broadcast(
-      Seq(("R", 1L, 0L), ("L", -1L, 0L), ("D", 0L, 1L), ("U", 0L, -1L))
-        .toDF("dir", "dx", "dy"))
+      Seq(("R", 1L, 0L, 0L), ("L", -1L, 0L, 1L), ("D", 0L, 1L, 0L), ("U", 0L, -1L, 1L))
+        .toDF("dir", "dx", "dy", "d0"))
   }
 
   /** Shared oracle CTE prefix mirroring the derivations above. */
@@ -75,8 +81,8 @@ object GameOps {
       |  SELECT *, owner || '-b' || CAST(bomb_seq AS VARCHAR) AS bomb_name,
       |         cell % 30 AS bx, cell // 30 AS by FROM bombs),
       |dirs AS (
-      |  SELECT dir, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy
-      |  FROM (VALUES ('R', 1, 0), ('L', -1, 0), ('D', 0, 1), ('U', 0, -1)) AS d(dir, dx, dy)),
+      |  SELECT dir, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy, CAST(d0 AS BIGINT) AS d0
+      |  FROM (VALUES ('R', 1, 0, 0), ('L', -1, 0, 1), ('D', 0, 1, 0), ('U', 0, -1, 1)) AS d(dir, dx, dy, d0)),
       |obstacles AS (
       |  SELECT r AS ocell, (r % 2 = 0) AS destructible
       |  FROM range(750) t(r) WHERE r % 7 = 3),
@@ -87,8 +93,9 @@ object GameOps {
       |cand AS (
       |  SELECT b.bomb_name, b.owner, d.dir, g.dist,
       |         b.bx + d.dx * g.dist AS fx, b.by + d.dy * g.dist AS fy
-      |  FROM b2 b CROSS JOIN dirs d CROSS JOIN generate_series(1, 6) g(dist)
-      |  WHERE b.bx + d.dx * g.dist BETWEEN 0 AND 29
+      |  FROM b2 b CROSS JOIN dirs d CROSS JOIN generate_series(0, 6) g(dist)
+      |  WHERE g.dist >= d.d0
+      |    AND b.bx + d.dx * g.dist BETWEEN 0 AND 29
       |    AND b.by + d.dy * g.dist BETWEEN 0 AND 24),
       |withobs AS (
       |  SELECT c.*, c.fy * 30 + c.fx AS fcell,
@@ -102,13 +109,14 @@ object GameOps {
       |  SELECT * FROM blocked
       |  WHERE dist < coalesce(block_dist, 99))""".stripMargin
 
-  /** Flame-ray candidates: bombs × 4 directions × dist 1..6, border-clamped
-    * (F4 bounds predicate). The generator half of G1 (utils.go:132-152).
+  /** Flame-ray candidates: bombs × 4 directions × dist d0..6 (d0 = 0 for
+    * R/D, 1 for L/U), border-clamped (F4 bounds predicate). The generator
+    * half of G1 (utils.go:132-175), asymmetric rays reference-exact.
     */
   private def flameCandidates(s: SparkSession, d: String): DataFrame =
     bombs(s, d)
       .crossJoin(dirs(s))
-      .withColumn("dist", explode(sequence(lit(1L), lit(RayLen))))
+      .withColumn("dist", explode(sequence(col("d0"), lit(RayLen))))
       .withColumn("fx", col("bx") + col("dx") * col("dist"))
       .withColumn("fy", col("by") + col("dy") * col("dist"))
       .filter(col("fx").between(0, W - 1) && col("fy").between(0, H - 1))

@@ -35,14 +35,31 @@ object MultimodalOps {
     def decode(mime: String, payload: Array[Byte]): (Long, Long, Long)
   }
 
-  /** Production decoder: requires javax.imageio / ffmpeg bindings — NOT
-    * available in this container; wire a real implementation here when the
-    * runtime has the codecs.
+  /** Config key selecting the decoder implementation for [[decoderFor]]:
+    * `fake` (default, deterministic) or `real` (requires codecs on the
+    * executor classpath).
+    */
+  val DecoderConfKey = "spark.graft.multimodal.decoder"
+
+  /** Production decoder seam: requires javax.imageio / ffmpeg bindings not
+    * present in this container. Calling it without the codecs wired produces
+    * a typed, actionable error (not a bare NotImplementedError).
     */
   object RealDecoder extends MediaDecoder {
     def decode(mime: String, payload: Array[Byte]): (Long, Long, Long) =
-      ??? // stub: no imaging/audio libraries in this environment
+      throw new UnsupportedOperationException(
+        s"RealDecoder: no media codecs on the classpath (need javax.imageio " +
+          s"for image/*, an ffmpeg binding for audio/video; got mime=$mime). " +
+          s"Wire an implementation here, or set $DecoderConfKey=fake to use " +
+          "the deterministic test decoder.")
   }
+
+  /** Resolve the decoder from session conf (`fake` default). */
+  def decoderFor(s: SparkSession): MediaDecoder =
+    s.conf.get(DecoderConfKey, "fake") match {
+      case "real" => RealDecoder
+      case _      => FakeDecoder
+    }
 
   /** Deterministic fake: dimensions derived from a byte checksum, so tests
     * and the DuckDB oracle reproduce them exactly.
@@ -105,15 +122,15 @@ object MultimodalOps {
       |  SELECT doc_id,
       |         (['image/png','audio/wav','video/mp4'])[(doc_id % 3 + 1)::INT] AS mime,
       |         CAST(length(text) AS BIGINT) AS n_bytes,
-      |         list_sum(list_transform(generate_series(1, length(text)),
+      |         CAST(list_sum(list_transform(generate_series(1, length(text)),
       |                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)))
-      |           % 2147483647 AS checksum
+      |           % 2147483647 AS BIGINT) AS checksum
       |  FROM documents),
       |m2 AS (
       |  SELECT doc_id, mime, n_bytes, checksum,
-      |         64 + checksum % 512 AS width,
-      |         64 + (checksum // 512) % 512 AS height,
-      |         CASE WHEN mime = 'video/mp4' THEN 1 + checksum % 240 ELSE 1 END AS n_frames
+      |         CAST(64 + checksum % 512 AS BIGINT) AS width,
+      |         CAST(64 + (checksum // 512) % 512 AS BIGINT) AS height,
+      |         CAST(CASE WHEN mime = 'video/mp4' THEN 1 + checksum % 240 ELSE 1 END AS BIGINT) AS n_frames
       |  FROM meta)""".stripMargin
 
   /** Q:multimodal_meta_extract — the full decode-plumbing pipeline with the

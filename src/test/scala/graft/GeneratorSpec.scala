@@ -20,10 +20,13 @@ class GeneratorSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
 
-    val dirs = Seq(("R", 1L, 0L), ("L", -1L, 0L), ("D", 0L, 1L), ("U", 0L, -1L))
-      .toDF("dir", "dx", "dy")
+    // reference-exact asymmetric rays (utils.go:132-175): R/D start at the
+    // bomb cell (dist 0), L/U one off (dist 1)
+    val dirs = Seq(("R", 1L, 0L, 0L), ("L", -1L, 0L, 1L),
+        ("D", 0L, 1L, 0L), ("U", 0L, -1L, 1L))
+      .toDF("dir", "dx", "dy", "d0")
     val relational = bombs.crossJoin(dirs)
-      .withColumn("dist", explode(sequence(lit(1L), lit(6L))))
+      .withColumn("dist", explode(sequence(col("d0"), lit(6L))))
       .withColumn("fx", col("bx") + col("dx") * col("dist"))
       .withColumn("fy", col("by") + col("dy") * col("dist"))
       .filter(col("fx").between(0, 29) && col("fy").between(0, 24))
