@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -49,6 +48,29 @@ object SimilarityOps {
 
   private def cosAB: Column = DedupOps.cosExpr()
 
+  /** Per-query exact top-k via the fused graft_cosine_topk aggregate
+    * (CosineTopKAggregate): a bounded k-heap per group with map-side partial
+    * merge — only k rows per query cross the shuffle, where the former
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id)`
+    * shuffled and sorted the ENTIRE candidate set. Same deterministic order
+    * (cos DESC, neighbor_id ASC), so oracles are unchanged.
+    *
+    * @param scored (groupCols..., neighbor_id, cos)
+    * @param groupCols grouping keys (query_id, plus bucket for the LSH form)
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int,
+                           groupCols: Seq[String]): DataFrame = {
+    graft.functions.CosineTopKAggregate.ensureRegistered(scored.sparkSession)
+    scored
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_cosine_topk(cos, neighbor_id, $k)").as("topk"))
+      .select(groupCols.map(col) :+ posexplode(col("topk")).as(Seq("pos", "kv")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("kv.id").as("neighbor_id"),
+        round(col("kv.score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
   /** Q:ann_cosine_topk — exact top-10 neighbors of query vec_id=0.
     * Plan shape: broadcast the single query row, scan the corpus once,
     * TakeOrderedAndProject for the top-k (no global sort).
@@ -77,9 +99,9 @@ object SimilarityOps {
          |LIMIT $TopK""".stripMargin),
     bench = true)
 
-  /** Q:ann_topk_per_query — exact top-5 per query (vec_id<10), rank via
-    * window. The query side broadcasts; per-query ranking is one window over
-    * the candidate set, partitioned by query id.
+  /** Q:ann_topk_per_query — exact top-5 per query (vec_id<10). The query
+    * side broadcasts; ranking is the fused graft_cosine_topk aggregate (no
+    * window — k rows per query cross the shuffle).
     */
   val annTopkPerQuery = GQuery(
     "ann_topk_per_query",
@@ -91,13 +113,7 @@ object SimilarityOps {
         .withColumn("cos", cosAB)
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
           col("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(desc("cos"), asc("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= PerQueryK)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+      topkPerQuery(scored, PerQueryK, Seq("query_id"))
     },
     oracle = Some(
       s"""$VecCte,
@@ -129,13 +145,7 @@ object SimilarityOps {
         .withColumn("cos", cosAB)
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
           col("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(desc("cos"), asc("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= PerQueryK)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+      topkPerQuery(scored, PerQueryK, Seq("query_id"))
     },
     oracle = Some(
       s"""$VecCte,
@@ -172,13 +182,9 @@ object SimilarityOps {
         .withColumn("cos", cosAB)
         .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
           col("b.vec_id").as("neighbor_id"), col("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(desc("cos"), asc("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("bucket"), col("neighbor_id"),
-          round(col("cos"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+      // bucket is functionally dependent on query_id — grouping by both
+      // keeps it in the output without a join back
+      topkPerQuery(scored, 3, Seq("query_id", "bucket"))
     },
     oracle = Some {
       val bucketExpr = (0 until NumPlanes).map { p =>

@@ -31,19 +31,99 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** S2/S3: the event log as an unbounded stream (file source standing in
-    * for the broker; `maxFilesPerTrigger` bounds micro-batch size the way
-    * the reference's receive loop drains one event per frame).
+  /** JSON payload schema for broker-delivered events (the reference
+    * serializes one JSON event per Pulsar message, pulsar.go:133-138).
     */
+  val EventsPayloadSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Source seam: which streaming connector delivers the event log. The
+    * pipelines downstream of [[readEvents]] only see the normalized
+    * events-shaped columns (event_id, ts, user_id, event_type, value,
+    * props), so swapping the testbed file source for the Pulsar connector
+    * is a config change, not a code change:
+    *
+    *   EventStream.readEvents(spark, EventSourceConfig.pulsar(
+    *     serviceUrl = "pulsar://broker:6650",
+    *     adminUrl   = "http://broker:8080",
+    *     topicsPattern = "persistent://public/default/game-.*"))
+    *
+    * Broker-column mapping (reference semantics, pulsar.go:124-179):
+    *   - topic (`__topic`, one topic per room — S6 regex fan-in via
+    *     `topicsPattern`) carries the room; parse with
+    *     EventOps.parse_room_name (C9/C10) when the deployment keys rooms
+    *     by topic instead of the testbed's user_id derivation;
+    *   - `__sequenceId` (MessageID ledger order) → `event_id`/seq — the
+    *     per-topic total order the reference's replay contract needs;
+    *   - `__publishTime` → `ts` (event time for watermarks);
+    *   - message payload (JSON) → user_id/event_type/value/props via
+    *     [[EventsPayloadSchema]].
+    */
+  final case class EventSourceConfig(
+      format: String,
+      path: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None)
+
+  object EventSourceConfig {
+    /** Testbed file source standing in for the broker; `maxFilesPerTrigger`
+      * bounds micro-batch size the way the reference's receive loop drains
+      * one event per frame. Glob form: the file source requires a directory
+      * or glob, and the testbed stores each table as a single parquet file.
+      */
+    def file(dir: String): EventSourceConfig = EventSourceConfig(
+      format = "parquet",
+      path = Some(s"$dir/events.parque[t]"),
+      options = Map("maxFilesPerTrigger" -> "1"),
+      schema = Some(EventsFileSchema))
+
+    /** Pulsar connector config — drops in unmodified where the connector
+      * jar is on the classpath (none exists in this sandbox, so this path
+      * is exercised only down to the DataStreamReader wiring).
+      */
+    def pulsar(serviceUrl: String, adminUrl: String,
+               topicsPattern: String): EventSourceConfig = EventSourceConfig(
+      format = "pulsar",
+      options = Map(
+        "service.url" -> serviceUrl,
+        "admin.url" -> adminUrl,
+        "topicsPattern" -> topicsPattern))
+  }
+
+  /** S2/S3: the event log as an unbounded stream through the source seam —
+    * build the reader from config, normalize to the events-shaped columns.
+    */
+  def readEvents(spark: SparkSession, cfg: EventSourceConfig): DataFrame = {
+    var reader = spark.readStream.format(cfg.format)
+    cfg.schema.foreach(s => reader = reader.schema(s))
+    reader = reader.options(cfg.options)
+    val raw = cfg.path.map(reader.load).getOrElse(reader.load())
+    normalize(cfg, raw)
+  }
+
+  /** Per-format normalization to the shared events shape. */
+  private def normalize(cfg: EventSourceConfig, raw: DataFrame): DataFrame =
+    cfg.format match {
+      case "pulsar" =>
+        // broker framing → events shape (see EventSourceConfig scaladoc)
+        raw.select(
+          col("__sequenceId").as("event_id"),
+          col("__publishTime").as("ts"),
+          from_json(col("value").cast("string"), EventsPayloadSchema).as("e"))
+          .select(col("event_id"), col("ts"), col("e.user_id"),
+            col("e.event_type"), col("e.value"), col("e.props"))
+      case _ =>
+        // testbed parquet: ts is a nanos long on disk (see Tables.events)
+        raw.withColumn("ts", graft.Tables.nanosColToMicrosTs("ts"))
+    }
+
+  /** Back-compat entry: the testbed file source for `dir`. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsFileSchema)
-      .option("maxFilesPerTrigger", "1")
-      // glob form: the file source requires a directory or glob, and the
-      // testbed stores each table as a single parquet file
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", graft.Tables.nanosColToMicrosTs("ts"))
+    readEvents(spark, EventSourceConfig.file(dir))
   }
 
   /** A1 streaming: running kill-count per (room, killer) — update-mode hash

@@ -27,6 +27,30 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("source seam: explicit EventSourceConfig runs the same pipeline") {
+    // the Pulsar connector swaps in by handing readEvents a different
+    // config; here the file config exercises the identical seam
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = EventStream.readEvents(
+      spark, EventStream.EventSourceConfig.file(smokeDir))
+    EventStream.runToMemory(
+      EventStream.killCounts(stream), "kills_seam", OutputMode.Complete)
+    val streamed = spark.table("kills_seam")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchKillCounts)
+    assert(streamed.nonEmpty)
+  }
+
+  test("pulsar config wires the documented connector options") {
+    val cfg = EventStream.EventSourceConfig.pulsar(
+      "pulsar://broker:6650", "http://broker:8080",
+      "persistent://public/default/game-.*")
+    assert(cfg.format === "pulsar")
+    assert(cfg.options("service.url") === "pulsar://broker:6650")
+    assert(cfg.options("topicsPattern").contains("game-"))
+    assert(cfg.schema.isEmpty) // broker source infers its own schema
+  }
+
   test("streaming windowed count with watermark == batch window agg") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
