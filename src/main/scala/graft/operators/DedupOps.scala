@@ -377,6 +377,38 @@ object DedupOps {
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
 
+  /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
+    * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the
+    * all-pairs scan into a per-bucket self-join — shuffle keys are bucket
+    * ids, signatures are row-local, candidates verified by exact cosine.
+    * Recall < 1 by design (a near-dup pair split across buckets is missed);
+    * [[dedupEmbeddingCosine]] remains the exact baseline.
+    */
+  val dedupEmbeddingLsh = GQuery(
+    "dedup_embedding_lsh",
+    (s, d) => {
+      val e = SimilarityOps.withBucket(normalizedVecs(s, d))
+      e.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosExpr())
+        .filter(col("cos") >= CosineThreshold)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.bucket").as("bucket"), round(col("cos"), 4).as("cosine"))
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
+
   /** vec_id, label, v (double array), nrm — the single normalization used
     * by BOTH the dedup and ANN cosine paths (SimilarityOps). Norms and dot
     * products use the native codegen DotProduct expression (primitive loop,
@@ -398,5 +430,5 @@ object DedupOps {
 
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
-    dedupEmbeddingCosine)
+    dedupEmbeddingCosine, dedupEmbeddingLsh)
 }

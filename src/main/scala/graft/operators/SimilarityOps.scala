@@ -36,6 +36,23 @@ object SimilarityOps {
   private def planeDuck(p: Int): String =
     s"list_transform(generate_series(0, 63), i -> ((($p * 64 + i) * 2654435761) % 2001 - 1000)::DOUBLE)"
 
+  /** Sign-LSH bucket id over the normalized `v` column — row-local; shared
+    * by ann_lsh_bucket and the dedup_embedding_lsh scale path.
+    */
+  private[operators] def withBucket(e: DataFrame): DataFrame =
+    e.withColumn("bucket",
+      (0 until NumPlanes).map { p =>
+        when(aggregate(zip_with(col("v"), planeSpark(p), (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _))
+
+  /** The DuckDB twin of [[withBucket]]'s bucket expression. */
+  private[operators] def bucketDuck: String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> v[i] * (${planeDuck(p)})[i])) > 0 THEN 1::BIGINT << $p ELSE 0 END)"
+    }.mkString(" + ")
+
   private val VecCte =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -169,15 +186,10 @@ object SimilarityOps {
   val annLshBucket = GQuery(
     "ann_lsh_bucket",
     (s, d) => {
-      val e = vecs(s, d)
-      val withBucket = e.withColumn("bucket",
-        (0 until NumPlanes).map { p =>
-          when(aggregate(zip_with(col("v"), planeSpark(p), (x, w) => x * w),
-            lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(0L)
-        }.reduce(_ + _))
-      val q = broadcast(withBucket.filter(col("vec_id") < NumQueries).as("a"))
+      val bucketed = withBucket(vecs(s, d))
+      val q = broadcast(bucketed.filter(col("vec_id") < NumQueries).as("a"))
       val scored = q
-        .join(withBucket.as("b"),
+        .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("cos", cosAB)
         .select(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"),
@@ -187,12 +199,8 @@ object SimilarityOps {
       topkPerQuery(scored, 3, Seq("query_id", "bucket"))
     },
     oracle = Some {
-      val bucketExpr = (0 until NumPlanes).map { p =>
-        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
-          s"i -> v[i] * (${planeDuck(p)})[i])) > 0 THEN 1::BIGINT << $p ELSE 0 END)"
-      }.mkString(" + ")
       s"""$VecCte,
-         |wb AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e),
+         |wb AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e),
          |scored AS (
          |  SELECT a.vec_id AS query_id, a.bucket AS bucket,
          |         b.vec_id AS neighbor_id,
