@@ -109,9 +109,83 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** graft_shingle_hashes(text): the whole shingle pipeline —
+    * space-tokenize, drop empty tokens, 3-gram shingles, base-131 polyhash
+    * of each "tok1 tok2 tok3" string, distinct preserving first occurrence
+    * — as ONE native call. Semantically identical to the HOF chain
+    *   array_distinct(transform(sequence(1, size(t)-2),
+    *     i -> graft_polyhash(concat_ws(' ', t[i], t[i+1], t[i+2]))))
+    *   with t = filter(split(text, ' '), w -> w <> '')
+    * but with zero interpreted lambda dispatch and zero intermediate
+    * strings: shingle hashes fold straight over the input bytes (the joined
+    * string is never materialized). <3 tokens ⇒ empty array.
+    */
+  case class ShingleHashes(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any =
+      ShingleHashes.compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorExpressions.ShingleHashes$$.MODULE$$.compute($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object ShingleHashes {
+    private val Mod = 2147483647L
+
+    /** Called from both interpreted eval and generated Java. */
+    def compute(s: UTF8String): ArrayData = {
+      val bytes = s.getBytes // UTF-8; 0x20 never occurs inside a multi-byte char
+      val n = bytes.length
+      // token ranges, empty tokens dropped (== filter(split(text,' '), _ != ""))
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      var tokStart = 0
+      while (i <= n) {
+        if (i == n || bytes(i) == 0x20) {
+          if (i > tokStart) { starts.add(tokStart); ends.add(i) }
+          tokStart = i + 1
+        }
+        i += 1
+      }
+      val nTok = starts.size()
+      if (nTok < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new java.util.ArrayList[java.lang.Long]()
+      var t = 0
+      while (t <= nTok - 3) {
+        var acc = 0L
+        var g = 0
+        while (g < 3) {
+          if (g > 0) acc = (acc * 131 + 0x20L) % Mod // the joining space
+          var b = starts.get(t + g)
+          val e = ends.get(t + g)
+          while (b < e) { acc = (acc * 131 + (bytes(b) & 0xffL)) % Mod; b += 1 }
+          g += 1
+        }
+        val boxed = java.lang.Long.valueOf(acc)
+        if (seen.add(boxed)) out.add(boxed)
+        t += 1
+      }
+      val arr = new Array[Long](out.size())
+      var j = 0
+      while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
+
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
-    "graft_polyhash" -> (es => PolyHash(es.head)))
+    "graft_polyhash" -> (es => PolyHash(es.head)),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head)))
 
   /** Idempotent per-session registration — call before using
     * expr("graft_*"). The SessionExtensions path below is the spark-submit

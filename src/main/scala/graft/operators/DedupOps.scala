@@ -134,15 +134,12 @@ object DedupOps {
     */
   def hashedShinglesOf(docs: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
+    // one native codegen call replaces the split/filter/transform HOF chain
+    // (interpreted per-element lambdas); a doc with <3 tokens hashes to an
+    // empty array, so the size filter keeps the row set identical
     docs
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> graft_polyhash(concat_ws(' ', element_at(t, i), " +
-          "element_at(t, i + 1), element_at(t, i + 2)))))")
-          .as("tks"))
+      .select(col("doc_id"), expr("graft_shingle_hashes(text)").as("tks"))
+      .filter(size(col("tks")) > 0)
   }
 
   private def hashedShingleArrays(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** The native one-call shingle hasher must agree exactly with the HOF chain
+  * it replaces (split → filter empties → 3-gram → polyhash → distinct),
+  * including edge cases the corpus may not cover.
+  */
+class ShingleHashesSpec extends SparkSuite {
+
+  private def hofChain = {
+    expr("array_distinct(transform(sequence(1, size(t) - 2), " +
+      "i -> graft_polyhash(concat_ws(' ', element_at(t, i), " +
+      "element_at(t, i + 1), element_at(t, i + 2)))))")
+  }
+
+  test("matches the HOF chain on the document corpus and edge cases") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "a", "a b", "a b c", "a  b   c", " a b c ",
+      "a b c d e", "x x x x", "héllo wörld déjà vu", "tab\tis one token b c"
+    ).zipWithIndex.map { case (t, i) => (10000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
+      .union(edge)
+
+    val viaHof = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), hofChain.as("tks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    val viaNative = docs
+      .select(col("doc_id"), expr("graft_shingle_hashes(text)").as("tks"))
+      .filter(size(col("tks")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    assert(viaNative.keySet === viaHof.keySet)
+    viaHof.foreach { case (id, tks) =>
+      assert(viaNative(id) === tks, s"doc $id diverges")
+    }
+    assert(viaNative.nonEmpty)
+  }
+
+  test("participates in whole-stage codegen (no fallback)") {
+    VectorExpressions.ensureRegistered(spark)
+    // a local Seq collapses to LocalTableScan (eager interpreted eval);
+    // range() forces a real projection stage
+    val df = spark.range(4)
+      .selectExpr("concat('a b c d', id) AS text")
+      .selectExpr("graft_shingle_hashes(text) AS tks")
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages render with the `*(n)` prefix
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+    assert(df.collect().forall(_.getSeq[Long](0).nonEmpty))
+  }
+}
