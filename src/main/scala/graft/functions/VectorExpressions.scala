@@ -3,10 +3,18 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Java-visible interface for the shingle-kernel codegen call site: the
+  * generated code holds the kernel as a reference object typed by this
+  * trait's clean (un-mangled) binary name.
+  */
+trait ShingleKernel extends Serializable {
+  def compute(s: UTF8String): ArrayData
+}
 
 /** Native Catalyst expressions for the hot inner loops (SURVEY §4's "custom
   * work" list). Both participate in whole-stage codegen: the generated Java
@@ -129,19 +137,23 @@ object VectorExpressions {
     override def nullSafeEval(v: Any): Any =
       ShingleHashes.compute(v.asInstanceOf[UTF8String])
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, s =>
-        s"${ev.value} = graft.functions.VectorExpressions.ShingleHashes$$.MODULE$$.compute($s);")
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // reference the companion kernel as an object handle — avoids spelling
+      // the Scala-mangled nested-object class name in generated Java
+      val kernel = ctx.addReferenceObj("shingleKernel", ShingleHashes,
+        classOf[ShingleKernel].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $kernel.compute($s);")
+    }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  object ShingleHashes {
+  object ShingleHashes extends ShingleKernel {
     private val Mod = 2147483647L
 
     /** Called from both interpreted eval and generated Java. */
-    def compute(s: UTF8String): ArrayData = {
+    override def compute(s: UTF8String): ArrayData = {
       val bytes = s.getBytes // UTF-8; 0x20 never occurs inside a multi-byte char
       val n = bytes.length
       // token ranges, empty tokens dropped (== filter(split(text,' '), _ != ""))
@@ -182,10 +194,78 @@ object VectorExpressions {
     }
   }
 
+  /** graft_shingle_rows(text): generator form of the STRING shingle
+    * pipeline — one output row per DISTINCT 3-gram shingle ("tok1 tok2
+    * tok3"), first-occurrence order. Replaces
+    *   explode(transform(sequence(...), i -> concat_ws(...))) + distinct()
+    * for the exact n-gram Jaccard path: the per-shingle strings are built
+    * in one compiled pass over the input bytes and the per-doc dedup
+    * happens inside the generator, so no aggregate is needed afterwards.
+    * (Generators always run via GenerateExec; CodegenFallback here only
+    * affects the expression, not the surrounding stage.)
+    */
+  case class ShingleRows(child: Expression)
+      extends Generator with CodegenFallback {
+
+    override def children: Seq[Expression] = Seq(child)
+
+    override def elementSchema: StructType =
+      StructType(Seq(StructField("sh", StringType, nullable = false)))
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Iterator.empty
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val n = bytes.length
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      var tokStart = 0
+      while (i <= n) {
+        if (i == n || bytes(i) == 0x20) {
+          if (i > tokStart) { starts.add(tokStart); ends.add(i) }
+          tokStart = i + 1
+        }
+        i += 1
+      }
+      val nTok = starts.size()
+      if (nTok < 3) return Iterator.empty
+      val seen = new java.util.HashSet[UTF8String]()
+      val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+      var t = 0
+      while (t <= nTok - 3) {
+        val len = (ends.get(t) - starts.get(t)) +
+          (ends.get(t + 1) - starts.get(t + 1)) +
+          (ends.get(t + 2) - starts.get(t + 2)) + 2
+        val buf = new Array[Byte](len)
+        var o = 0
+        var g = 0
+        while (g < 3) {
+          if (g > 0) { buf(o) = 0x20; o += 1 }
+          val s0 = starts.get(t + g)
+          val l0 = ends.get(t + g) - s0
+          System.arraycopy(bytes, s0, buf, o, l0)
+          o += l0
+          g += 1
+        }
+        val sh = UTF8String.fromBytes(buf)
+        if (seen.add(sh))
+          out.add(org.apache.spark.sql.catalyst.InternalRow(sh))
+        t += 1
+      }
+      scala.jdk.CollectionConverters.ListHasAsScala(out).asScala
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+  }
+
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_polyhash" -> (es => PolyHash(es.head)),
-    "graft_shingle_hashes" -> (es => ShingleHashes(es.head)))
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
+    "graft_shingle_rows" -> (es => ShingleRows(es.head)))
 
   /** Idempotent per-session registration — call before using
     * expr("graft_*"). The SessionExtensions path below is the spark-submit

@@ -67,24 +67,12 @@ object DedupOps {
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
     // the testbed stores documents as one parquet row-group → one input
-    // split; spread the (interpreted) shingle lambdas across the cluster
-    val toks = Tables.documents(s, d)
+    // split; spread the shingle generation across the cluster. The native
+    // generator emits DISTINCT shingles per doc (compiled byte-level pass,
+    // dedup inside the generator), so no distinct() aggregate follows.
+    Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("t"))
-    // row-level guard instead of when(...).otherwise(empty): wrapping the
-    // transform in CASE WHEN forces the projection out of the fast path
-    // (measured 25× slower); docs with <3 tokens shingle to nothing either
-    // way, so filtering them is semantically identical
-    toks
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("sh"))
-      .distinct()
+      .selectExpr("doc_id", "graft_shingle_rows(text)")
       .localCheckpoint()
   }
 

@@ -44,6 +44,34 @@ class ShingleHashesSpec extends SparkSuite {
     assert(viaNative.nonEmpty)
   }
 
+  test("graft_shingle_rows == explode+distinct of the string HOF chain") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val edge = Seq("", "a b", "a b c", "a  b   c d", "x x x x x")
+      .zipWithIndex.map { case (t, i) => (20000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
+      .union(edge)
+
+    val viaHof = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("sh"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val viaGen = docs.selectExpr("doc_id", "graft_shingle_rows(text)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(viaGen === viaHof)
+    assert(viaGen.nonEmpty)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     VectorExpressions.ensureRegistered(spark)
     // a local Seq collapses to LocalTableScan (eager interpreted eval);
