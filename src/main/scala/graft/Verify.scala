@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // completion marker: distinguishes a finished dump from stale output of
+    // an earlier run when a later invocation dies before writing anything
+    System.err.println(s"[verify] done: ${SparkEntry.queries.size} queries dumped")
     spark.stop()
   }
 }

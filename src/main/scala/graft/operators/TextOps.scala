@@ -225,7 +225,130 @@ object TextOps {
         |  WHERE len(t) >= 2)
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin))
 
+  /** tf-idf top-terms per document — the classic salience/quality signal of
+    * a training-data pipeline. Three shuffles, all key-bounded at 100 TB:
+    * tf on (doc_id, word); df on word (map-side combined, ∝ vocabulary);
+    * the scored join back on word. The final per-doc ranking window is
+    * bounded by DOCUMENT length (a doc's distinct words), independent of
+    * corpus size — unlike a per-query ANN window, it never sees more rows
+    * than the doc itself contains, so no fused aggregate is needed.
+    *
+    * idf = ln((N+1)/(df+1)) (smoothed); score rounded at 4 decimals —
+    * ln is transcendental, so the scaled-integer rule for terminating
+    * decimals does not apply (see .claude/skills/verify/SKILL.md).
+    */
+  val textTfidfTopk = GQuery(
+    "text_tfidf_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      // corpus size as a broadcast 1-row aggregate — no driver-side action
+      val n = broadcast(docs.agg(count(lit(1)).as("nd")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("word"))
+      tf.join(df, Seq("word"))
+        .crossJoin(n)
+        .withColumn("score",
+          col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("score"), 4).as("tfidf"),
+          col("rank").cast("long").as("rank"))
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |         t.tf * ln((n.nd + 1.0) / (d.df + 1.0)) AS score
+        |  FROM tf t JOIN df d USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tf, round(score, 4) AS tfidf,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, word) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin))
+
+  /** BM25 top-terms per document (k1=1.2, b=0.75) — the retrieval scorer a
+    * decontamination pass runs between a training corpus and a benchmark
+    * query set. Same shuffle structure as tf-idf plus one broadcast scalar
+    * (average doc length); the per-doc ranking window stays bounded by doc
+    * length. Constants are exact binary fractions (1.2 rounds identically
+    * in both engines' parsers; 0.75 and 0.25 are exact), so the only
+    * float divergence risk is ln(), same as tf-idf.
+    */
+  val textBm25Topk = GQuery(
+    "text_bm25_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      // two 1-row scalar aggregates, broadcast together (no driver action);
+      // Spark and DuckDB both sum integer lengths exactly before dividing,
+      // so avgdl is the identical double in both engines
+      val stats = broadcast(
+        docs.agg(count(lit(1)).as("nd"))
+          .crossJoin(dlen.agg(avg(col("dl")).as("avgdl"))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("word"))
+      tf.join(df, Seq("word"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(stats)
+        .withColumn("idf", log((col("nd") + 1.0) / (col("df") + 1.0)))
+        .withColumn("score",
+          col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("score"), 4).as("bm25"),
+          col("rank").cast("long").as("rank"))
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  GROUP BY doc_id, word),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS nd,
+        |         (SELECT avg(dl) FROM dlen) AS avgdl),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |         ln((s.nd + 1.0) / (d.df + 1.0)) * (t.tf * 2.2) /
+        |           (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS score
+        |  FROM tf t JOIN df d USING (word) JOIN dlen l USING (doc_id)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, word, tf, round(score, 4) AS bm25,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, word) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
-    textBpeTokenCount, textFingerprint, textNormalize, textTopBigrams)
+    textBpeTokenCount, textFingerprint, textNormalize, textTopBigrams,
+    textTfidfTopk, textBm25Topk)
 }
