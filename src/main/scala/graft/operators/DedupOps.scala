@@ -332,7 +332,8 @@ object DedupOps {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS dist
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh32, b.sh32)) <= $SimhashMaxDist""".stripMargin))
+         |WHERE bit_count(xor(a.sh32, b.sh32)) <= $SimhashMaxDist""".stripMargin),
+    bench = true)
 
   /** Embedding near-dup: all-pairs cosine ≥ 0.4 over double-cast vectors.
     * Dot products use the native codegen DotProduct expression (sequential
@@ -392,7 +393,8 @@ object DedupOps {
          |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
          |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
-         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin),
+    bench = true)
 
   /** vec_id, label, v (double array), nrm — the single normalization used
     * by BOTH the dedup and ANN cosine paths (SimilarityOps). Norms and dot

@@ -77,7 +77,8 @@ object LcgSourceOps {
     oracle = Some(
       s"""$LcgCte
          |SELECT room, event_type, count(*) AS n
-         |FROM ev GROUP BY room, event_type""".stripMargin))
+         |FROM ev GROUP BY room, event_type""".stripMargin),
+    bench = true)
 
   /** Q:lcg_move_player_stats — per-(room, player) movement stats: filter
     * pushes to the generator scan, aggregation again shuffle-free on the

@@ -144,7 +144,8 @@ object SimilarityOps {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |               ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM scored)
-         |WHERE rank <= $PerQueryK""".stripMargin))
+         |WHERE rank <= $PerQueryK""".stripMargin),
+    bench = true)
 
   /** Q:ann_ivf_label_topk — IVF scale path: search only the query's coarse
     * partition (label = centroid assignment). At 100 TB the corpus is

@@ -60,6 +60,23 @@ class GameFoldSpec extends SparkSuite {
     assert(s.n_flames === 24)
   }
 
+  test("out-of-grid bomb still destroys in-grid cells via its rays") {
+    // SetBomb at x==30 stores without indexing the grid (store-only
+    // branch); the reference runs the destroy pass UNGUARDED on explode
+    // (event.go:141-151), so the left ray from (30,5) walks in-grid cells
+    // x=29..24 and destroys the destructible at (26,5) (cell 176 → code
+    // -177). All other rays die immediately: their first cell (30,4),
+    // (30,5), (31,5) is out of grid. Flames = the 6 left-ray cells.
+    val evs = Seq(
+      ev(1, "UpdateMapEvent", list = Seq(-177)),
+      ev(2, "SetBombEvent", bomb = "X-b1", x = 30, y = 5),
+      ev(3, "ExplodeEvent", bomb = "X-b1"))
+    val Seq(s) = GameFold.foldLocal(evs)
+    assert(s.n_destructible === 0,
+      "destructible at (26,5) must be destroyed by the out-of-grid bomb's left ray")
+    assert(s.n_flames === 6)
+  }
+
   test("guard gauntlet: reference guards and upserts") {
     val base = Seq(
       ev(1, "UserJoinEvent", name = "A", x = 1, y = 1),
