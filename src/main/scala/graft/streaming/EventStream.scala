@@ -229,6 +229,48 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---- ST7: lossy admission (bounded send buffer) -----------------------
+
+  /** ST7: the reference's bounded send buffer (capacity-50 channel,
+    * game.go:407; sendAsync drops the INCOMING event when full with a
+    * warning, game.go:264-268). Micro-batch analog: per-key admission
+    * control at the sink boundary — each batch admits the `capacity`
+    * lowest-seq events per key and abandons the rest, deterministically
+    * (the reference drops whatever raced in last; seq order is the
+    * deterministic restatement). Returns (admitted, dropped-counts) so the
+    * caller can emit the reference's abandonment warning as a metric.
+    * Meant for foreachBatch — admission happens where sendAsync sits in
+    * the reference, between pipeline and broker.
+    */
+  def admitLossy(batch: DataFrame, keyCols: Seq[String], seqCol: String,
+                 capacity: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val ranked = batch.withColumn("__rn", row_number().over(w))
+    val admitted = ranked.filter(col("__rn") <= capacity).drop("__rn")
+    val dropped = ranked.filter(col("__rn") > capacity)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_abandoned"))
+    (admitted, dropped)
+  }
+
+  // ---- ST8: paced replay ------------------------------------------------
+
+  /** ST8: replay pacing — the reference replays one event per 200 ms tick
+    * (watch.go:63-80) so playback isn't "too fast". Micro-batch analog:
+    * batch size bounded by the source options (maxFilesPerTrigger) and
+    * batches spaced by Trigger.ProcessingTime. Presentation-rate control
+    * lives in the trigger, not the transforms — the same pipeline runs
+    * un-paced for analytics.
+    */
+  def pacedReplay(df: DataFrame, name: String, tickMs: Long): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(tickMs))
+      .start()
+
   // ---- sinks ------------------------------------------------------------
 
   /** ST6/S7: effectively-once KV sink — overwrite-by-key parquet "store"

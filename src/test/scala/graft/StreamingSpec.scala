@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSuite {
     assert(cfg.schema.isEmpty) // broker source infers its own schema
   }
 
+  test("lossy admission: capacity bounds each key, drops are counted") {
+    import spark.implicits._
+    // 3 keys × 40 events, capacity 25 — mirrors sendAsync's cap-50 buffer
+    val batch = (1 to 120).map(i => (s"r${i % 3}", i.toLong, s"e$i"))
+      .toDF("room", "seq", "payload")
+    val (admitted, dropped) =
+      EventStream.admitLossy(batch, Seq("room"), "seq", capacity = 25)
+    val perKey = admitted.groupBy("room").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.values.toSet === Set(25L))
+    // deterministic: the LOWEST seqs are admitted
+    val maxAdmitted = admitted.groupBy("room").agg(max("seq").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(maxAdmitted.forall(_ <= 75), s"expected low seqs kept: $maxAdmitted")
+    val drops = dropped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drops.values.toSet === Set(15L)) // 40 - 25 per key
+  }
+
+  test("paced replay: ProcessingTime trigger drains the log") {
+    // the reference paces RAW replay events into the fold client — pace the
+    // events projection, not an aggregate (Append mode)
+    val stream = EventStream.readEvents(spark, smokeDir)
+    val q = EventStream.pacedReplay(
+      graft.operators.EventOps.gameColumns(stream)
+        .select("room", "seq", "event_type"), "paced", tickMs = 50)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paced").count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed count with watermark == batch window agg") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
