@@ -363,6 +363,75 @@ object DedupOps {
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin))
 
+  /** Benchmark decontamination: find corpus documents that are near-copies
+    * of any document in a benchmark set (here: doc_id ≡ 0 mod 7 stands in
+    * for the benchmark) — THE cross-corpus application of MinHash LSH in a
+    * training-data pipeline. Identical banding to [[dedupMinhashLsh]], but
+    * the join is benchmark-bands × corpus-bands instead of a self-join: at
+    * 100 TB the benchmark side is tiny (thousands of docs), so its banded
+    * signatures broadcast and the corpus streams once — no shuffle of the
+    * corpus at all. Candidates verified by exact Jaccard ≥ 0.5 on the
+    * hashed-shingle arrays.
+    */
+  val decontamMinhash = GQuery(
+    "decontam_minhash",
+    (s, d) => {
+      val tks = hashedShingleArrays(s, d).localCheckpoint()
+      val sig = rowLocalSignatures(tks)
+      val bandCols = (0 until NumBands).map(b =>
+        concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      val benchBands = broadcast(
+        bands.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("bench_doc"), col("band"), col("sig")))
+      val cand = bands.filter(col("doc_id") % 7 =!= 0)
+        .join(benchBands, Seq("band", "sig"))
+        .select(col("bench_doc"), col("doc_id").as("corpus_doc"))
+        .distinct()
+      cand
+        .join(tks.select(col("doc_id").as("bench_doc"), col("tks").as("ta")), Seq("bench_doc"))
+        .join(tks.select(col("doc_id").as("corpus_doc"), col("tks").as("tb")), Seq("corpus_doc"))
+        .withColumn("ni", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
+        .filter(col("ni") * 2 >= col("uni"))
+        .select(col("bench_doc"), col("corpus_doc"),
+          expr("ni * 10000 div uni").as("jaccard_e4"))
+    },
+    oracle = Some {
+      val mins = (0 until NumHashes)
+        .map(j => s"min((tk * ${HashA(j)} + ${HashB(j)}) % $P) AS mh$j")
+        .mkString(", ")
+      val bandExprs = (0 until NumBands)
+        .map(b => (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+          .mkString(" || '-' || "))
+        .mkString("[", ", ", "]")
+      s"""$ShingleCte,
+         |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
+         |tksizes AS (SELECT doc_id, count(*) AS n FROM tkset GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $mins FROM tkset GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, b.sig FROM sig,
+         |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
+         |                  unnest($bandExprs) AS sig) b),
+         |cand AS (
+         |  SELECT DISTINCT q.doc_id AS bench_doc, c.doc_id AS corpus_doc
+         |  FROM bands q JOIN bands c
+         |    ON q.band = c.band AND q.sig = c.sig
+         |   AND q.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+         |inter AS (
+         |  SELECT c.bench_doc, c.corpus_doc, count(*) AS ni
+         |  FROM cand c JOIN tkset sa ON sa.doc_id = c.bench_doc
+         |              JOIN tkset sb ON sb.doc_id = c.corpus_doc AND sb.tk = sa.tk
+         |  GROUP BY c.bench_doc, c.corpus_doc)
+         |SELECT i.bench_doc, i.corpus_doc,
+         |       ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
+         |FROM inter i JOIN tksizes za ON za.doc_id = i.bench_doc
+         |             JOIN tksizes zb ON zb.doc_id = i.corpus_doc
+         |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
+    })
+
   /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
     * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the
     * all-pairs scan into a per-bucket self-join — shuffle keys are bucket
@@ -417,5 +486,5 @@ object DedupOps {
 
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
-    dedupEmbeddingCosine, dedupEmbeddingLsh)
+    dedupEmbeddingCosine, dedupEmbeddingLsh, decontamMinhash)
 }

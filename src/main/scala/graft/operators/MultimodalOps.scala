@@ -187,6 +187,37 @@ object MultimodalOps {
          |            ELSE 256 END AS target_h
          |FROM m2 WHERE mime = 'image/png'""".stripMargin))
 
+  /** Q:multimodal_audio_windows — fixed-window feature-extraction plan for
+    * audio payloads: 16-bit mono at 16 kHz ⇒ n_samples = n_bytes div 2,
+    * one window per second (ceil). Metadata-only like the frame sampler —
+    * the work-list is planned from typed metadata, payload bytes move only
+    * inside the decoder seam. Pure integer arithmetic, oracle-exact.
+    */
+  val multimodalAudioWindows = GQuery(
+    "multimodal_audio_windows",
+    (s, d) => {
+      val meta = extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+      meta
+        .filter(col("mime") === "audio/wav")
+        .withColumn("n_samples", expr("n_bytes div 2"))
+        .withColumn("n_windows", expr("(n_samples + 15999) div 16000"))
+        .filter(col("n_windows") > 0)
+        .select(col("doc_id"), col("n_samples"), col("n_windows"),
+          explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
+        .withColumn("start_sample", col("window_idx") * 16000L)
+    },
+    oracle = Some(
+      s"""$MetaCte,
+         |aw AS (
+         |  SELECT doc_id, n_bytes // 2 AS n_samples,
+         |         (n_bytes // 2 + 15999) // 16000 AS n_windows
+         |  FROM m2 WHERE mime = 'audio/wav')
+         |SELECT doc_id, n_samples, n_windows,
+         |       unnest(range(0::BIGINT, n_windows::BIGINT)) AS window_idx,
+         |       unnest(range(0::BIGINT, n_windows::BIGINT)) * 16000 AS start_sample
+         |FROM aw WHERE n_windows > 0""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
-    multimodalMetaExtract, multimodalFrameSample, multimodalResizePlan)
+    multimodalMetaExtract, multimodalFrameSample, multimodalResizePlan,
+    multimodalAudioWindows)
 }
