@@ -279,6 +279,50 @@ object GameOps {
         |       abs(CASE WHEN cell % 2 = 0 THEN -(cell + 1) ELSE cell + 1 END) - 1 AS restored
         |FROM (SELECT DISTINCT event_id % 750 AS cell FROM events)""".stripMargin))
 
+  /** Q:gen_id_suffix (C5, deterministic analog): the reference suffixes
+    * client/topic ids with 5 random letters (randStringRunes,
+    * utils.go:78-86). Randomness is hostile to both the oracle contract
+    * and log-replay determinism, so the engine restates it as a SEEDED
+    * hash: the 5 low base-52 digits of graft_polyhash(name || '-' || seq)
+    * over the same 52-letter alphabet — same shape and distribution,
+    * reproducible on every engine and every replay.
+    */
+  val genIdSuffix = GQuery(
+    "gen_id_suffix",
+    (s, d) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val A = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val digits = (0 until 5).map { i =>
+        val div = math.pow(52, i).toLong
+        expr(s"substring('$A', CAST((h div $div) % 52 AS INT) + 1, 1)")
+      }
+      Tables.events(s, d)
+        .select(col("event_id").as("seq"),
+          concat(lit("u"), col("user_id")).as("name"))
+        .withColumn("h", expr("graft_polyhash(concat(name, '-', CAST(seq AS STRING)))"))
+        .withColumn("suffix", concat(digits: _*))
+        .select(col("seq"), col("name"),
+          concat(col("name"), lit("-"), col("suffix")).as("suffixed_id"))
+    },
+    oracle = Some {
+      val poly = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(k)), " +
+        "i -> CAST(ascii(substr(k, i, 1)) AS BIGINT))), " +
+        "(acc, x) -> (acc * 131 + x) % 2147483647)"
+      val A = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val digits = (0 until 5).map { i =>
+        val div = math.pow(52, i).toLong
+        s"substr('$A', CAST((h // $div) % 52 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH base AS (
+         |  SELECT event_id AS seq, 'u' || CAST(user_id AS VARCHAR) AS name,
+         |         'u' || CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS k
+         |  FROM events),
+         |hashed AS (SELECT seq, name, $poly AS h FROM base)
+         |SELECT seq, name, name || '-' || ($digits) AS suffixed_id
+         |FROM hashed""".stripMargin
+    })
+
   /** Q:next_position (C4): direction step with border clamp (utils.go:35-59).
     * Direction derived from event_type; greatest/least implement the clamp.
     */
@@ -466,5 +510,5 @@ object GameOps {
     flameCellsQ, flameBlockingQ, joinDeathAttribution, antiJoinSpawnClear,
     antiJoinOccupied, encodeDecodeRoundtrip, nextPosition, filterBounds,
     obstacleDensity, obstacleListExplode, sampleHashBernoulli, arrayMembership,
-    prefixFilter, joinKillerOwner)
+    prefixFilter, joinKillerOwner, genIdSuffix)
 }

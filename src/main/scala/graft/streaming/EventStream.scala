@@ -229,6 +229,40 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---- ST3: leader-elected periodic map regeneration --------------------
+
+  /** ST3: the reference's periodic map-regen job — every `updateObstacleTime`
+    * seconds the exclusive-subscription winner emits an `UpdateMapEvent`
+    * with a fresh random obstacle list (game.go:412-425; election
+    * pulsar.go:198-227). In Spark the single driver IS the unique leader,
+    * so election is structural, not code; the job itself is a rate-source
+    * stream mapped through [[mapRegenEvents]].
+    */
+  def periodicMapRegen(spark: SparkSession, intervalSec: Int): DataFrame =
+    mapRegenEvents(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", "1") // rate accepts whole rows/sec only
+        .load()
+        .filter(pmod(col("value"), lit(intervalSec.toLong)) === 0))
+
+  /** tick rows → UpdateMapEvent rows: the obstacle list is derived
+    * DETERMINISTICALLY from the tick via xxhash64 (the deterministic
+    * restatement of genRandomObstacleList, game.go:359-378 — replay then
+    * needs no reconciliation, matching the log-is-truth contract). Codes
+    * use the reference's +1-shifted sign encoding (event.go:229-246):
+    * positive = indestructible.
+    */
+  def mapRegenEvents(ticks: DataFrame): DataFrame =
+    ticks.select(
+      col("value").cast("long").as("tick"),
+      lit("UpdateMapEvent").as("event_type"),
+      expr(
+        """transform(sequence(0, 63), i ->
+          |  CAST(IF(pmod(xxhash64(value, i, 1), 2) = 0,
+          |     pmod(xxhash64(value, i), 750) + 1,
+          |     -(pmod(xxhash64(value, i), 750) + 1)) AS INT))
+          |""".stripMargin).as("list"))
+
   // ---- ST7: lossy admission (bounded send buffer) -----------------------
 
   /** ST7: the reference's bounded send buffer (capacity-50 channel,

@@ -51,6 +51,22 @@ class StreamingSpec extends SparkSuite {
     assert(cfg.schema.isEmpty) // broker source infers its own schema
   }
 
+  test("periodic map regen: deterministic obstacle lists per tick") {
+    import spark.implicits._
+    val ticks = Seq(0L, 1L, 2L, 1L).toDF("value")
+    val rows = EventStream.mapRegenEvents(ticks)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2)))
+    assert(rows.forall(_._2.length === 64))
+    assert(rows.forall(_._2.forall(c => math.abs(c) >= 1 && math.abs(c) <= 750)))
+    // same tick ⇒ same list (log-is-truth: replay needs no reconciliation)
+    val byTick = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(byTick.values.forall(_ === 1))
+    // different ticks ⇒ different lists
+    assert(rows.map(_._2).distinct.length === 3)
+    // the production wiring is a rate-source stream (driver = leader)
+    assert(EventStream.periodicMapRegen(spark, 60).isStreaming)
+  }
+
   test("lossy admission: capacity bounds each key, drops are counted") {
     import spark.implicits._
     // 3 keys × 40 events, capacity 25 — mirrors sendAsync's cap-50 buffer
