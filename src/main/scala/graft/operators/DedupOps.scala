@@ -73,7 +73,6 @@ object DedupOps {
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .selectExpr("doc_id", "graft_shingle_rows(text)")
-      .localCheckpoint()
   }
 
   /** Shared oracle CTE: tokens → distinct shingles → integer shingle keys. */
@@ -238,7 +237,11 @@ object DedupOps {
       val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap)
         .select("sh")
-      val sh = shAll.join(keepSh, Seq("sh"))
+      // checkpoint AFTER capping: the capped set feeds three consumers
+      // (both pair-join sides + sizes) — materializing post-cap runs the
+      // generator and the df-cap join exactly once (executor storage; at
+      // 100 TB use a reliable checkpoint dir, same caveat as minhash)
+      val sh = shAll.join(keepSh, Seq("sh")).localCheckpoint()
       val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
