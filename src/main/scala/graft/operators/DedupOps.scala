@@ -154,72 +154,85 @@ object DedupOps {
     * exact-Jaccard verification of candidates only — the scale path for
     * near-dup detection. Finds the corpus's 25 planted near-dup pairs.
     */
+  /** Verified near-dup pairs (doc_a < doc_b, Jaccard ≥ 0.5): row-local
+    * signatures → banded self-join → candidates-only array-intersect
+    * verification. Shared by dedup_minhash_lsh and the corpus-clean
+    * pipeline. Integer jaccard: threshold (ni·2 ≥ union ⟺ j ≥ 0.5) and the
+    * e4 score are exact integer arithmetic — round(double) is not
+    * cross-engine-stable on small-denominator ratios.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // one materialization feeds signatures AND verification; this is the
+    // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
+    // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
+    // plan shape is identical, only the materialization medium changes
+    val tks = hashedShingleArrays(s, d).localCheckpoint()
+    val sig = rowLocalSignatures(tks)
+    val bandCols = (0 until NumBands).map(b =>
+      concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification on hashed-shingle sets: candidates only, array ops —
+    // the exploded shingle join never materializes
+    cand
+      .join(tks.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
+      .join(tks.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
+      .filter(col("ni") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("ni * 10000 div uni").as("jaccard_e4"))
+  }
+
+  /** DuckDB twin of [[minhashPairs]]: CTE chain ending in
+    * `pairs(doc_a, doc_b, jaccard_e4)`.
+    */
+  private lazy val MinhashPairsCte: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min((tk * ${HashA(j)} + ${HashB(j)}) % $P) AS mh$j")
+      .mkString(", ")
+    val bandExprs = (0 until NumBands)
+      .map(b => (0 until BandSize).map(r => s"mh${b * BandSize + r}")
+        .mkString(" || '-' || "))
+      .mkString("[", ", ", "]")
+    s"""$ShingleCte,
+       |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
+       |tksizes AS (SELECT doc_id, count(*) AS n FROM tkset GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $mins FROM tkset GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.band, b.sig FROM sig,
+       |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
+       |                  unnest($bandExprs) AS sig) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+       |  FROM cand c JOIN tkset sa ON sa.doc_id = c.doc_a
+       |              JOIN tkset sb ON sb.doc_id = c.doc_b AND sb.tk = sa.tk
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
+       |  FROM inter i JOIN tksizes za ON za.doc_id = i.doc_a
+       |               JOIN tksizes zb ON zb.doc_id = i.doc_b
+       |  WHERE ni * 2 >= za.n + zb.n - ni)""".stripMargin
+  }
+
   val dedupMinhashLsh = GQuery(
     "dedup_minhash_lsh",
-    (s, d) => {
-      // one materialization feeds signatures AND verification; this is the
-      // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
-      // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
-      // plan shape is identical, only the materialization medium changes
-      val tks = hashedShingleArrays(s, d).localCheckpoint()
-      val sig = rowLocalSignatures(tks)
-      val bandCols = (0 until NumBands).map(b =>
-        concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // verification on hashed-shingle sets: candidates only, array ops —
-      // the exploded shingle join never materializes
-      // integer jaccard: the threshold (ni·2 ≥ union ⟺ j ≥ 0.5) and the
-      // emitted score (e4 via floor division) are exact integer arithmetic
-      // — round(double) is not cross-engine-stable on small-denominator
-      // ratios (see .claude/skills/verify/SKILL.md)
-      cand
-        .join(tks.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
-        .join(tks.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
-        .withColumn("ni", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("uni",
-          (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
-        .filter(col("ni") * 2 >= col("uni"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("ni * 10000 div uni").as("jaccard_e4"))
-    },
-    oracle = Some {
-      val mins = (0 until NumHashes)
-        .map(j => s"min((tk * ${HashA(j)} + ${HashB(j)}) % $P) AS mh$j")
-        .mkString(", ")
-      val bandExprs = (0 until NumBands)
-        .map(b => (0 until BandSize).map(r => s"mh${b * BandSize + r}")
-          .mkString(" || '-' || "))
-        .mkString("[", ", ", "]")
-      s"""$ShingleCte,
-         |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
-         |tksizes AS (SELECT doc_id, count(*) AS n FROM tkset GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $mins FROM tkset GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b.band, b.sig FROM sig,
-         |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
-         |                  unnest($bandExprs) AS sig) b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
-         |  FROM cand c JOIN tkset sa ON sa.doc_id = c.doc_a
-         |              JOIN tkset sb ON sb.doc_id = c.doc_b AND sb.tk = sa.tk
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b,
-         |       ni * 10000 // (za.n + zb.n - ni) AS jaccard_e4
-         |FROM inter i JOIN tksizes za ON za.doc_id = i.doc_a
-         |             JOIN tksizes zb ON zb.doc_id = i.doc_b
-         |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
-    },
+    (s, d) => minhashPairs(s, d),
+    oracle = Some(
+      s"""$MinhashPairsCte
+         |SELECT doc_a, doc_b, jaccard_e4 FROM pairs""".stripMargin),
     bench = true)
 
   /** Exact n-gram Jaccard over the df-capped shingle universe (the LSH
@@ -435,6 +448,94 @@ object DedupOps {
          |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
     })
 
+  /** Quality floor for the corpus-clean pipeline (quality_milli scale;
+    * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
+    * genuinely degenerate tail).
+    */
+  val QualityFloor = 560L
+
+  /** The end-to-end corpus-cleaning pipeline — the composition story of
+    * this whole extension set: exact dedup → quality floor → near-dup
+    * removal, each stage the operator implemented above, reported as
+    * per-(source, outcome) counts with precedence exact_dup > low_quality
+    * > near_dup > kept. The near-dup rule is pair-based keep-lowest (the
+    * doc_b of any verified pair drops) — the deterministic non-transitive
+    * form; full connected-component clustering is an iterative graph job,
+    * deliberately out of single-query scope. Scale shape: three loser
+    * sets, each produced by an already-scale-audited subplan, left-joined
+    * to the corpus on doc_id.
+    */
+  val pipelineCorpusClean = GQuery(
+    "pipeline_corpus_clean",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val exactLosers = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), lit(1).as("f_exact"))
+      val toks = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("t"),
+        length(col("text")).cast("long").as("ncl"))
+      val quality = toks
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("du", size(array_distinct(col("t"))).cast("long"))
+        .withColumn("ds", size(filter(col("t"),
+          t => t === "the" || t === "a" || t === "of")).cast("long"))
+        // n=0 guard inside CASE keeps ANSI division happy on empty docs
+        .withColumn("q", when(col("n") > 0,
+          expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
+            least(expr("(ncl - n + 1) * 200 div (8 * n)"), lit(200L)))
+          .otherwise(lit(0L)))
+      val lowQ = quality.filter(col("q") < QualityFloor)
+        .select(col("doc_id"), lit(1).as("f_quality"))
+      val nearLosers = minhashPairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("f_near"))
+      docs.select("doc_id", "source")
+        .join(exactLosers, Seq("doc_id"), "left")
+        .join(lowQ, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .withColumn("outcome",
+          when(col("f_exact").isNotNull, "exact_dup")
+            .when(col("f_quality").isNotNull, "low_quality")
+            .when(col("f_near").isNotNull, "near_dup")
+            .otherwise("kept"))
+        .groupBy("source", "outcome")
+        .agg(count(lit(1)).as("n"))
+    },
+    oracle = Some(
+      s"""$MinhashPairsCte,
+         |exact_losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn > 1),
+         |qtab AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+         |         CAST(len(list_distinct(t)) AS BIGINT) AS du,
+         |         CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS ds,
+         |         CAST(length(text) AS BIGINT) AS ncl
+         |  FROM (SELECT doc_id, text,
+         |               list_filter(string_split(text, ' '), w -> w <> '') AS t
+         |        FROM documents)),
+         |low_q AS (
+         |  SELECT doc_id FROM qtab
+         |  WHERE (CASE WHEN n > 0
+         |              THEN (du * 500 // n) + ((n - ds) * 300 // n) +
+         |                   least((ncl - n + 1) * 200 // (8 * n), 200)
+         |              ELSE 0 END) < $QualityFloor),
+         |near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT d.source,
+         |       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |            WHEN q.doc_id IS NOT NULL THEN 'low_quality'
+         |            WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+         |            ELSE 'kept' END AS outcome,
+         |       count(*) AS n
+         |FROM documents d
+         |LEFT JOIN exact_losers e ON d.doc_id = e.doc_id
+         |LEFT JOIN low_q q ON d.doc_id = q.doc_id
+         |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+         |GROUP BY d.source, outcome""".stripMargin))
+
   /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
     * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the
     * all-pairs scan into a per-bucket self-join — shuffle keys are bucket
@@ -489,5 +590,6 @@ object DedupOps {
 
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
-    dedupEmbeddingCosine, dedupEmbeddingLsh, decontamMinhash)
+    dedupEmbeddingCosine, dedupEmbeddingLsh, decontamMinhash,
+    pipelineCorpusClean)
 }
