@@ -173,4 +173,40 @@ object GraftProperties extends Properties("graft") {
           } && st.flames.contains((bx, by))
         }
     }
+
+  // ---- native shingle kernels vs an independent spec fold ---------------
+
+  private val P = 2147483647L
+
+  private def specPolyhash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % P)
+
+  private def specShingles(text: String): Seq[String] = {
+    val t = text.split(" ", -1).filter(_.nonEmpty)
+    if (t.length < 3) Seq.empty
+    else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  // texts with multi-space runs, leading/trailing spaces, multi-byte chars
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中')))
+    .map(_.mkString)
+
+  property("graft_shingle_hashes == spec (tokenize→3gram→polyhash→distinct)") =
+    forAll(textGen) { text =>
+      val native = graft.functions.VectorExpressions.ShingleHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray().toSeq
+      native == specShingles(text).map(specPolyhash)
+    }
+
+  property("graft_shingle_rows == spec distinct string shingles") =
+    forAll(textGen) { text =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val gen = graft.functions.VectorExpressions.ShingleRows(Literal(text))
+      val native = gen.eval(InternalRow.empty).iterator.toSeq
+        .map(r => r.getUTF8String(0).toString)
+      native == specShingles(text)
+    }
 }
