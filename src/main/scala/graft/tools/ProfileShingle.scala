@@ -60,6 +60,24 @@ object ProfileShingle {
           explode(transform(sequence(lit(1), size(col("t")) - 2),
             i => concat_ws(" ", element_at(col("t"), i),
               element_at(col("t"), i + 1), element_at(col("t"), i + 2))))).count())
+    // the round-2 native kernels, for comparison against the chains above
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rdocs = docs.repartition(32)
+    time("NATIVE graft_shingle_rows")(
+      rdocs.selectExpr("doc_id", "graft_shingle_rows(text)").count())
+    time("NATIVE graft_shingle_hashes")(
+      rdocs.selectExpr("doc_id", "graft_shingle_hashes(text) AS tks")
+        .selectExpr("doc_id", "explode(tks)").count())
+    time("HOF hash chain (pre-round-2)")(
+      rdocs
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, size(t) - 2), " +
+            "i -> graft_polyhash(concat_ws(' ', element_at(t, i), " +
+            "element_at(t, i + 1), element_at(t, i + 2)))))").as("tks"))
+        .selectExpr("doc_id", "explode(tks)").count())
     spark.stop()
   }
 }
