@@ -446,7 +446,8 @@ object DedupOps {
          |FROM inter i JOIN tksizes za ON za.doc_id = i.bench_doc
          |             JOIN tksizes zb ON zb.doc_id = i.corpus_doc
          |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin
-    })
+    },
+    bench = true)
 
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
     * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
@@ -534,7 +535,8 @@ object DedupOps {
          |LEFT JOIN exact_losers e ON d.doc_id = e.doc_id
          |LEFT JOIN low_q q ON d.doc_id = q.doc_id
          |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
-         |GROUP BY d.source, outcome""".stripMargin))
+         |GROUP BY d.source, outcome""".stripMargin),
+    bench = true)
 
   /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
     * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the

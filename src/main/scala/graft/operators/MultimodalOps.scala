@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * explicit micro-batch shape, so a vectorized decoder drops in without
   * changing the plan). The decoder is pluggable:
   *   - [[RealDecoder]] is the production seam — it requires imaging/audio
-  *     libraries not present in this container and is deliberately stubbed
-  *     with `???`;
+  *     libraries not present in this container and raises a typed,
+  *     actionable error naming the missing codecs and the config key;
   *   - [[FakeDecoder]] is a deterministic stand-in (shapes derived from a
   *     byte checksum) so the plumbing — schema, partitioning, batch shape,
   *     null/mime handling — is fully testable and oracle-checkable.
