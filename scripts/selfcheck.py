@@ -82,11 +82,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         dtype_bad = None
         for c in got.columns:
             gk, ek = got[c].dtype.kind, exp[c].dtype.kind
-            if gk != ek and {gk, ek} != {"O", "O"}:
-                # int vs float (or any numeric-kind mismatch) = driver fail
-                if not (gk in "OU" and ek in "OU"):
-                    dtype_bad = (c, got[c].dtype, exp[c].dtype)
-                    break
+            # kind mismatch = driver fail, except object-vs-unicode string
+            # representations, which hash identically
+            if gk != ek and not (gk in "OU" and ek in "OU"):
+                dtype_bad = (c, got[c].dtype, exp[c].dtype)
+                break
         if dtype_bad:
             print(f"FAIL {name}: dtype col={dtype_bad[0]} "
                   f"spark={dtype_bad[1]} oracle={dtype_bad[2]} "

@@ -24,6 +24,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // DSV2 key-grouped reads (GameEventsSource) aggregate shuffle-free
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM paths shared by all queries (codegen, parquet footer reads)

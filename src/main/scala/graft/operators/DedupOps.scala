@@ -54,15 +54,11 @@ object DedupOps {
       s"(acc, x) -> (acc * 131 + x) % $P)"
 
   /** doc_id → exploded distinct 3-gram shingles (one row per shingle) —
-    * used by the exact all-pairs baseline (dedup_ngram_jaccard), whose
-    * self-join walks this subplan from both sides; localCheckpoint
-    * materializes it once. (The LSH/simhash paths use the row-local
-    * [[hashedShinglesOf]] arrays instead.)
-    *
-    * Scale caveat: localCheckpoint pins blocks in EXECUTOR storage — right
-    * for this sf-scale baseline, but a full-corpus run should materialize
-    * to a reliable checkpoint dir / temp parquet instead (executor loss =
-    * recompute storm; storage eviction = job failure at 100 TB).
+    * used by the exact baseline (dedup_ngram_jaccard). NOT materialized
+    * here: the consumer decides (the ngram query checkpoints AFTER
+    * df-capping; recomputing this native-generator scan is cheap). The
+    * LSH/simhash paths use the row-local [[hashedShinglesOf]] arrays
+    * instead.
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
@@ -251,9 +247,10 @@ object DedupOps {
         .filter(col("df") <= ShingleDfCap)
         .select("sh")
       // checkpoint AFTER capping: the capped set feeds three consumers
-      // (both pair-join sides + sizes) — materializing post-cap runs the
-      // generator and the df-cap join exactly once (executor storage; at
-      // 100 TB use a reliable checkpoint dir, same caveat as minhash)
+      // (both pair-join sides + sizes), so the df-cap join materializes
+      // once instead of three times (the uncached shAll scan above still
+      // evaluates twice — once for keepSh, once here — which is cheap for
+      // the native generator; executor storage caveat as in minhash)
       val sh = shAll.join(keepSh, Seq("sh")).localCheckpoint()
       val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))

@@ -28,7 +28,11 @@ object LcgSourceOps {
 
   private def log(s: SparkSession): DataFrame = {
     // group-by-room aggregates ride the source's KeyGroupedPartitioning
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // when spark.sql.sources.v2.bucketing.enabled=true — an engine-level
+    // session conf (set by Verify/Bench/SparkSuite and documented in
+    // GameEventsSource), NOT mutated here: a query builder silently
+    // flipping global conf would make other queries' plans depend on
+    // whether an lcg query was built first
     s.read.format("graft.sources.GameEventsProvider")
       .option("rooms", Rooms)
       .option("eventsPerRoom", EventsPerRoom)

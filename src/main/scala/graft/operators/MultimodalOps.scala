@@ -139,7 +139,7 @@ object MultimodalOps {
     */
   val multimodalMetaExtract = GQuery(
     "multimodal_meta_extract",
-    (s, d) => extractMeta(mediaTable(s, d), FakeDecoder).toDF(),
+    (s, d) => extractMeta(mediaTable(s, d), decoderFor(s)).toDF(),
     oracle = Some(
       s"""$MetaCte
          |SELECT doc_id, mime, n_bytes, checksum, width, height, n_frames
@@ -152,7 +152,7 @@ object MultimodalOps {
   val multimodalFrameSample = GQuery(
     "multimodal_frame_sample",
     (s, d) => {
-      val meta = extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+      val meta = extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
       meta
         .filter(col("mime") === "video/mp4")
         .select(col("doc_id"), col("n_frames"),
@@ -171,7 +171,7 @@ object MultimodalOps {
   val multimodalResizePlan = GQuery(
     "multimodal_resize_plan",
     (s, d) =>
-      extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+      extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
         .filter(col("mime") === "image/png")
         .select(col("doc_id"), col("width"), col("height"),
           when(col("width") >= col("height"), lit(256L))
@@ -196,7 +196,7 @@ object MultimodalOps {
   val multimodalAudioWindows = GQuery(
     "multimodal_audio_windows",
     (s, d) => {
-      val meta = extractMeta(mediaTable(s, d), FakeDecoder).toDF()
+      val meta = extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
       meta
         .filter(col("mime") === "audio/wav")
         .withColumn("n_samples", expr("n_bytes div 2"))

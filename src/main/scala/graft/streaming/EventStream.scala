@@ -53,11 +53,12 @@ object EventStream {
     *
     * Broker-column mapping (reference semantics, pulsar.go:124-179):
     *   - topic (`__topic`, one topic per room — S6 regex fan-in via
-    *     `topicsPattern`) carries the room; parse with
-    *     EventOps.parse_room_name (C9/C10) when the deployment keys rooms
-    *     by topic instead of the testbed's user_id derivation;
+    *     `topicsPattern`) carries the room: normalize parses it into a
+    *     `room` output column (the deployment keys rooms by topic, unlike
+    *     the testbed's user_id derivation);
     *   - `__sequenceId` (MessageID ledger order) → `event_id`/seq — the
     *     per-topic total order the reference's replay contract needs;
+    *     unique only within a room, so global keys are (room, event_id);
     *   - `__publishTime` → `ts` (event time for watermarks);
     *   - message payload (JSON) → user_id/event_type/value/props via
     *     [[EventsPayloadSchema]].
@@ -97,6 +98,11 @@ object EventStream {
     * build the reader from config, normalize to the events-shaped columns.
     */
   def readEvents(spark: SparkSession, cfg: EventSourceConfig): DataFrame = {
+    if (cfg.format == "parquet")
+      // the testbed's events.parquet stores ts as nanos; the file branch
+      // owns this conf so callers of the seam never hit the
+      // Illegal-Parquet-TIMESTAMP(NANOS) footgun
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var reader = spark.readStream.format(cfg.format)
     cfg.schema.foreach(s => reader = reader.schema(s))
     reader = reader.options(cfg.options)
@@ -104,16 +110,24 @@ object EventStream {
     normalize(cfg, raw)
   }
 
-  /** Per-format normalization to the shared events shape. */
-  private def normalize(cfg: EventSourceConfig, raw: DataFrame): DataFrame =
+  /** Per-format normalization to the shared events shape. For broker
+    * sources the output carries an extra `room` column (parsed from the
+    * topic) and `event_id` is the PER-TOPIC MessageID order — unique only
+    * within a room, exactly like the reference's per-topic MessageIDs; any
+    * global key must be the (room, event_id) pair.
+    */
+  private[graft] def normalize(cfg: EventSourceConfig, raw: DataFrame): DataFrame =
     cfg.format match {
       case "pulsar" =>
-        // broker framing → events shape (see EventSourceConfig scaladoc)
+        // broker framing → events shape (see EventSourceConfig scaladoc);
+        // room = last topic path segment minus the "-event-topic" suffix
+        // (C9/C10, pulsar.go:124-138)
         raw.select(
+          regexp_extract(col("__topic"), "([^/]+?)(-event-topic)?$", 1).as("room"),
           col("__sequenceId").as("event_id"),
           col("__publishTime").as("ts"),
           from_json(col("value").cast("string"), EventsPayloadSchema).as("e"))
-          .select(col("event_id"), col("ts"), col("e.user_id"),
+          .select(col("room"), col("event_id"), col("ts"), col("e.user_id"),
             col("e.event_type"), col("e.value"), col("e.props"))
       case _ =>
         // testbed parquet: ts is a nanos long on disk (see Tables.events)
@@ -121,10 +135,8 @@ object EventStream {
     }
 
   /** Back-compat entry: the testbed file source for `dir`. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, EventSourceConfig.file(dir))
-  }
 
   /** A1 streaming: running kill-count per (room, killer) — update-mode hash
     * aggregation; Spark's state store is the BookKeeper counter analog.
@@ -208,11 +220,13 @@ object EventStream {
       }
   }
 
-  /** Streaming exact dedup keyed on event_id. NOTE: without the event-time
-    * column among the keys, dropDuplicates state grows with the number of
-    * distinct ids for the stream's lifetime — use [[dedupedWithinWatermark]]
-    * for unbounded streams; this variant exists for exact global dedup over
-    * bounded replays.
+  /** Streaming exact dedup keyed on event_id (globally unique in the
+    * testbed's events shape; for a broker source, key on the
+    * (room, event_id) PAIR — per-topic MessageIDs collide across rooms).
+    * NOTE: without the event-time column among the keys, dropDuplicates
+    * state grows with the number of distinct ids for the stream's
+    * lifetime — use [[dedupedWithinWatermark]] for unbounded streams; this
+    * variant exists for exact global dedup over bounded replays.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events

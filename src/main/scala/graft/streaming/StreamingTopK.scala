@@ -52,7 +52,15 @@ object StreamingTopK {
         }
       }
       val next = byId.values.toList.sortWith(better).take(k)
-      if (next == prev) Iterator.empty
+      // bit-level double compare: case-class == uses NaN != NaN, which
+      // would re-emit an unchanged ranking forever once a NaN score
+      // (zero-norm vector) enters the top-k
+      val unchanged = next.size == prev.size &&
+        next.zip(prev).forall { case (a, b) =>
+          a.neighbor_id == b.neighbor_id &&
+            java.lang.Double.compare(a.cos, b.cos) == 0
+        }
+      if (unchanged) Iterator.empty
       else {
         state.update(TopKState(next))
         next.iterator.zipWithIndex.map { case (i, idx) =>

@@ -12,6 +12,9 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine-level conf, mirrored in Verify/Bench: DSV2 key-grouped
+      // reads (GameEventsSource) aggregate shuffle-free
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

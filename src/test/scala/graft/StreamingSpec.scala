@@ -29,8 +29,8 @@ class StreamingSpec extends SparkSuite {
 
   test("source seam: explicit EventSourceConfig runs the same pipeline") {
     // the Pulsar connector swaps in by handing readEvents a different
-    // config; here the file config exercises the identical seam
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // config; here the file config exercises the identical seam (which
+    // owns the nanos-timestamp conf — no caller-side setup needed)
     val stream = EventStream.readEvents(
       spark, EventStream.EventSourceConfig.file(smokeDir))
     EventStream.runToMemory(
@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSuite {
     assert(cfg.options("service.url") === "pulsar://broker:6650")
     assert(cfg.options("topicsPattern").contains("game-"))
     assert(cfg.schema.isEmpty) // broker source infers its own schema
+  }
+
+  test("pulsar normalize: topic → room, per-topic seq, payload decode") {
+    import spark.implicits._
+    // the connector's standard columns, as a batch frame (normalize is
+    // format-level column mapping — no broker needed to verify it)
+    val raw = Seq(
+      ("persistent://public/default/room3-event-topic", 0L, 1700000000000L,
+        """{"user_id": 7, "event_type": "error", "value": 1.5, "props": "{}"}"""),
+      ("persistent://public/default/room4-event-topic", 0L, 1700000000001L,
+        """{"user_id": 8, "event_type": "signup", "value": 2.0, "props": "{}"}"""))
+      .toDF("__topic", "__sequenceId", "__publishTime", "value")
+    val out = EventStream.normalize(
+      EventStream.EventSourceConfig.pulsar("p://b", "h://b", ".*"), raw)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    // rooms parsed from topics; the SAME per-topic seq 0 appears in both
+    // rooms — which is why (room, event_id) is the documented global key
+    assert(out.toSet === Set(
+      ("room3", 0L, 7L, "error"), ("room4", 0L, 8L, "signup")))
   }
 
   test("periodic map regen: deterministic obstacle lists per tick") {

@@ -69,11 +69,14 @@ class StreamingTopKSpec extends SparkSuite {
       val q = StreamingTopK.topkPerQuery(input.toDS(), k = 2).toDF()
         .writeStream.outputMode(OutputMode.Update)
         .format("memory").queryName("stream_topk_nc").start()
-      input.addData(Scored(0L, 1L, 0.9), Scored(0L, 2L, 0.8))
+      // a NaN score (zero-norm vector upstream) must not defeat the
+      // no-change comparison: NaN != NaN under ==, so a naive equality
+      // would re-emit forever once NaN is in the ranking
+      input.addData(Scored(0L, 1L, Double.NaN), Scored(0L, 2L, 0.8))
       q.processAllAvailable()
       val n1 = spark.table("stream_topk_nc").count()
       // same candidates again, plus a strictly-worse one: ranking unchanged
-      input.addData(Scored(0L, 1L, 0.9), Scored(0L, 3L, 0.1))
+      input.addData(Scored(0L, 1L, Double.NaN), Scored(0L, 3L, 0.1))
       q.processAllAvailable()
       q.stop()
       val n2 = spark.table("stream_topk_nc").count()
