@@ -16,6 +16,28 @@ trait ShingleKernel extends Serializable {
   def compute(s: UTF8String): ArrayData
 }
 
+/** Shared byte-level tokenizer for the shingle kernels. */
+private[functions] object Tokenize {
+  /** Flat [start0, end0, start1, end1, …] byte ranges of the non-empty
+    * space-separated tokens of `bytes` (UTF-8; 0x20 never occurs inside a
+    * multi-byte character, so byte-level splitting is codepoint-safe).
+    */
+  def ranges(bytes: Array[Byte]): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](32)
+    val n = bytes.length
+    var i = 0
+    var tokStart = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        if (i > tokStart) { buf += tokStart; buf += i }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+}
+
 /** Native Catalyst expressions for the hot inner loops (SURVEY §4's "custom
   * work" list). Both participate in whole-stage codegen: the generated Java
   * is a primitive loop over ArrayData / UTF8String bytes — no boxing, no
@@ -154,21 +176,9 @@ object VectorExpressions {
 
     /** Called from both interpreted eval and generated Java. */
     override def compute(s: UTF8String): ArrayData = {
-      val bytes = s.getBytes // UTF-8; 0x20 never occurs inside a multi-byte char
-      val n = bytes.length
-      // token ranges, empty tokens dropped (== filter(split(text,' '), _ != ""))
-      val starts = new java.util.ArrayList[Int]()
-      val ends = new java.util.ArrayList[Int]()
-      var i = 0
-      var tokStart = 0
-      while (i <= n) {
-        if (i == n || bytes(i) == 0x20) {
-          if (i > tokStart) { starts.add(tokStart); ends.add(i) }
-          tokStart = i + 1
-        }
-        i += 1
-      }
-      val nTok = starts.size()
+      val bytes = s.getBytes
+      val r = Tokenize.ranges(bytes)
+      val nTok = r.length / 2
       if (nTok < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
       val seen = new java.util.HashSet[java.lang.Long]()
       val out = new java.util.ArrayList[java.lang.Long]()
@@ -178,8 +188,8 @@ object VectorExpressions {
         var g = 0
         while (g < 3) {
           if (g > 0) acc = (acc * 131 + 0x20L) % Mod // the joining space
-          var b = starts.get(t + g)
-          val e = ends.get(t + g)
+          var b = r(2 * (t + g))
+          val e = r(2 * (t + g) + 1)
           while (b < e) { acc = (acc * 131 + (bytes(b) & 0xffL)) % Mod; b += 1 }
           g += 1
         }
@@ -216,34 +226,23 @@ object VectorExpressions {
       val v = child.eval(input)
       if (v == null) return Iterator.empty
       val bytes = v.asInstanceOf[UTF8String].getBytes
-      val n = bytes.length
-      val starts = new java.util.ArrayList[Int]()
-      val ends = new java.util.ArrayList[Int]()
-      var i = 0
-      var tokStart = 0
-      while (i <= n) {
-        if (i == n || bytes(i) == 0x20) {
-          if (i > tokStart) { starts.add(tokStart); ends.add(i) }
-          tokStart = i + 1
-        }
-        i += 1
-      }
-      val nTok = starts.size()
+      val r = Tokenize.ranges(bytes)
+      val nTok = r.length / 2
       if (nTok < 3) return Iterator.empty
       val seen = new java.util.HashSet[UTF8String]()
       val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
       var t = 0
       while (t <= nTok - 3) {
-        val len = (ends.get(t) - starts.get(t)) +
-          (ends.get(t + 1) - starts.get(t + 1)) +
-          (ends.get(t + 2) - starts.get(t + 2)) + 2
+        val len = (r(2 * t + 1) - r(2 * t)) +
+          (r(2 * t + 3) - r(2 * t + 2)) +
+          (r(2 * t + 5) - r(2 * t + 4)) + 2
         val buf = new Array[Byte](len)
         var o = 0
         var g = 0
         while (g < 3) {
           if (g > 0) { buf(o) = 0x20; o += 1 }
-          val s0 = starts.get(t + g)
-          val l0 = ends.get(t + g) - s0
+          val s0 = r(2 * (t + g))
+          val l0 = r(2 * (t + g) + 1) - s0
           System.arraycopy(bytes, s0, buf, o, l0)
           o += l0
           g += 1

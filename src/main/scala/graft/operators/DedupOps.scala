@@ -157,17 +157,23 @@ object DedupOps {
     * e4 score are exact integer arithmetic — round(double) is not
     * cross-engine-stable on small-denominator ratios.
     */
+  /** doc_id, band, sig — one row per (doc, band) from a mh0..mh15
+    * signature frame. Shared by the self-join (minhashPairs) and the
+    * cross-corpus (decontamMinhash) banding joins.
+    */
+  private def bandedSignatures(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map(b =>
+      concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+  }
+
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // one materialization feeds signatures AND verification; this is the
     // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
     // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
     // plan shape is identical, only the materialization medium changes
     val tks = hashedShingleArrays(s, d).localCheckpoint()
-    val sig = rowLocalSignatures(tks)
-    val bandCols = (0 until NumBands).map(b =>
-      concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val bands = bandedSignatures(rowLocalSignatures(tks))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -390,11 +396,7 @@ object DedupOps {
     "decontam_minhash",
     (s, d) => {
       val tks = hashedShingleArrays(s, d).localCheckpoint()
-      val sig = rowLocalSignatures(tks)
-      val bandCols = (0 until NumBands).map(b =>
-        concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      val bands = bandedSignatures(rowLocalSignatures(tks))
       val benchBands = broadcast(
         bands.filter(col("doc_id") % 7 === 0)
           .select(col("doc_id").as("bench_doc"), col("band"), col("sig")))

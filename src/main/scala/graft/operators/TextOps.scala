@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** (doc_id, word) rows — the shared tokenization of word count, tf-idf,
+    * and BM25 (explode(split), empties dropped).
+    */
+  private def tokenRows(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** per-(doc, word) term frequency over [[tokenRows]]. */
+  private def termFreq(tok: org.apache.spark.sql.DataFrame) =
+    tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
   /** A7: word count — explode(split) → hash agg. The shuffle key is the word;
     * map-side partial counts keep the shuffle proportional to distinct words,
     * not tokens (critical at 100 TB of text).
@@ -17,9 +29,7 @@ object TextOps {
   val aggWordCount = GQuery(
     "agg_word_count",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
+      tokenRows(s, d)
         .groupBy("word")
         .agg(count(lit(1)).as("n")),
     oracle = Some(
@@ -242,10 +252,7 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tok = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val tf = termFreq(tokenRows(s, d))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // corpus size as a broadcast 1-row aggregate — no driver-side action
       val n = broadcast(docs.agg(count(lit(1)).as("nd")))
@@ -294,10 +301,8 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tok = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val tok = tokenRows(s, d)
+      val tf = termFreq(tok)
       val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // two 1-row scalar aggregates, broadcast together (no driver action);
