@@ -167,12 +167,19 @@ object DedupOps {
     sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
   }
 
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+
+  /** Same pipeline over ANY (doc_id, text) corpus — used by the testbed
+    * query above and the synthetic-corpus scale smoke.
+    */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     // one materialization feeds signatures AND verification; this is the
     // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
     // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
     // plan shape is identical, only the materialization medium changes
-    val tks = hashedShingleArrays(s, d).localCheckpoint()
+    val tks = hashedShinglesOf(docs).localCheckpoint()
     val bands = bandedSignatures(rowLocalSignatures(tks))
     val cand = bands.as("a")
       .join(bands.as("b"),
