@@ -544,6 +544,67 @@ object DedupOps {
          |GROUP BY d.source, outcome""".stripMargin),
     bench = true)
 
+  /** Near-dup CLUSTERING: connected components over the verified minhash
+    * pair graph — the transitive form the pair-based pipeline rule
+    * deliberately avoids. Iterative min-label propagation: each round
+    * every vertex adopts the smallest representative among itself and its
+    * neighbors; convergence in O(component diameter) rounds (near-dup
+    * components are chains/cliques of duplicates — shallow by nature).
+    * The driver loop holds only a changed-row COUNT per round (no data
+    * collects); each round is one shuffle join + one min-aggregate, with
+    * localCheckpoint truncating the iterative lineage — the standard
+    * Spark CC shape (GraphX's large-star/small-star is the same loop with
+    * smarter edge rewriting; at 100 TB swap it in unchanged from here).
+    * Output: (doc_id, rep, csize) for every doc in some near-dup pair.
+    */
+  val dedupClusters = GQuery(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id"))
+        .localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val msgs = edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("rep"))
+        val next = msgs.union(labels.select(col("doc_id"), col("rep")))
+          .groupBy("doc_id").agg(min("rep").as("rep"))
+          .localCheckpoint()
+        val changed = next.as("n")
+          .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
+          .filter(col("n.rep") =!= col("l.rep"))
+          .count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, Seq("rep")).select("doc_id", "rep", "csize")
+    },
+    oracle = Some(
+      // the closure CTE is recursive, so the assembled chain's WITH must
+      // carry the RECURSIVE keyword (legal for the non-recursive CTEs too)
+      s"""$MinhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |repsizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
+         |SELECT c.doc_id, c.rep, s.csize
+         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
   /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
     * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the
     * all-pairs scan into a per-bucket self-join — shuffle keys are bucket
@@ -599,5 +660,5 @@ object DedupOps {
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, decontamMinhash,
-    pipelineCorpusClean)
+    pipelineCorpusClean, dedupClusters)
 }
