@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** One policy for staging intermediates that multiple consumers walk
+  * (signature corpora, pair sets, iterative labels) instead of bare
+  * localCheckpoint calls at every site:
+  *
+  *  - default: `localCheckpoint()` — executor-storage-pinned, right for
+  *    single-node and sf-scale runs;
+  *  - `spark.graft.checkpoint.dir` set: reliable `checkpoint()` into that
+  *    directory — the 100 TB posture, where executor loss must not trigger
+  *    a recompute storm and storage eviction must not fail the job.
+  *
+  * The plan shape is identical either way; only the materialization medium
+  * changes, which is exactly why it belongs behind one switch rather than
+  * per-call-site caveats.
+  */
+object Materialize {
+
+  val DirConfKey = "spark.graft.checkpoint.dir"
+
+  def stage[T](df: Dataset[T]): Dataset[T] = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConfKey) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None =>
+        df.localCheckpoint()
+    }
+  }
+}

@@ -176,10 +176,10 @@ object DedupOps {
     */
   def minhashPairsOf(docs: DataFrame): DataFrame = {
     // one materialization feeds signatures AND verification; this is the
-    // FULL hashed-shingle corpus, so at 100 TB swap localCheckpoint
-    // (executor-storage-pinned) for a reliable checkpoint/temp parquet —
-    // plan shape is identical, only the materialization medium changes
-    val tks = hashedShinglesOf(docs).localCheckpoint()
+    // FULL hashed-shingle corpus — Materialize.stage picks localCheckpoint
+    // or a reliable checkpoint dir (spark.graft.checkpoint.dir, the
+    // 100 TB posture) with an identical plan shape
+    val tks = graft.Materialize.stage(hashedShinglesOf(docs))
     val bands = bandedSignatures(rowLocalSignatures(tks))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -264,7 +264,7 @@ object DedupOps {
       // once instead of three times (the uncached shAll scan above still
       // evaluates twice — once for keepSh, once here — which is cheap for
       // the native generator; executor storage caveat as in minhash)
-      val sh = shAll.join(keepSh, Seq("sh")).localCheckpoint()
+      val sh = graft.Materialize.stage(shAll.join(keepSh, Seq("sh")))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
@@ -325,7 +325,7 @@ object DedupOps {
         .reduce(_ + _)
       // 1 row/doc, read by both sides of the band self-join; localCheckpoint
       // is safe here at any scale (the signature table is ~16 bytes/doc)
-      val sig = votes.select(col("doc_id"), sh32.as("sh32")).localCheckpoint()
+      val sig = graft.Materialize.stage(votes.select(col("doc_id"), sh32.as("sh32")))
       val nBands = SimhashMaxDist + 1           // ≥ maxDist+1 bands required
       val bandBits = SimhashBits / nBands
       val bandVals = array((0 until nBands).map(b =>
@@ -402,7 +402,7 @@ object DedupOps {
   val decontamMinhash = GQuery(
     "decontam_minhash",
     (s, d) => {
-      val tks = hashedShingleArrays(s, d).localCheckpoint()
+      val tks = graft.Materialize.stage(hashedShingleArrays(s, d))
       val bands = bandedSignatures(rowLocalSignatures(tks))
       val benchBands = broadcast(
         bands.filter(col("doc_id") % 7 === 0)
@@ -552,7 +552,7 @@ object DedupOps {
     * components are chains/cliques of duplicates — shallow by nature).
     * The driver loop holds only a changed-row COUNT per round (no data
     * collects); each round is one shuffle join + one min-aggregate, with
-    * localCheckpoint truncating the iterative lineage — the standard
+    * Materialize.stage truncating the iterative lineage — the standard
     * Spark CC shape (GraphX's large-star/small-star is the same loop with
     * smarter edge rewriting; at 100 TB swap it in unchanged from here).
     * Output: (doc_id, rep, csize) for every doc in some near-dup pair.
@@ -560,21 +560,21 @@ object DedupOps {
   val dedupClusters = GQuery(
     "dedup_clusters",
     (s, d) => {
-      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+      val pairs = graft.Materialize.stage(minhashPairs(s, d).select("doc_a", "doc_b"))
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("rep", col("doc_id"))
-        .localCheckpoint()
+      var labels = graft.Materialize.stage(
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("rep", col("doc_id")))
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
         val msgs = edges
           .join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("rep"))
-        val next = msgs.union(labels.select(col("doc_id"), col("rep")))
-          .groupBy("doc_id").agg(min("rep").as("rep"))
-          .localCheckpoint()
+        val next = graft.Materialize.stage(
+          msgs.union(labels.select(col("doc_id"), col("rep")))
+            .groupBy("doc_id").agg(min("rep").as("rep")))
         val changed = next.as("n")
           .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
           .filter(col("n.rep") =!= col("l.rep"))

@@ -35,10 +35,9 @@ object FoldOps {
     (s, d) => {
       import org.apache.spark.sql.functions._
       // one materialized derivation feeds both DAG branches (fold + cohort);
-      // the derived log is bounded by the events table, but at 100 TB this
-      // localCheckpoint (executor-storage-pinned) should become a reliable
-      // checkpoint/temp parquet — same plan, different materialization
-      val log = GameLog.derive(s, d).localCheckpoint()
+      // Materialize.stage picks localCheckpoint or a reliable checkpoint
+      // dir from spark.graft.checkpoint.dir (the 100 TB posture)
+      val log = graft.Materialize.stage(GameLog.derive(s, d))
       val states = GameFold.playerStates(log).toDF()
       val creators = log.toDF()
         .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingDecontam
+
+/** Streaming decontamination: contaminated documents are flagged on
+  * arrival against the static benchmark set; clean documents are not.
+  */
+class StreamingDecontamSpec extends SparkSuite {
+
+  test("stream docs matching benchmark are flagged; clean docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "the quick brown fox jumps over the lazy dog again and again"
+    val benchmark = Seq((900L, benchText)).toDF("doc_id", "text")
+    val clean = "completely different content with no overlap whatsoever here at all"
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.candidateHits(
+      input.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam_hits").start()
+    // batch 1: one contaminated (identical) doc, one clean doc
+    input.addData((1L, benchText), (2L, clean))
+    q.processAllAvailable()
+    // batch 2: a near-copy arrives later — still flagged (stateless check)
+    input.addData((3L, benchText + " with a tiny suffix"))
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = spark.table("decontam_hits")
+      .select("corpus_doc", "bench_doc").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((1L, 900L)), s"identical doc not flagged: $hits")
+    assert(hits.contains((3L, 900L)), s"near-copy not flagged: $hits")
+    assert(!hits.exists(_._1 == 2L), s"clean doc wrongly flagged: $hits")
+  }
+}
