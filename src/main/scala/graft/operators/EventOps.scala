@@ -543,11 +543,36 @@ object EventOps {
          |SELECT room, event_type, count(*) AS n FROM game
          |GROUP BY GROUPING SETS ((room), (event_type))""".stripMargin))
 
+  /** Q:lossy_admission — ST7's bounded-buffer admission run as a batch
+    * query so the driver checks it, not just StreamingSpec: per room, the
+    * 1000 lowest-seq events admit (the reference's capacity-50 sendAsync
+    * buffer, scaled to the testbed's per-room volumes), the rest are
+    * counted as abandoned. Same EventStream.admitLossy the sink path uses.
+    */
+  val lossyAdmission = GQuery(
+    "lossy_admission",
+    (s, d) => {
+      val (admitted, dropped) = graft.streaming.EventStream.admitLossy(
+        gameView(s, d).select("room", "seq"), Seq("room"), "seq", capacity = 1000)
+      admitted.groupBy("room").agg(count(lit(1)).as("n_admitted"))
+        .join(dropped, Seq("room"), "left")
+        .select(col("room"), col("n_admitted"),
+          coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"))
+    },
+    oracle = Some(
+      s"""$GameCte
+         |SELECT room,
+         |       count(*) FILTER (WHERE rn <= 1000) AS n_admitted,
+         |       count(*) FILTER (WHERE rn > 1000) AS n_abandoned
+         |FROM (SELECT room, row_number() OVER (PARTITION BY room ORDER BY seq) AS rn
+         |      FROM game)
+         |GROUP BY room""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
-    joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets)
+    joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission)
 }
