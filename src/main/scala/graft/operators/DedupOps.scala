@@ -583,6 +583,11 @@ object DedupOps {
         converged = changed == 0
         rounds += 1
       }
+      // a silent unconverged answer would be WRONG data, not slow data
+      require(converged,
+        s"dedup_clusters: not converged after $rounds rounds — component " +
+          "diameter exceeds the bound; raise it or switch the loop to " +
+          "large-star/small-star edge rewriting")
       val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
       labels.join(sizes, Seq("rep")).select("doc_id", "rep", "csize")
     },

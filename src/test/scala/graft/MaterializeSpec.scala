@@ -23,8 +23,9 @@ class MaterializeSpec extends SparkSuite {
       assert(reliable.collect().map(_.getLong(0)).sorted ===
         local.collect().map(_.getLong(0)).sorted)
       // the reliable path actually wrote RDD checkpoint data under dir
-      val wrote = Files.walk(java.nio.file.Paths.get(dir))
-        .filter(Files.isRegularFile(_)).count()
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(Files.isRegularFile(_)).count()
+      finally walk.close()
       assert(wrote > 0, s"expected checkpoint files under $dir")
     } finally {
       spark.conf.unset(Materialize.DirConfKey)
