@@ -260,11 +260,69 @@ object VectorExpressions {
       copy(child = newChildren(0))
   }
 
+  /** graft_simhash(tks): the 32-bit SimHash signature of a hashed-shingle
+    * array in ONE codegen call — per-bit majority vote over the elements'
+    * low 32 bits, bit j set iff strictly more elements have bit j set than
+    * clear. Replaces 32 separate `aggregate(...)` higher-order functions
+    * (each an interpreted per-element lambda) with a single compiled
+    * two-level loop. Empty array ⇒ all votes tie at 0 ⇒ signature 0, the
+    * same value the HOF encoding produced.
+    */
+  case class SimhashSignature(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](32)
+      var i = 0
+      while (i < n) {
+        val t = arr.getLong(i)
+        var j = 0
+        while (j < 32) {
+          if (((t >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 32) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"""
+           |int graft_n = $arr.numElements();
+           |int[] graft_votes = new int[32];
+           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+           |  long graft_t = $arr.getLong(graft_i);
+           |  for (int graft_j = 0; graft_j < 32; graft_j++) {
+           |    if (((graft_t >> graft_j) & 1L) == 1L) graft_votes[graft_j]++;
+           |    else graft_votes[graft_j]--;
+           |  }
+           |}
+           |long graft_sig = 0L;
+           |for (int graft_j = 0; graft_j < 32; graft_j++) {
+           |  if (graft_votes[graft_j] > 0) graft_sig |= 1L << graft_j;
+           |}
+           |${ev.value} = graft_sig;
+           |""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
-    "graft_shingle_rows" -> (es => ShingleRows(es.head)))
+    "graft_shingle_rows" -> (es => ShingleRows(es.head)),
+    "graft_simhash" -> (es => SimhashSignature(es.head)))
 
   /** Idempotent per-session registration — call before using
     * expr("graft_*"). The SessionExtensions path below is the spark-submit

@@ -313,19 +313,15 @@ object DedupOps {
   val dedupSimhash = GQuery(
     "dedup_simhash",
     (s, d) => {
-      // fully row-local: each doc's 32 bit-votes fold over its own hashed
-      // shingle array — no explosion, no shuffle before the pair join
+      // fully row-local: each doc's 32-bit signature is ONE native codegen
+      // call over its hashed shingle array (graft_simhash — the HOF form
+      // ran 32 interpreted aggregate() lambdas per doc); no explosion, no
+      // shuffle before the pair join
       val tks = hashedShingleArrays(s, d)
-      val voteCols = (0 until SimhashBits).map(j =>
-        expr(s"aggregate(tks, CAST(0 AS BIGINT), " +
-          s"(acc, t) -> acc + IF(shiftright(t, $j) & 1 = 1, 1, -1))").as(s"s$j"))
-      val votes = tks.select(col("doc_id") +: voteCols: _*)
-      val sh32 = (0 until SimhashBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
-      // 1 row/doc, read by both sides of the band self-join; localCheckpoint
-      // is safe here at any scale (the signature table is ~16 bytes/doc)
-      val sig = graft.Materialize.stage(votes.select(col("doc_id"), sh32.as("sh32")))
+      // 1 row/doc, read by both sides of the band self-join; staging is
+      // safe here at any scale (the signature table is ~16 bytes/doc)
+      val sig = graft.Materialize.stage(
+        tks.select(col("doc_id"), expr("graft_simhash(tks)").as("sh32")))
       val nBands = SimhashMaxDist + 1           // ≥ maxDist+1 bands required
       val bandBits = SimhashBits / nBands
       val bandVals = array((0 until nBands).map(b =>

@@ -72,6 +72,26 @@ class ShingleHashesSpec extends SparkSuite {
     assert(viaGen.nonEmpty)
   }
 
+  test("graft_simhash == the 32-aggregate HOF vote it replaces") {
+    VectorExpressions.ensureRegistered(spark)
+    val tks = Tables.documents(spark, smokeDir)
+      .selectExpr("doc_id", "graft_shingle_hashes(text) AS tks")
+      .filter(size(col("tks")) > 0)
+    val voteCols = (0 until 32).map(j =>
+      expr(s"aggregate(tks, CAST(0 AS BIGINT), " +
+        s"(acc, t) -> acc + IF(shiftright(t, $j) & 1 = 1, 1, -1))").as(s"s$j"))
+    val sh32Hof = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val viaHof = tks.select(col("doc_id") +: voteCols: _*)
+      .select(col("doc_id"), sh32Hof.as("sh32"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = tks.selectExpr("doc_id", "graft_simhash(tks) AS sh32")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaHof)
+    assert(viaNative.nonEmpty)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     VectorExpressions.ensureRegistered(spark)
     // a local Seq collapses to LocalTableScan (eager interpreted eval);

@@ -27,6 +27,22 @@ class SourcesSpec extends SparkSuite {
     assert(aggOf(back) === aggOf(src))
   }
 
+  test("events round-trip through ORC preserves schema and aggregates") {
+    // ORC is the columnar alternative a warehouse migration hands us;
+    // unlike CSV/JSON it carries its own schema and types
+    val dir = tmp("orc")
+    val src = Tables.events(spark, smokeDir)
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    val aggOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum("event_id"), round(sum("value"), 2), countDistinct("event_type"))
+        .collect()(0).toSeq
+    assert(aggOf(back) === aggOf(src))
+  }
+
   test("events round-trip through JSON lines preserves schema and values") {
     val dir = tmp("json")
     val src = Tables.events(spark, smokeDir)
