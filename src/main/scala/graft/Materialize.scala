@@ -24,8 +24,19 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.getOption(DirConfKey) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        spark.sparkContext.getCheckpointDir match {
+          case None => spark.sparkContext.setCheckpointDir(dir)
+          // setCheckpointDir appends a random UUID segment and may qualify
+          // the scheme, so "already ours" = the configured path is a prefix
+          // of the effective one. SparkContext's dir wins once set; a
+          // silently-ignored config is worse than a loud one.
+          case Some(existing)
+              if !existing.contains(dir.stripSuffix("/").stripPrefix("file:")) =>
+            throw new IllegalStateException(
+              s"$DirConfKey=$dir conflicts with the SparkContext checkpoint " +
+                s"dir already set to $existing; unset one of them")
+          case _ => ()
+        }
         df.checkpoint()
       case None =>
         df.localCheckpoint()

@@ -101,6 +101,27 @@ case class CosineTopKAggregate(
     StructField("id", LongType), StructField("score", DoubleType))))
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(score, id)
+  // Fail at analysis, not with an executor ClassCastException. update() reads
+  // score via Number.doubleValue and id via Number.longValue, so accept
+  // exactly the types that box to java.lang.Number and don't truncate:
+  // any non-decimal numeric score, any integral id. (AbstractDataType is
+  // private[sql], so this is spelled as a concrete-type check rather than
+  // ExpectsInputTypes.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def bad(what: String, dt: DataType, want: String) =
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine_topk $what requires $want, got ${dt.catalogString}")
+    score.dataType match {
+      case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType =>
+        id.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            TypeCheckResult.TypeCheckSuccess
+          case dt => bad("id", dt, "an integral type")
+        }
+      case dt => bad("score", dt, "a non-decimal numeric type")
+    }
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CosineTopKAggregate =
     copy(mutableAggBufferOffset = newOffset)

@@ -40,6 +40,15 @@ object DedupOps {
     * a similarity signal, and contributes df² rows to the pair join — the
     * Σdf² term that kills the shingle-join at scale. Both the Spark query
     * and its oracle compute Jaccard over the capped shingle universe.
+    *
+    * Universe caveat: dedup_minhash_lsh verifies candidates over FULL
+    * hashed-shingle sets, so its recall is not directly comparable against
+    * this capped baseline on boilerplate-heavy corpora — a doc pair whose
+    * overlap is mostly stop-shingles scores higher under minhash than here.
+    * When using the n-gram query as a recall reference, apply the same cap
+    * to [[hashedShinglesOf]] (df-join before the array_agg) or compare only
+    * on corpora where df(shingle) ≤ ShingleDfCap holds for the shingles of
+    * interest (true of the driver testbed — see DedupSpec's recall check).
     */
   val ShingleDfCap = 64L
 

@@ -48,7 +48,7 @@ object LcgSourceOps {
   private val LcgCte =
     s"""WITH RECURSIVE gen AS (
        |  SELECT r AS rid, CAST(-1 AS BIGINT) AS i,
-       |         (42::HUGEINT * $A::HUGEINT + r::HUGEINT * $B::HUGEINT)
+       |         ($Seed::HUGEINT * $A::HUGEINT + r::HUGEINT * $B::HUGEINT)
        |           % $M64::HUGEINT AS state
        |  FROM range($Rooms) t(r)
        |  UNION ALL

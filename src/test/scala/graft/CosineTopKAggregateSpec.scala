@@ -46,6 +46,20 @@ class CosineTopKAggregateSpec extends SparkSuite {
     assert(viaAgg.nonEmpty)
   }
 
+  test("non-numeric score / non-integral id fail at analysis, not on executors") {
+    CosineTopKAggregate.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1L, "oops", 0.5)).toDF("q", "s", "cos")
+    val badScore = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("q").agg(expr("graft_cosine_topk(s, q, 3)")).collect()
+    }
+    assert(badScore.getMessage.contains("score requires"))
+    val badId = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("q").agg(expr("graft_cosine_topk(cos, cos, 3)")).collect()
+    }
+    assert(badId.getMessage.contains("id requires"))
+  }
+
   test("equal scores break ties by id ascending; output bounded at k") {
     CosineTopKAggregate.ensureRegistered(spark)
     import spark.implicits._
