@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * the per-document metrics (TextOps) and before/alongside dedup (DedupOps):
+  * repetition signals, corpus shape histograms, PII-style redaction, and
+  * per-source mixture weighting. All pure `functions._` — codegen'd, no UDFs;
+  * every aggregate is map-side-combinable so shuffles stay proportional to
+  * group cardinality, not corpus size.
+  */
+object PipelineOps {
+
+  private def tokArr(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Gopher-style repetition signals per document: duplicate-bigram fraction
+    * and most-frequent-bigram share, with an integer-threshold repetition
+    * flag (top bigram covering ≥ 18% of all bigrams). The shuffle key is
+    * (doc_id, bigram) — per-doc bounded, corpus-size independent. All ratios
+    * are scaled integers (floor division): round(double) is not
+    * cross-engine-safe on terminating decimals.
+    */
+  val textRepetition = GQuery(
+    "text_repetition",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokArr(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigrams = t.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("bigram"))
+      bigrams
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("top_count"),
+          expr("(n_bigrams - n_distinct_bigrams) * 10000 div n_bigrams")
+            .as("dup_bigram_frac_e4"),
+          expr("top_count * 10000 div n_bigrams").as("top_bigram_frac_e4"),
+          (col("top_count") * 100 >= col("n_bigrams") * 18)
+            .as("flag_repetitive"))
+    },
+    oracle = Some(
+      """WITH rep_t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |rep_bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM rep_t WHERE len(t) >= 2),
+        |rep_cnt AS (
+        |  SELECT doc_id, bigram, count(*) AS c FROM rep_bi GROUP BY doc_id, bigram),
+        |rep_agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         count(*) AS n_distinct_bigrams, CAST(max(c) AS BIGINT) AS top_count
+        |  FROM rep_cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams, top_count,
+        |       (n_bigrams - n_distinct_bigrams) * 10000 // n_bigrams AS dup_bigram_frac_e4,
+        |       top_count * 10000 // n_bigrams AS top_bigram_frac_e4,
+        |       top_count * 100 >= n_bigrams * 18 AS flag_repetitive
+        |FROM rep_agg""".stripMargin),
+    bench = true)
+
+  /** Corpus shape histogram: fixed-width 32-token buckets per source —
+    * the length-distribution profile a mixture designer reads before setting
+    * truncation/packing policy. Integer bucketing (div), no floating log2:
+    * floor(log2(n)) is not bit-identical across engines at bucket borders.
+    */
+  val textLengthHistogram = GQuery(
+    "text_length_histogram",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(tokArr(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens")),
+    oracle = Some(
+      """SELECT source, n_tokens // 32 AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT source,
+        |             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |                  AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY source, bucket""".stripMargin))
+
+  // Shared by query and oracle: simple email/phone shapes. Kept to syntax
+  // with identical semantics in Java regex (Spark) and RE2 (DuckDB) —
+  // character classes, +, and bounded repetition only.
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val PhoneRe = "\\+[0-9][0-9-]{6,}"
+
+  /** PII-style redaction: scrub email addresses and phone-shaped numbers,
+    * reporting per-doc match counts. The testbed corpus contains no PII, so
+    * the query plants deterministic synthetic contacts (doc_id-derived) on
+    * BOTH sides and then must remove them — the redaction mechanism, not the
+    * synthetic data, is what the oracle checks. Row-local throughout: no
+    * shuffle at any scale.
+    */
+  val piiRedact = GQuery(
+    "pii_redact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@mail.example or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now")).as("aug"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"),
+          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones")),
+    oracle = Some(
+      """WITH pii_aug AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.example or +1-555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                      '\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(aug, '\+[0-9][0-9-]{6,}')) AS BIGINT) AS n_phones
+        |FROM pii_aug""".stripMargin))
+
+  /** Per-source mixture weighting + deterministic admission — the "domain
+    * mixing" step of corpus assembly: weight each source toward a uniform
+    * char budget (capped at 3× upsampling), then admit docs by multiplicative
+    * hash at that rate (reproducible, shuffle-free sampling; rates ≥ 1
+    * admit everything). Two tiny aggregates (per-source, then 1-row totals,
+    * both broadcast); the corpus-sized side streams once through a broadcast
+    * join — no large shuffle at 100 TB. Integer arithmetic end to end;
+    * total_chars·10⁶ stays under 2⁶³ through ~9·10¹² chars (past that,
+    * scale the ratios at e3).
+    */
+  val sampleWeights = GQuery(
+    "sample_weights",
+    (s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val perSrc = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("src_chars"))
+      val totals = broadcast(perSrc
+        .agg(sum(col("src_chars")).cast("long").as("total_chars"),
+          count(lit(1)).as("n_sources")))
+      val weighted = perSrc.crossJoin(totals)
+        .withColumn("share_e6", expr("src_chars * 1000000 div total_chars"))
+        .withColumn("weight_e6",
+          least(expr("total_chars * 1000000 div (n_sources * src_chars)"),
+            lit(3000000L)))
+      val admitted = perDoc
+        .join(broadcast(weighted.select(col("source"), col("weight_e6"))),
+          Seq("source"))
+        .filter(expr("(doc_id * 2654435761) % 1000000 < weight_e6"))
+        .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+      weighted
+        .join(admitted, Seq("source"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .select(col("source"), col("n_docs"), col("src_chars"),
+          col("share_e6"), col("weight_e6"), col("n_admitted"))
+    },
+    oracle = Some(
+      """WITH mix_src AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY source),
+        |mix_tot AS (
+        |  SELECT CAST(sum(src_chars) AS BIGINT) AS total_chars,
+        |         count(*) AS n_sources FROM mix_src),
+        |mix_w AS (
+        |  SELECT source, n_docs, src_chars,
+        |         src_chars * 1000000 // total_chars AS share_e6,
+        |         least(total_chars * 1000000 // (n_sources * src_chars),
+        |               3000000) AS weight_e6
+        |  FROM mix_src CROSS JOIN mix_tot),
+        |mix_adm AS (
+        |  SELECT d.source, count(*) AS n_admitted
+        |  FROM documents d JOIN mix_w w USING (source)
+        |  WHERE (d.doc_id * 2654435761) % 1000000 < w.weight_e6
+        |  GROUP BY d.source)
+        |SELECT source, n_docs, src_chars, share_e6,
+        |       CAST(weight_e6 AS BIGINT) AS weight_e6,
+        |       coalesce(n_admitted, 0) AS n_admitted
+        |FROM mix_w LEFT JOIN mix_adm USING (source)""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(
+    textRepetition, textLengthHistogram, piiRedact, sampleWeights)
+}
