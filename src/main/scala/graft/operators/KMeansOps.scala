@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{GQuery, Materialize, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K-means (Lloyd's) coarse-quantizer training over the `embeddings` table,
+  * and the trained-IVF ANN query it feeds — the "train the index, then search
+  * it" half that `ann_ivf_label_topk` (SimilarityOps.scala) stubs with the
+  * pre-assigned `label` column.
+  *
+  * Every iteration is exact integer arithmetic so DuckDB reproduces the model
+  * bit-for-bit (no FP summation-order risk):
+  *
+  *  - points quantize once: `qv[i] = floor(x_i * 10^4)` as BIGINT (float →
+  *    double cast is exact; the product and floor are IEEE-deterministic);
+  *  - assignment: `argmin_c Σ(qv_i − cv_i)²` with ties broken by centroid id
+  *    via the composite `dist·1000 + cid` (dist ≤ 64·6000² ≈ 2.3e9, so the
+  *    composite stays far under 2^53 and is computed exactly in doubles
+  *    through the codegen'd graft_dot identity ‖x−c‖² = x·x − 2x·c + c·c);
+  *  - update: per-dimension integer mean `floorDiv(Σqv_i, n)`; an empty
+  *    cluster keeps its previous centroid (n = 0).
+  *
+  * Scale shape (the MLlib KMeans pattern): the corpus NEVER reaches the
+  * driver — each iteration is one row-local assignment map (centroids
+  * broadcast as literals) plus one (cid, dim)-keyed partial aggregation;
+  * only the K×64-long model state is collected between iterations. The
+  * quantized corpus is staged once (Materialize.stage) so T iterations do
+  * not re-read parquet T times.
+  */
+object KMeansOps {
+
+  val K = 8
+  val Iters = 3
+  val QuantScale = 10000
+  val Dims = 64
+  /** Composite argmin base: dist·CompBase + cid is unique and orders
+    * lexicographically by (dist, cid) as long as cid < CompBase. */
+  val CompBase = 1000L
+
+  /** vec_id, v (double), nrm, qv (quantized BIGINT), qvd, qq = qv·qv. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    DedupOps.normalizedVecs(s, d)
+      .withColumn("qv", transform(col("v"), x => floor(x * QuantScale)))
+      .withColumn("qvd", transform(col("qv"), _.cast("double")))
+      .withColumn("qq", call_function("graft_dot", col("qvd"), col("qvd")))
+
+  /** Row-local nearest-centroid assignment against literal centroids.
+    * All arithmetic integer-valued (exact in double — see object doc). */
+  private def withCid(pts: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val comps = cents.map { case (cid, cv) =>
+      val cc = cv.map(x => x * x).sum.toDouble
+      val dot = call_function("graft_dot", col("qvd"), typedLit(cv.map(_.toDouble).toSeq))
+      (col("qq") - lit(2.0) * dot + lit(cc)) * lit(CompBase.toDouble) + lit(cid.toDouble)
+    }
+    pts.withColumn("cid", least(comps: _*).cast("long") % CompBase)
+  }
+
+  /** Per-(cluster, dimension) sums + cluster sizes — the map-side-combinable
+    * update aggregation. pos is 1-based to match the oracle's list indexing. */
+  private def sums(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("qv")).as(Seq("pos0", "x")))
+      .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+
+  /** Driver-side centroid refresh from the collected (cid, pos, s, n) rows.
+    * Empty clusters keep their previous centroid with n = 0. */
+  private def nextCents(prev: Seq[(Int, Array[Long], Long)],
+                        rows: Array[Row]): Seq[(Int, Array[Long], Long)] = {
+    val byCid = rows.groupBy(_.getLong(0).toInt)
+    prev.map { case (cid, cv, _) =>
+      byCid.get(cid) match {
+        case Some(rs) =>
+          val arr = new Array[Long](Dims)
+          val n = rs.head.getLong(3)
+          rs.foreach(r => arr(r.getInt(1) - 1) = Math.floorDiv(r.getLong(2), n))
+          (cid, arr, n)
+        case None => (cid, cv, 0L)
+      }
+    }
+  }
+
+  /** Lloyd's for `iters` iterations. Seeds from vec_id 0..K-1. Collects only
+    * the K×Dims model state per iteration (O(k·d), not O(n)). */
+  private[operators] def lloyd(pts: DataFrame, iters: Int): Seq[(Int, Array[Long], Long)] = {
+    var cents: Seq[(Int, Array[Long], Long)] =
+      pts.filter(col("vec_id") < K).select(col("vec_id"), col("qv")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 0L))
+        .sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val rows = sums(withCid(pts, cents.map(c => (c._1, c._2)))).collect()
+      cents = nextCents(cents, rows)
+    }
+    cents
+  }
+
+  // ---- oracle-side twin -----------------------------------------------------
+
+  /** The quantization + seed CTEs shared by both oracles. */
+  private val PtsCte =
+    """WITH pts AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> x::DOUBLE) AS v,
+      |         sqrt(list_sum(list_transform(embedding,
+      |           x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < 8)""".stripMargin
+
+  /** One unrolled Lloyd's iteration: assignment (cross join + argmin over the
+    * dist·1000+cid composite), per-(cid,pos) sums, floor-div centroid update
+    * with empty-cluster carry-forward — the exact integer twin of
+    * withCid/sums/nextCents. */
+  private def iterCte(t: Int): String = {
+    val p = t - 1
+    s"""d$t AS (
+       |  SELECT p.vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |           i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) * $CompBase + c.cid AS comp
+       |  FROM pts p CROSS JOIN c$p c),
+       |a$t AS (
+       |  SELECT p.vec_id, p.qv, CAST(m.comp % $CompBase AS BIGINT) AS cid
+       |  FROM pts p JOIN (SELECT vec_id, min(comp) AS comp FROM d$t GROUP BY vec_id) m
+       |  USING (vec_id)),
+       |u$t AS (
+       |  SELECT a.cid, g.pos, sum(a.qv[g.pos]) AS s, count(*) AS n
+       |  FROM a$t a CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS pos) g
+       |  GROUP BY a.cid, g.pos),
+       |c$t AS (
+       |  SELECT c$p.cid, coalesce(u.cv, c$p.cv) AS cv, coalesce(u.n, 0) AS n
+       |  FROM c$p LEFT JOIN (
+       |    SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY pos) AS cv,
+       |           CAST(min(n) AS BIGINT) AS n
+       |    FROM u$t GROUP BY cid) u USING (cid))""".stripMargin
+  }
+
+  private def chain(iters: Int): String =
+    PtsCte + "," + (1 to iters).map(iterCte).mkString(",")
+
+  // ---- queries --------------------------------------------------------------
+
+  /** Q:kmeans_centroids — the trained coarse quantizer, exploded to one row
+    * per (cluster, dimension) so the driver hash checks every component plus
+    * each cluster's population. Iterations 1..Iters-1 run through the
+    * collected-model loop; the FINAL update stays fully distributed (the
+    * (cid,pos) aggregation is the result — no terminal collect).
+    */
+  val kmeansCentroids = GQuery(
+    "kmeans_centroids",
+    (s, d) => {
+      val pts = Materialize.stage(quantized(s, d))
+      val cents = lloyd(pts, Iters - 1)
+      val u = sums(withCid(pts, cents.map(c => (c._1, c._2))))
+        .select(col("cid").as("cluster_id"), col("pos").cast("long").as("pos"),
+          expr("(s - pmod(s, n)) div n").as("uc"), col("n"))
+      val prev = s.createDataFrame(cents.flatMap { case (cid, cv, _) =>
+        cv.toSeq.zipWithIndex.map { case (c, i) => (cid.toLong, (i + 1).toLong, c) }
+      }).toDF("cluster_id", "pos", "prev_c")
+      broadcast(prev).join(u, Seq("cluster_id", "pos"), "left")
+        .select(col("cluster_id"), col("pos"),
+          coalesce(col("uc"), col("prev_c")).as("c"),
+          coalesce(col("n"), lit(0L)).as("n_points"))
+    },
+    oracle = Some(
+      s"""${chain(Iters)}
+         |SELECT c$Iters.cid AS cluster_id, CAST(g.pos AS BIGINT) AS pos,
+         |       c$Iters.cv[g.pos] AS c, c$Iters.n AS n_points
+         |FROM c$Iters CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS pos) g""".stripMargin),
+    bench = true)
+
+  /** Q:ann_ivf_trained_topk — the IVF search over the TRAINED quantizer:
+    * every vector is assigned to its nearest trained centroid (row-local),
+    * and each query (vec_id < 10) searches only its own cell. Completes the
+    * label-column stand-in of ann_ivf_label_topk with a real trained index;
+    * ranking is the fused graft_cosine_topk aggregate (k rows per query
+    * cross the shuffle).
+    */
+  val annIvfTrainedTopk = GQuery(
+    "ann_ivf_trained_topk",
+    (s, d) => {
+      val pts = Materialize.stage(quantized(s, d))
+      val cents = lloyd(pts, Iters)
+      val asg = withCid(pts, cents.map(c => (c._1, c._2)))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      val q = broadcast(asg.filter(col("vec_id") < SimilarityOps.NumQueries).as("a"))
+      val scored = q.join(asg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", DedupOps.cosExpr())
+        .select(col("a.vec_id").as("query_id"), col("a.cid").as("cluster_id"),
+          col("b.vec_id").as("neighbor_id"), col("cos"))
+      SimilarityOps.topkPerQuery(scored, SimilarityOps.PerQueryK,
+        Seq("query_id", "cluster_id"))
+    },
+    oracle = Some(
+      s"""${chain(Iters)},
+         |df AS (
+         |  SELECT p.vec_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |           i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) * $CompBase + c.cid AS comp
+         |  FROM pts p CROSS JOIN c$Iters c),
+         |af AS (
+         |  SELECT p.vec_id, p.v, p.nrm, CAST(m.comp % $CompBase AS BIGINT) AS cid
+         |  FROM pts p JOIN (SELECT vec_id, min(comp) AS comp FROM df GROUP BY vec_id) m
+         |  USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, a.cid AS cluster_id, b.vec_id AS neighbor_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+         |  FROM af a JOIN af b ON a.vec_id < ${SimilarityOps.NumQueries}
+         |                     AND a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |SELECT query_id, cluster_id, neighbor_id, round(cos, 4) AS cosine,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= ${SimilarityOps.PerQueryK}""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(kmeansCentroids, annIvfTrainedTopk)
+}

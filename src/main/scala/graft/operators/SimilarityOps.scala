@@ -75,8 +75,8 @@ object SimilarityOps {
     * @param scored (groupCols..., neighbor_id, cos)
     * @param groupCols grouping keys (query_id, plus bucket for the LSH form)
     */
-  private def topkPerQuery(scored: DataFrame, k: Int,
-                           groupCols: Seq[String]): DataFrame = {
+  private[operators] def topkPerQuery(scored: DataFrame, k: Int,
+                                      groupCols: Seq[String]): DataFrame = {
     graft.functions.CosineTopKAggregate.ensureRegistered(scored.sparkSession)
     scored
       .groupBy(groupCols.map(col): _*)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Materialize, SparkSuite, Tables}
+
+/** Invariants for the integer-exact Lloyd's trainer — the DuckDB oracle gate
+  * proves cross-engine parity; these pin the model-shape properties the
+  * oracle can't express (partition totality, convergence direction, search
+  * restricted to the assigned cell).
+  */
+class KMeansSpec extends SparkSuite {
+
+  test("kmeans_centroids: full K×D grid, populations partition the corpus") {
+    val out = KMeansOps.kmeansCentroids.run(spark, smokeDir)
+    val rows = out.collect()
+    assert(rows.length === KMeansOps.K * KMeansOps.Dims)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.keySet === (0 until KMeansOps.K).map(_.toLong).toSet)
+    // n_points constant within a cluster, and the non-empty ones sum to n
+    val ns = byCluster.map { case (_, rs) =>
+      val n = rs.map(_.getAs[Long]("n_points")).distinct
+      assert(n.length === 1)
+      n.head
+    }
+    val total = Tables.embeddings(spark, smokeDir).count()
+    assert(ns.sum === total)
+    // quantized centroid components stay inside the quantized data range
+    val (lo, hi) = (-QuantBound, QuantBound)
+    rows.foreach(r => assert(r.getAs[Long]("c") >= lo && r.getAs[Long]("c") <= hi))
+  }
+
+  private val QuantBound = 20000L // |x| < 2.0 after the 1e4 scaling
+
+  test("lloyd iterations never increase total within-cluster cost") {
+    // cost(model) = Σ_points min_c ‖qv − cv‖² — Lloyd's is monotone on it.
+    val pts = Tables.embeddings(spark, smokeDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * KMeansOps.QuantScale)).as("qv"))
+    def cost(cents: Seq[(Int, Array[Long], Long)]): Double = {
+      val lits = cents.map { case (_, cv, _) => typedLit(cv.toSeq) }
+      pts.select(least(lits.map(cv =>
+          aggregate(zip_with(col("qv"), cv, (x, w) => (x - w) * (x - w)),
+            lit(0L), _ + _)): _*).as("d"))
+        .agg(sum("d")).head.getLong(0).toDouble
+    }
+    val staged = Materialize.stage(
+      DedupOps.normalizedVecs(spark, smokeDir)
+        .withColumn("qv", transform(col("v"), x => floor(x * KMeansOps.QuantScale)))
+        .withColumn("qvd", transform(col("qv"), _.cast("double")))
+        .withColumn("qq", call_function("graft_dot", col("qvd"), col("qvd"))))
+    val costs = (1 to 3).map(t => cost(KMeansOps.lloyd(staged, t)))
+    assert(costs.sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
+  test("ann_ivf_trained_topk: every rank run dense, neighbors share the cell") {
+    val out = KMeansOps.annIvfTrainedTopk.run(spark, smokeDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks === (1L to ranks.length))
+      assert(rs.map(_.getAs[Long]("cluster_id")).distinct.length === 1)
+    }
+    // cosine sanity: bounded
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+}
