@@ -51,4 +51,18 @@ object Tables {
       s"timestamp_micros(CAST($name div 1000 AS BIGINT))")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testbed table as a session temp view so users can query
+    * the engine through `spark.sql(...)` directly (the oracle SQL's ANSI
+    * subset runs unchanged — SqlParitySpec pins that). `events` goes through
+    * [[events]] so the nanosecond-timestamp rebuild applies to the view too.
+    */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    All.foreach {
+      case "events" => events(s, dir).createOrReplaceTempView("events")
+      case t        => table(s, dir, t).createOrReplaceTempView(t)
+    }
 }

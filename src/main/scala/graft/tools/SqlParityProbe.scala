@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev tool: classify every oracle SQL by whether Spark's SQL dialect can run
+  * it over the temp-view catalog, and whether the result matches the engine
+  * query. Output feeds SqlParitySpec's pinned list.
+  *
+  *   sbt "runMain graft.tools.SqlParityProbe [sfDir]"
+  */
+object SqlParityProbe {
+
+  /** Canonical comparable form: columns sorted by name, rows sorted by their
+    * string rendering, doubles compared through a fixed 1e-6 grid (both
+    * sides are Spark here; only plan-order double summation can differ).
+    */
+  def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => cols.indices.map { i =>
+        r.get(i) match {
+          case d: java.lang.Double => f"${math.rint(d * 1e6) / 1e6}%.6f"
+          // Spark SQL literal division yields DECIMAL where the DataFrame
+          // side used double — same value, different carrier type
+          case d: java.math.BigDecimal => f"${math.rint(d.doubleValue * 1e6) / 1e6}%.6f"
+          case v => String.valueOf(v)
+        }
+      }.mkString("|"))
+      .toSeq.sorted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.registerViews(spark, dir)
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    val results = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, sql) =>
+      val status =
+        try {
+          val oracle = canon(spark.sql(sql))
+          val engine = canon(byName(name).run(spark, dir))
+          if (oracle == engine) "PARITY"
+          else s"MISMATCH engine=${engine.size} oracle=${oracle.size}"
+        } catch {
+          case e: Throwable =>
+            s"NOSQL ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next().take(90)}"
+        }
+      println(s"[parity] $name $status")
+      name -> status
+    }
+    val parity = results.count(_._2 == "PARITY")
+    println(s"[parity] summary: $parity/${results.size} run through spark.sql with identical results")
+    spark.stop()
+  }
+}
