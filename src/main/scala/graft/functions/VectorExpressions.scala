@@ -260,29 +260,51 @@ object VectorExpressions {
       copy(child = newChildren(0))
   }
 
-  /** graft_simhash(tks): the 32-bit SimHash signature of a hashed-shingle
-    * array in ONE codegen call — per-bit majority vote over the elements'
-    * low 32 bits, bit j set iff strictly more elements have bit j set than
-    * clear. Replaces 32 separate `aggregate(...)` higher-order functions
-    * (each an interpreted per-element lambda) with a single compiled
-    * two-level loop. Empty array ⇒ all votes tie at 0 ⇒ signature 0, the
-    * same value the HOF encoding produced.
+  /** graft_simhash(tks[, bits]): the `bits`-wide (32 default, 64 max)
+    * SimHash signature of a hashed-shingle array in ONE codegen call —
+    * per-bit majority vote over the elements' low `bits` bits, bit j set iff
+    * strictly more elements have bit j set than clear. Replaces `bits`
+    * separate `aggregate(...)` higher-order functions (each an interpreted
+    * per-element lambda) with a single compiled two-level loop. Empty array
+    * ⇒ all votes tie at 0 ⇒ signature 0, the same value the HOF encoding
+    * produced. At 64 bits the sign bit participates like any other (the
+    * signature is a raw bit pattern, not a number).
+    *
+    * When `bits` exceeds 32 each element is first spread through an
+    * xorshift-multiply finalizer (LCG constants, wrapping 64-bit arithmetic)
+    * — the shingle keys are mod-(2^31−1) polyhashes, so without the mix the
+    * widened signature's upper bits would all vote on constant zeros.
     */
-  case class SimhashSignature(child: Expression)
+  case class SimhashSignature(child: Expression, bitsExpr: Expression)
       extends UnaryExpression {
+
+    /** Width fixed at plan time: banding/verification logic needs a literal. */
+    private val bits: Int = bitsExpr match {
+      case Literal(v: Int, IntegerType) if v >= 1 && v <= 64 => v
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash bits must be an INT literal in [1, 64], got $other")
+    }
 
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
+    private val mixed = bits > 32
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](bits)
       var i = 0
       while (i < n) {
-        val t = arr.getLong(i)
+        var t = arr.getLong(i)
+        if (mixed) {
+          var z = t + SimhashSignature.MixB
+          z = (z ^ (z >>> 30)) * SimhashSignature.MixA
+          z = (z ^ (z >>> 27)) * SimhashSignature.MixA
+          t = z ^ (z >>> 31)
+        }
         var j = 0
-        while (j < 32) {
+        while (j < bits) {
           if (((t >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
@@ -290,31 +312,49 @@ object VectorExpressions {
       }
       var sig = 0L
       var j = 0
-      while (j < 32) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+      while (j < bits) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
       sig
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, arr =>
+      nullSafeCodeGen(ctx, ev, arr => {
+        val mixCode = if (mixed)
+          s"""
+             |long graft_z = graft_t + ${SimhashSignature.MixB}L;
+             |graft_z = (graft_z ^ (graft_z >>> 30)) * ${SimhashSignature.MixA}L;
+             |graft_z = (graft_z ^ (graft_z >>> 27)) * ${SimhashSignature.MixA}L;
+             |graft_t = graft_z ^ (graft_z >>> 31);
+             |""".stripMargin
+        else ""
         s"""
            |int graft_n = $arr.numElements();
-           |int[] graft_votes = new int[32];
+           |int[] graft_votes = new int[$bits];
            |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
            |  long graft_t = $arr.getLong(graft_i);
-           |  for (int graft_j = 0; graft_j < 32; graft_j++) {
+           |  $mixCode
+           |  for (int graft_j = 0; graft_j < $bits; graft_j++) {
            |    if (((graft_t >> graft_j) & 1L) == 1L) graft_votes[graft_j]++;
            |    else graft_votes[graft_j]--;
            |  }
            |}
            |long graft_sig = 0L;
-           |for (int graft_j = 0; graft_j < 32; graft_j++) {
+           |for (int graft_j = 0; graft_j < $bits; graft_j++) {
            |  if (graft_votes[graft_j] > 0) graft_sig |= 1L << graft_j;
            |}
            |${ev.value} = graft_sig;
-           |""".stripMargin)
+           |""".stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  object SimhashSignature {
+    /** Wrapping xorshift-multiply finalizer constants (Knuth LCG pair —
+      * the same A/B the DSV2 source's generator uses; both < 2^63 so the
+      * DuckDB oracle can replay the multiply in HUGEINT mod 2^64). */
+    val MixA = 6364136223846793005L
+    val MixB = 1442695040888963407L
   }
 
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -322,7 +362,8 @@ object VectorExpressions {
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_shingle_rows" -> (es => ShingleRows(es.head)),
-    "graft_simhash" -> (es => SimhashSignature(es.head)))
+    "graft_simhash" -> (es =>
+      SimhashSignature(es.head, if (es.length > 1) es(1) else Literal(32))))
 
   /** Idempotent per-session registration — call before using
     * expr("graft_*"). The SessionExtensions path below is the spark-submit

@@ -31,8 +31,11 @@ object DedupOps {
   val NumBands = NumHashes / BandSize
   val HashA: Seq[Long] = (0 until NumHashes).map(j => ((2L * j + 1) * 2654435761L) % P)
   val HashB: Seq[Long] = (0 until NumHashes).map(j => (j * 40503L + 7) % P)
-  val SimhashBits = 32
+  val SimhashBits = 64
   val SimhashMaxDist = 3
+  private val MixA = graft.functions.VectorExpressions.SimhashSignature.MixA
+  private val MixB = graft.functions.VectorExpressions.SimhashSignature.MixB
+  private val M64 = "18446744073709551616" // 2^64
   val CosineThreshold = 0.4
 
   /** Stop-shingle document-frequency cap for the n-gram Jaccard path: a
@@ -306,64 +309,79 @@ object DedupOps {
          |             JOIN csizes zb ON zb.doc_id = i.doc_b
          |WHERE ni * 2 >= za.n + zb.n - ni""".stripMargin))
 
-  /** 32-bit SimHash over shingle keys: per-bit majority vote, then
+  /** 64-bit SimHash over shingle keys: per-bit majority vote, then
     * Hamming-ball banding instead of an all-pairs scan. The signature is
-    * split into 4 non-overlapping 8-bit bands; by pigeonhole, any pair at
+    * split into 4 non-overlapping 16-bit bands; by pigeonhole, any pair at
     * Hamming distance ≤ 3 differs in at most 3 bands and so agrees exactly
     * on ≥ 1 band — a self-join on (band, band_value) finds every qualifying
     * pair, and `bit_count` verifies candidates. No cartesian anywhere: the
     * only shuffles are band keys and the candidate set.
     *
-    * Scale note: 4×8-bit bands give only 4·256 distinct join keys — fine
-    * for the 32-bit oracle-checked form, but at 100 TB you widen the
-    * signature to 64 bits and band 4×16 (4·65536 keys) to keep bucket
-    * cardinality bounded; the plan shape is unchanged.
+    * 4×16-bit bands give 4·65536 distinct join keys, which keeps per-key
+    * bucket cardinality bounded at corpus scale (the earlier 32-bit form's
+    * 4·256 keys collide quadratically as n grows — the signature width is
+    * the scale knob, and 64 is the 100 TB default). The sign bit is an
+    * ordinary signature bit: comparisons go through xor/bit_count, never
+    * numeric order.
     */
   val dedupSimhash = GQuery(
     "dedup_simhash",
     (s, d) => {
-      // fully row-local: each doc's 32-bit signature is ONE native codegen
+      // fully row-local: each doc's 64-bit signature is ONE native codegen
       // call over its hashed shingle array (graft_simhash — the HOF form
-      // ran 32 interpreted aggregate() lambdas per doc); no explosion, no
+      // ran 64 interpreted aggregate() lambdas per doc); no explosion, no
       // shuffle before the pair join
       val tks = hashedShingleArrays(s, d)
       // 1 row/doc, read by both sides of the band self-join; staging is
       // safe here at any scale (the signature table is ~16 bytes/doc)
       val sig = graft.Materialize.stage(
-        tks.select(col("doc_id"), expr("graft_simhash(tks)").as("sh32")))
+        tks.select(col("doc_id"), expr(s"graft_simhash(tks, $SimhashBits)").as("sig")))
       val nBands = SimhashMaxDist + 1           // ≥ maxDist+1 bands required
       val bandBits = SimhashBits / nBands
       val bandVals = array((0 until nBands).map(b =>
-        expr(s"shiftright(sh32, ${b * bandBits}) & ${(1L << bandBits) - 1}")): _*)
-      val bands = sig.select(col("doc_id"), col("sh32"),
+        expr(s"shiftright(sig, ${b * bandBits}) & ${(1L << bandBits) - 1}")): _*)
+      val bands = sig.select(col("doc_id"), col("sig"),
         posexplode(bandVals).as(Seq("band", "bv")))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("a.sh32").as("sha"),
-          col("b.doc_id").as("doc_b"), col("b.sh32").as("shb"))
+        .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sha"),
+          col("b.doc_id").as("doc_b"), col("b.sig").as("shb"))
         .distinct() // a pair can agree on several bands
         .withColumn("dist", expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
         .filter(col("dist") <= SimhashMaxDist)
         .select(col("doc_a"), col("doc_b"), col("dist"))
     },
     oracle = Some(
+      // mixed: the expression's xorshift-multiply finalizer in HUGEINT
+      // mod-2^64 (A < 2^63 keeps each multiply inside INT128); the
+      // signature is then assembled in HUGEINT (bit 63 overflows BIGINT
+      // sum) and wrapped into the signed value Spark's long carries
       s"""$ShingleCte,
          |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
+         |mixed AS (
+         |  SELECT doc_id, xor(z3, z3 >> 31) AS mk FROM (
+         |    SELECT doc_id, (xor(z2, z2 >> 27) * $MixA::HUGEINT) % $M64::HUGEINT AS z3 FROM (
+         |      SELECT doc_id, (xor(z1, z1 >> 30) * $MixA::HUGEINT) % $M64::HUGEINT AS z2 FROM (
+         |        SELECT doc_id, (tk::HUGEINT + $MixB::HUGEINT) % $M64::HUGEINT AS z1
+         |        FROM tkset) q1) q2) q3),
          |bits AS (
          |  SELECT doc_id, j,
-         |         sum(CASE WHEN (tk >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM tkset, generate_series(0, ${SimhashBits - 1}) g(j)
+         |         sum(CASE WHEN (mk >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM mixed, generate_series(0, ${SimhashBits - 1}) g(j)
          |  GROUP BY doc_id, j),
          |simhash AS (
          |  SELECT doc_id,
-         |         sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS sh32
-         |  FROM bits GROUP BY doc_id)
+         |         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+         |                   ELSE h END AS BIGINT) AS sig
+         |  FROM (SELECT doc_id,
+         |               sum(CASE WHEN s > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS h
+         |        FROM bits GROUP BY doc_id))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS dist
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh32, b.sh32)) <= $SimhashMaxDist""".stripMargin),
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxDist""".stripMargin),
     bench = true)
 
   /** Embedding near-dup: all-pairs cosine ≥ 0.4 over double-cast vectors.

@@ -92,6 +92,41 @@ class ShingleHashesSpec extends SparkSuite {
     assert(viaNative.nonEmpty)
   }
 
+  test("graft_simhash(tks, 64) == the 64-aggregate HOF vote, sign bit live") {
+    VectorExpressions.ensureRegistered(spark)
+    val (a, b) = (VectorExpressions.SimhashSignature.MixA,
+      VectorExpressions.SimhashSignature.MixB)
+    // the >32-bit path spreads each 31-bit shingle key through the
+    // xorshift-multiply finalizer before voting. ANSI SQL rejects the
+    // wrapping multiply, so the reference vote is computed in plain Scala
+    // long arithmetic over the collected raw arrays.
+    def mix(t: Long): Long = {
+      var z = t + b
+      z = (z ^ (z >>> 30)) * a
+      z = (z ^ (z >>> 27)) * a
+      z ^ (z >>> 31)
+    }
+    def vote(ts: Seq[Long]): Long = {
+      val votes = new Array[Int](64)
+      ts.foreach { t0 =>
+        val t = mix(t0)
+        (0 until 64).foreach(j =>
+          if (((t >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, j) => if (votes(j) > 0) s | (1L << j) else s)
+    }
+    val df = Tables.documents(spark, smokeDir)
+      .selectExpr("doc_id", "graft_shingle_hashes(text) AS raw")
+      .filter(size(col("raw")) > 0)
+    val viaScala = df.collect()
+      .map(r => r.getLong(0) -> vote(r.getSeq[Long](1))).toMap
+    val viaNative = df.selectExpr("doc_id", "graft_simhash(raw, 64) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaScala)
+    // the widened signature must actually use the upper half somewhere
+    assert(viaNative.values.exists(s => (s >>> 32) != 0L))
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     VectorExpressions.ensureRegistered(spark)
     // a local Seq collapses to LocalTableScan (eager interpreted eval);
