@@ -59,7 +59,7 @@ object DedupOps {
     * fold bit-identical to the native graft_polyhash
     * (graft.functions.VectorExpressions.PolyHash).
     */
-  private def tkDuck(c: String): String =
+  private[operators] def tkDuck(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($c)), " +
       s"i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))), " +
@@ -584,33 +584,57 @@ object DedupOps {
     "dedup_clusters",
     (s, d) => {
       val pairs = graft.Materialize.stage(minhashPairs(s, d).select("doc_a", "doc_b"))
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-      var labels = graft.Materialize.stage(
-        edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("rep", col("doc_id")))
+      val nodes = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b"))).distinct()
+
+      // large-star: connect every strictly-larger neighbor of u to
+      // m = min(Γ(u) ∪ {u}); small-star: point u and its ≤ neighbors at m.
+      // Alternating the two converges in O(log n) rounds on any diameter
+      // (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      // the round count no longer tracks the longest near-dup chain the
+      // way plain min-label propagation did.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
+        val m = sym.groupBy("src").agg(min("dst").as("mn"))
+          .select(col("src"), least(col("mn"), col("src")).as("m"))
+        sym.join(m, "src")
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        // input is child→parent (src > dst by large-star construction)
+        val m = e.groupBy("src").agg(min("dst").as("m"))
+        e.join(m, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(m.select(col("src"), col("m")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+      }
+
+      var edges = graft.Materialize.stage(
+        pairs.select(least(col("doc_a"), col("doc_b")).as("dst"),
+          greatest(col("doc_a"), col("doc_b")).as("src"))
+          .select(col("src"), col("dst")).distinct())
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
-        val msgs = edges
-          .join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("rep"))
-        val next = graft.Materialize.stage(
-          msgs.union(labels.select(col("doc_id"), col("rep")))
-            .groupBy("doc_id").agg(min("rep").as("rep")))
-        val changed = next.as("n")
-          .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
-          .filter(col("n.rep") =!= col("l.rep"))
-          .count()
-        labels = next
-        converged = changed == 0
+      while (!converged && rounds < 20) {
+        val next = graft.Materialize.stage(smallStar(largeStar(edges)))
+        // set equality via |A∪B| == |A| == |B| (exact, no hash shortcut:
+        // a false "converged" would be WRONG data, not slow data)
+        val (na, nb) = (edges.count(), next.count())
+        converged = na == nb && next.union(edges).distinct().count() == na
+        edges = next
         rounds += 1
       }
-      // a silent unconverged answer would be WRONG data, not slow data
       require(converged,
-        s"dedup_clusters: not converged after $rounds rounds — component " +
-          "diameter exceeds the bound; raise it or switch the loop to " +
-          "large-star/small-star edge rewriting")
+        s"dedup_clusters: not converged after $rounds star rounds — " +
+          "raise the bound (log2 of component count should far undercut it)")
+      // fixpoint edges are exactly (doc → component-min) stars; roots
+      // carry themselves
+      val labels = nodes.join(edges.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("rep"))
       val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
       labels.join(sizes, Seq("rep")).select("doc_id", "rep", "csize")
     },

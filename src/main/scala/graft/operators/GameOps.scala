@@ -506,9 +506,39 @@ object GameOps {
          |  ON p.player = b.owner_parsed
          |GROUP BY p.player, p.px, p.py""".stripMargin))
 
+  /** Q:map_regen_grid (ST3's derivation, driver-checked): the periodic
+    * map-regen job's deterministic obstacle grids for the first 16 firings
+    * of a 5-tick interval, exploded to one row per (tick, slot). Runs the
+    * SAME generator the streaming job uses (EventStream.mapRegenEvents —
+    * polyhash-derived codes, +1-shifted sign encoding), so the oracle pins
+    * the production derivation, not a test twin.
+    */
+  val mapRegenGrid = GQuery(
+    "map_regen_grid",
+    (s, _) => {
+      val ticks = s.range(0, 80, 5).toDF("value")
+      graft.streaming.EventStream.mapRegenEvents(ticks)
+        .select(col("tick"),
+          posexplode(col("list")).as(Seq("pos", "code")))
+        .select(col("tick"), col("pos").cast("long").as("pos"),
+          col("code").cast("long").as("code"))
+    },
+    oracle = Some {
+      val h1 = DedupOps.tkDuck("CAST(tick AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+      val h2 = DedupOps.tkDuck("CAST(tick AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':d'")
+      s"""WITH g AS (
+         |  SELECT t.tick, i.pos, $h1 AS h1, $h2 AS h2
+         |  FROM (SELECT unnest(generate_series(0, 75, 5)) AS tick) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) i)
+         |SELECT CAST(tick AS BIGINT) AS tick, CAST(pos AS BIGINT) AS pos,
+         |       CAST(CASE WHEN h2 % 2 = 0 THEN h1 % 750 + 1
+         |                 ELSE -(h1 % 750 + 1) END AS BIGINT) AS code
+         |FROM g""".stripMargin
+    })
+
   val queries: Seq[GQuery] = Seq(
     flameCellsQ, flameBlockingQ, joinDeathAttribution, antiJoinSpawnClear,
     antiJoinOccupied, encodeDecodeRoundtrip, nextPosition, filterBounds,
     obstacleDensity, obstacleListExplode, sampleHashBernoulli, arrayMembership,
-    prefixFilter, joinKillerOwner, genIdSuffix)
+    prefixFilter, joinKillerOwner, genIdSuffix, mapRegenGrid)
 }

@@ -260,22 +260,26 @@ object EventStream {
         .filter(pmod(col("value"), lit(intervalSec.toLong)) === 0))
 
   /** tick rows → UpdateMapEvent rows: the obstacle list is derived
-    * DETERMINISTICALLY from the tick via xxhash64 (the deterministic
-    * restatement of genRandomObstacleList, game.go:359-378 — replay then
-    * needs no reconciliation, matching the log-is-truth contract). Codes
-    * use the reference's +1-shifted sign encoding (event.go:229-246):
-    * positive = indestructible.
+    * DETERMINISTICALLY from the tick via the graft_polyhash rolling hash
+    * (the deterministic restatement of genRandomObstacleList,
+    * game.go:359-378 — replay then needs no reconciliation, matching the
+    * log-is-truth contract; polyhash rather than xxhash64 so the DuckDB
+    * oracle replays the derivation — Q:map_regen_grid). Codes use the
+    * reference's +1-shifted sign encoding (event.go:229-246): positive =
+    * indestructible.
     */
-  def mapRegenEvents(ticks: DataFrame): DataFrame =
+  def mapRegenEvents(ticks: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(ticks.sparkSession)
     ticks.select(
       col("value").cast("long").as("tick"),
       lit("UpdateMapEvent").as("event_type"),
       expr(
         """transform(sequence(0, 63), i ->
-          |  CAST(IF(pmod(xxhash64(value, i, 1), 2) = 0,
-          |     pmod(xxhash64(value, i), 750) + 1,
-          |     -(pmod(xxhash64(value, i), 750) + 1)) AS INT))
+          |  CAST(IF(pmod(graft_polyhash(concat(value, ':', i, ':d')), 2) = 0,
+          |     pmod(graft_polyhash(concat(value, ':', i)), 750) + 1,
+          |     -(pmod(graft_polyhash(concat(value, ':', i)), 750) + 1)) AS INT))
           |""".stripMargin).as("list"))
+  }
 
   // ---- ST7: lossy admission (bounded send buffer) -----------------------
 
