@@ -27,15 +27,20 @@ object Materialize {
         spark.sparkContext.getCheckpointDir match {
           case None => spark.sparkContext.setCheckpointDir(dir)
           // setCheckpointDir appends a random UUID segment and may qualify
-          // the scheme, so "already ours" = the configured path is a prefix
-          // of the effective one. SparkContext's dir wins once set; a
-          // silently-ignored config is worse than a loud one.
-          case Some(existing)
-              if !existing.contains(dir.stripSuffix("/").stripPrefix("file:")) =>
-            throw new IllegalStateException(
-              s"$DirConfKey=$dir conflicts with the SparkContext checkpoint " +
-                s"dir already set to $existing; unset one of them")
-          case _ => ()
+          // the scheme, so "already ours" = the configured path is a
+          // path-component prefix of the effective one (scheme and trailing
+          // slash stripped on both sides — a bare substring test would let
+          // "/a" accept "file:/abc/<uuid>"). SparkContext's dir wins once
+          // set; a silently-ignored config is worse than a loud one.
+          case Some(existing) =>
+            def norm(p: String) =
+              p.replaceFirst("^file:", "").stripSuffix("/")
+            val want = norm(dir)
+            val have = norm(existing)
+            if (have != want && !have.startsWith(want + "/"))
+              throw new IllegalStateException(
+                s"$DirConfKey=$dir conflicts with the SparkContext checkpoint " +
+                  s"dir already set to $existing; unset one of them")
         }
         df.checkpoint()
       case None =>

@@ -78,22 +78,30 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // ctx.freshName, NOT fixed names: several graft_dot instances can
+        // land in one whole-stage-codegen method (the k-means assignment
+        // emits K of them) and duplicate local declarations would fail
+        // Janino → silent interpreted fallback.
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
         s"""
-           |int graft_n = $a.numElements();
-           |if ($b.numElements() != graft_n) {
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
            |  ${ev.isNull} = true;
            |} else {
-           |  double graft_acc = 0.0;
-           |  for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-           |    if ($a.isNullAt(graft_i) || $b.isNullAt(graft_i)) {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
            |      ${ev.isNull} = true; break;
            |    }
-           |    graft_acc += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
            |  }
-           |  ${ev.value} = graft_acc;
+           |  ${ev.value} = $acc;
            |}
-           |""".stripMargin)
+           |""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -125,15 +133,19 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, s =>
+      nullSafeCodeGen(ctx, ev, s => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
         s"""
-           |int graft_n = $s.numBytes();
-           |long graft_acc = 0L;
-           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-           |  graft_acc = (graft_acc * 131L + (($s.getByte(graft_i)) & 0xffL)) % ${Mod}L;
+           |int $n = $s.numBytes();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc = ($acc * 131L + (($s.getByte($i)) & 0xffL)) % ${Mod}L;
            |}
-           |${ev.value} = graft_acc;
-           |""".stripMargin)
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -278,17 +290,33 @@ object VectorExpressions {
   case class SimhashSignature(child: Expression, bitsExpr: Expression)
       extends UnaryExpression {
 
-    /** Width fixed at plan time: banding/verification logic needs a literal. */
-    private val bits: Int = bitsExpr match {
-      case Literal(v: Int, IntegerType) if v >= 1 && v <= 64 => v
-      case other => throw new IllegalArgumentException(
-        s"graft_simhash bits must be an INT literal in [1, 64], got $other")
+    /** Width fixed at plan time: banding/verification logic needs a literal.
+      * Only read after checkInputDataTypes has passed (lazy so a bad
+      * argument surfaces as an AnalysisException, not a constructor throw).
+      */
+    private lazy val bits: Int = bitsExpr match {
+      case Literal(v: Int, IntegerType) => v
+      case _ => 32 // unreachable post-analysis; checkInputDataTypes rejects
+    }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(LongType, _) => bitsExpr match {
+          case Literal(v: Int, IntegerType) if v >= 1 && v <= 64 =>
+            TypeCheckSuccess
+          case other => TypeCheckFailure(
+            s"graft_simhash bits must be an INT literal in [1, 64], got $other")
+        }
+        case other => TypeCheckFailure(
+          s"graft_simhash expects array<bigint>, got ${other.catalogString}")
+      }
     }
 
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
-    private val mixed = bits > 32
+    private lazy val mixed = bits > 32
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -318,30 +346,40 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, arr => {
+        // every local via ctx.freshName so two graft_simhash instances can
+        // share one whole-stage-codegen method (fixed names fail Janino →
+        // silent interpreted fallback)
+        val n = ctx.freshName("n")
+        val votes = ctx.freshName("votes")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val t = ctx.freshName("t")
+        val z = ctx.freshName("z")
+        val sig = ctx.freshName("sig")
         val mixCode = if (mixed)
           s"""
-             |long graft_z = graft_t + ${SimhashSignature.MixB}L;
-             |graft_z = (graft_z ^ (graft_z >>> 30)) * ${SimhashSignature.MixA}L;
-             |graft_z = (graft_z ^ (graft_z >>> 27)) * ${SimhashSignature.MixA}L;
-             |graft_t = graft_z ^ (graft_z >>> 31);
+             |long $z = $t + ${SimhashSignature.MixB}L;
+             |$z = ($z ^ ($z >>> 30)) * ${SimhashSignature.MixA}L;
+             |$z = ($z ^ ($z >>> 27)) * ${SimhashSignature.MixA}L;
+             |$t = $z ^ ($z >>> 31);
              |""".stripMargin
         else ""
         s"""
-           |int graft_n = $arr.numElements();
-           |int[] graft_votes = new int[$bits];
-           |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-           |  long graft_t = $arr.getLong(graft_i);
+           |int $n = $arr.numElements();
+           |int[] $votes = new int[$bits];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $t = $arr.getLong($i);
            |  $mixCode
-           |  for (int graft_j = 0; graft_j < $bits; graft_j++) {
-           |    if (((graft_t >> graft_j) & 1L) == 1L) graft_votes[graft_j]++;
-           |    else graft_votes[graft_j]--;
+           |  for (int $j = 0; $j < $bits; $j++) {
+           |    if ((($t >> $j) & 1L) == 1L) $votes[$j]++;
+           |    else $votes[$j]--;
            |  }
            |}
-           |long graft_sig = 0L;
-           |for (int graft_j = 0; graft_j < $bits; graft_j++) {
-           |  if (graft_votes[graft_j] > 0) graft_sig |= 1L << graft_j;
+           |long $sig = 0L;
+           |for (int $j = 0; $j < $bits; $j++) {
+           |  if ($votes[$j] > 0) $sig |= 1L << $j;
            |}
-           |${ev.value} = graft_sig;
+           |${ev.value} = $sig;
            |""".stripMargin
       })
 
@@ -362,8 +400,14 @@ object VectorExpressions {
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_shingle_rows" -> (es => ShingleRows(es.head)),
-    "graft_simhash" -> (es =>
-      SimhashSignature(es.head, if (es.length > 1) es(1) else Literal(32))))
+    "graft_simhash" -> (es => es.length match {
+      case 1 => SimhashSignature(es.head, Literal(32))
+      case 2 => SimhashSignature(es.head, es(1))
+      // loud, not silently dropped: this throws during function resolution,
+      // i.e. at analysis time
+      case k => throw new IllegalArgumentException(
+        s"graft_simhash expects 1 or 2 arguments, got $k")
+    }))
 
   /** Idempotent per-session registration — call before using
     * expr("graft_*"). The SessionExtensions path below is the spark-submit

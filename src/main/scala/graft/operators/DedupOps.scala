@@ -620,10 +620,11 @@ object DedupOps {
       var rounds = 0
       while (!converged && rounds < 20) {
         val next = graft.Materialize.stage(smallStar(largeStar(edges)))
-        // set equality via |A∪B| == |A| == |B| (exact, no hash shortcut:
-        // a false "converged" would be WRONG data, not slow data)
-        val (na, nb) = (edges.count(), next.count())
-        converged = na == nb && next.union(edges).distinct().count() == na
+        // ONE action per round: set equality as symmetric-difference
+        // emptiness (both sides are distinct edge sets). Exact, no hash
+        // shortcut — a false "converged" would be WRONG data, not slow
+        // data — and isEmpty stops at the first witness row.
+        converged = next.except(edges).union(edges.except(next)).isEmpty
         edges = next
         rounds += 1
       }

@@ -320,6 +320,59 @@ object EventOps {
          |SELECT room, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM game GROUP BY room""".stripMargin))
 
+  /** Q:schema_evolution — S10's evolution facet: schema-compatible reads
+    * across producer generations. The reference evolves EventMessage by
+    * adding a defaulted `Comment` field ("default": "" —
+    * docs/en/game5-schema.md:90-113) and old messages must keep decoding
+    * with the default filled in. Modeled as two REAL parquet generations
+    * written under gen=1 (v1 schema: no comment column) and gen=2 (v2
+    * schema: comment present), read back through Spark's schema-merging
+    * scan (mergeSchema=true; the `gen` partition value plays the
+    * schema-version register) with coalesce supplying the Avro default.
+    * The oracle replays the same union with explicit NULL padding —
+    * union-by-name semantics spelled portably. At scale this is exactly
+    * the archival-read posture: parquet written by old producers never
+    * rewrites; readers merge footers and fill defaults.
+    */
+  val schemaEvolution = GQuery(
+    "schema_evolution",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_schema_evolution").getAbsolutePath
+      base.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      base.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"),
+          concat(lit("u"), (col("user_id") % 10).cast("string")).as("comment"))
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .withColumn("comment_filled", coalesce(col("comment"), lit("")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("comment_filled") === "", 1L).otherwise(0L)).as("n_defaulted"),
+          countDistinct(col("comment_filled")).as("n_comments"),
+          sum(col("event_id")).as("sum_ids"))
+    },
+    oracle = Some(
+      """WITH v1 AS (
+        |  SELECT event_id, event_type, NULL AS comment
+        |  FROM events WHERE event_id % 2 = 0),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |         'u' || CAST(user_id % 10 AS VARCHAR) AS comment
+        |  FROM events WHERE event_id % 2 = 1),
+        |merged AS (
+        |  SELECT event_id, event_type, coalesce(comment, '') AS comment_filled
+        |  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2))
+        |SELECT event_type, count(*) AS n,
+        |       count(*) FILTER (WHERE comment_filled = '') AS n_defaulted,
+        |       count(DISTINCT comment_filled) AS n_comments,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM merged GROUP BY event_type""".stripMargin))
+
   /** S1: producer serialization round trip — typed event → wire JSON →
     * schema decode → typed event (convertEventToMsg/convertMsgToEvent,
     * pulsar.go:304-436). Identity is asserted in-plan: mismatched rows are
@@ -572,7 +625,7 @@ object EventOps {
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
-    timeAdd, schemaEnforce, ingestRoundtrip, streamTumblingCount,
+    timeAdd, schemaEnforce, schemaEvolution, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
     joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission)
 }

@@ -432,16 +432,20 @@ object GameOps {
   /** Q:sample_hash_bernoulli (C6 analog): deterministic hash-based ~5% sample
     * — the scale-safe replacement for orderBy(rand()) sampling: no shuffle,
     * no sort, reproducible across engines (Knuth multiplicative hash).
+    * event_id is reduced mod the prime 1000003 before the multiply so the
+    * product (< 2.7e15) never wraps Long for any BIGINT id — unreduced, the
+    * Spark side would silently wrap past id ≈ 3.5e9 while DuckDB widens,
+    * diverging exactly at production scale.
     */
   val sampleHashBernoulli = GQuery(
     "sample_hash_bernoulli",
     (s, d) =>
       Tables.events(s, d)
-        .filter((col("event_id") * 2654435761L) % 97 < 5)
+        .filter((col("event_id") % 1000003L) * 2654435761L % 97 < 5)
         .select(col("event_id").as("seq"), col("user_id"), col("event_type")),
     oracle = Some(
       """SELECT event_id AS seq, user_id, event_type FROM events
-        |WHERE (event_id * 2654435761) % 97 < 5""".stripMargin))
+        |WHERE ((event_id % 1000003) * 2654435761) % 97 < 5""".stripMargin))
 
   /** Q:array_membership (C7/C8): array_contains / array_remove over document
     * token arrays (sliceContains utils.go:110-117; sliceRemove's *intended*

@@ -38,20 +38,34 @@ object KMeansOps {
     * lexicographically by (dist, cid) as long as cid < CompBase. */
   val CompBase = 1000L
 
-  /** vec_id, v (double), nrm, qv (quantized BIGINT), qvd, qq = qv·qv. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  /** vec_id, v (double), nrm, qv (quantized BIGINT), qvd, qq = qv·qv,
+    * qvx = qvd ++ [1.0] (the affine extension withCid dots against). */
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
     DedupOps.normalizedVecs(s, d)
       .withColumn("qv", transform(col("v"), x => floor(x * QuantScale)))
       .withColumn("qvd", transform(col("qv"), _.cast("double")))
       .withColumn("qq", call_function("graft_dot", col("qvd"), col("qvd")))
+      .withColumn("qvx", concat(col("qvd"), array(lit(1.0))))
 
   /** Row-local nearest-centroid assignment against literal centroids.
-    * All arithmetic integer-valued (exact in double — see object doc). */
+    * All arithmetic integer-valued (exact in double — see object doc).
+    *
+    * Each centroid enters as ONE referenced array literal in affine form
+    * ext = (−2·cv) ++ [c·c], so dist = qq + graft_dot(qvx, ext): the same
+    * integer-valued terms as qq − 2·(qv·cv) + c·c (every partial sum far
+    * below 2^53, so order is irrelevant), but with NO per-iteration scalar
+    * inlined into the generated source. Array literals land in the codegen
+    * `references` array, so every Lloyd's iteration (and the final search
+    * assignment) reuses ONE compiled projection — the literal-cc form
+    * recompiled the whole K-way least() per iteration, which dominated this
+    * query's bench time.
+    */
   private def withCid(pts: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
     val comps = cents.map { case (cid, cv) =>
       val cc = cv.map(x => x * x).sum.toDouble
-      val dot = call_function("graft_dot", col("qvd"), typedLit(cv.map(_.toDouble).toSeq))
-      (col("qq") - lit(2.0) * dot + lit(cc)) * lit(CompBase.toDouble) + lit(cid.toDouble)
+      val ext = cv.map(x => -2.0 * x).toSeq :+ cc
+      val dist = col("qq") + call_function("graft_dot", col("qvx"), typedLit(ext))
+      dist * lit(CompBase.toDouble) + lit(cid.toDouble)
     }
     pts.withColumn("cid", least(comps: _*).cast("long") % CompBase)
   }
@@ -181,8 +195,11 @@ object KMeansOps {
     (s, d) => {
       val pts = Materialize.stage(quantized(s, d))
       val cents = lloyd(pts, Iters)
-      val asg = withCid(pts, cents.map(c => (c._1, c._2)))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      // staged once: both the broadcast query side and the big probe side
+      // consume the assignment, and at scale the cell-assignment pass over
+      // the corpus must not run twice
+      val asg = Materialize.stage(withCid(pts, cents.map(c => (c._1, c._2)))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
       val q = broadcast(asg.filter(col("vec_id") < SimilarityOps.NumQueries).as("a"))
       val scored = q.join(asg.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))

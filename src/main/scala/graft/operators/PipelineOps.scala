@@ -146,7 +146,12 @@ object PipelineOps {
     * both broadcast); the corpus-sized side streams once through a broadcast
     * join — no large shuffle at 100 TB. Integer arithmetic end to end;
     * total_chars·10⁶ stays under 2⁶³ through ~9·10¹² chars (past that,
-    * scale the ratios at e3).
+    * scale the ratios at e3). The admission hash reduces doc_id mod the
+    * prime 1000003 BEFORE the Knuth multiply: the worst product is
+    * 1000002·2654435761 ≈ 2.7e15 < 2⁶³, so the expression never wraps for
+    * any BIGINT doc_id — an unreduced doc_id·2654435761 overflows past
+    * doc_id ≈ 3.5e9, where Spark wraps silently while DuckDB widens, i.e.
+    * engine/oracle admission would diverge exactly at corpus scale.
     */
   val sampleWeights = GQuery(
     "sample_weights",
@@ -167,7 +172,7 @@ object PipelineOps {
       val admitted = perDoc
         .join(broadcast(weighted.select(col("source"), col("weight_e6"))),
           Seq("source"))
-        .filter(expr("(doc_id * 2654435761) % 1000000 < weight_e6"))
+        .filter(expr("((doc_id % 1000003) * 2654435761) % 1000000 < weight_e6"))
         .groupBy("source").agg(count(lit(1)).as("n_admitted"))
       weighted
         .join(admitted, Seq("source"), "left")
@@ -191,7 +196,7 @@ object PipelineOps {
         |mix_adm AS (
         |  SELECT d.source, count(*) AS n_admitted
         |  FROM documents d JOIN mix_w w USING (source)
-        |  WHERE (d.doc_id * 2654435761) % 1000000 < w.weight_e6
+        |  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < w.weight_e6
         |  GROUP BY d.source)
         |SELECT source, n_docs, src_chars, share_e6,
         |       CAST(weight_e6 AS BIGINT) AS weight_e6,

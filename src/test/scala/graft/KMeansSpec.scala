@@ -43,11 +43,7 @@ class KMeansSpec extends SparkSuite {
             lit(0L), _ + _)): _*).as("d"))
         .agg(sum("d")).head.getLong(0).toDouble
     }
-    val staged = Materialize.stage(
-      DedupOps.normalizedVecs(spark, smokeDir)
-        .withColumn("qv", transform(col("v"), x => floor(x * KMeansOps.QuantScale)))
-        .withColumn("qvd", transform(col("qv"), _.cast("double")))
-        .withColumn("qq", call_function("graft_dot", col("qvd"), col("qvd"))))
+    val staged = Materialize.stage(KMeansOps.quantized(spark, smokeDir))
     val costs = (1 to 3).map(t => cost(KMeansOps.lloyd(staged, t)))
     assert(costs.sliding(2).forall { case Seq(a, b) => b <= a })
   }
