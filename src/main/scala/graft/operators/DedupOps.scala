@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQuery, Tables}
+import graft.{GQuery, Materialize, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -668,7 +668,9 @@ object DedupOps {
   val dedupEmbeddingLsh = GQuery(
     "dedup_embedding_lsh",
     (s, d) => {
-      val e = SimilarityOps.withBucket(normalizedVecs(s, d))
+      // staged: both sides of the self-join consume the bucketed frame, and
+      // at scale the signature pass over the corpus must not run twice
+      val e = Materialize.stage(SimilarityOps.withBucket(normalizedVecs(s, d)))
       e.as("a")
         .join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

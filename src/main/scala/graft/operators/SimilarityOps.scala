@@ -27,24 +27,31 @@ object SimilarityOps {
   val NumPlanes = 8
 
   /** Hyperplane component w[p][i] = ((p·64+i)·2654435761 mod 2001) − 1000 —
-    * integer-valued pseudo-random plane, identical in both engines.
+    * integer-valued pseudo-random plane, identical in both engines. Enters
+    * the Spark plan as ONE referenced array literal (same trick as
+    * KMeansOps.withCid), so the projection is a compiled graft_dot loop —
+    * the former transform(sequence)/zip_with/aggregate HOF chain ran every
+    * row through interpreted lambdas, ~25× slower.
     */
-  private def planeSpark(p: Int): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => ((lit(p) * 64 + i) * 2654435761L % 2001 - 1000).cast("double"))
+  private def planeLit(p: Int): Seq[Double] =
+    (0 until 64).map(i => (((p * 64 + i) * 2654435761L) % 2001 - 1000).toDouble)
 
   private def planeDuck(p: Int): String =
     s"list_transform(generate_series(0, 63), i -> ((($p * 64 + i) * 2654435761) % 2001 - 1000)::DOUBLE)"
 
   /** Sign-LSH bucket id over the normalized `v` column — row-local; shared
-    * by ann_lsh_bucket and the dedup_embedding_lsh scale path.
+    * by ann_lsh_bucket and the dedup_embedding_lsh scale path. graft_dot
+    * reproduces the oracle's left-to-right list_sum order, so the > 0 sign
+    * test is bit-identical in both engines.
     */
-  private[operators] def withBucket(e: DataFrame): DataFrame =
+  private[operators] def withBucket(e: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(e.sparkSession)
     e.withColumn("bucket",
       (0 until NumPlanes).map { p =>
-        when(aggregate(zip_with(col("v"), planeSpark(p), (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(0L)
+        when(call_function("graft_dot", col("v"), typedLit(planeLit(p))) > 0,
+          lit(1L << p)).otherwise(0L)
       }.reduce(_ + _))
+  }
 
   /** The DuckDB twin of [[withBucket]]'s bucket expression. */
   private[operators] def bucketDuck: String =
