@@ -339,8 +339,12 @@ object EventOps {
     (s, d) => {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
+      // app-id suffix: bench and verify can run concurrently, and a shared
+      // fixed path would let one run's overwrite clobber the other's
+      // generations mid-read
       val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_schema_evolution").getAbsolutePath
+        sys.props("java.io.tmpdir"),
+        s"graft_schema_evolution_${s.sparkContext.applicationId}").getAbsolutePath
       base.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"))
         .write.mode("overwrite").parquet(s"$root/gen=1")

@@ -158,6 +158,11 @@ object SimilarityOps {
     * partition (label = centroid assignment). At 100 TB the corpus is
     * bucketed/partitioned by centroid id, so each query reads one partition
     * instead of the full scan.
+    *
+    * Recall contract: nprobe=1 — a true neighbor whose assignment differs
+    * from the query's is missed; recall < 1 by design. The trained-index
+    * family (KMeansOps) carries the recall knob: `ann_ivf_nprobe2_topk`
+    * probes the two nearest cells.
     */
   val annIvfLabelTopk = GQuery(
     "ann_ivf_label_topk",

@@ -44,7 +44,7 @@ class KMeansSpec extends SparkSuite {
         .agg(sum("d")).head.getLong(0).toDouble
     }
     val staged = Materialize.stage(KMeansOps.quantized(spark, smokeDir))
-    val costs = (1 to 3).map(t => cost(KMeansOps.lloyd(staged, t)))
+    val costs = (1 to 3).map(t => cost(KMeansOps.lloyd(staged, smokeDir, t)))
     assert(costs.sliding(2).forall { case Seq(a, b) => b <= a })
   }
 
@@ -61,6 +61,23 @@ class KMeansSpec extends SparkSuite {
     rows.foreach { r =>
       val c = r.getAs[Double]("cosine")
       assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
+  test("ann_ivf_nprobe2_topk: dense ranks, dominates nprobe=1 rank-for-rank") {
+    val np2 = KMeansOps.annIvfNprobe2Topk.run(spark, smokeDir).collect()
+    assert(np2.nonEmpty)
+    np2.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks === (1L to ranks.length))
+    }
+    // searching a superset of cells can only improve the cosine at each rank
+    val np1 = KMeansOps.annIvfTrainedTopk.run(spark, smokeDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Double]("cosine"))
+      .toMap
+    np2.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("rank"))
+      np1.get(key).foreach(c1 => assert(r.getAs[Double]("cosine") >= c1 - 1e-4))
     }
   }
 }
