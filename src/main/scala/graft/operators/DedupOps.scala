@@ -567,75 +567,80 @@ object DedupOps {
          |GROUP BY d.source, outcome""".stripMargin),
     bench = true)
 
+  /** Connected components over an undirected (doc_a, doc_b) pair set via
+    * alternating large-star/small-star edge rewriting. Output: (doc_id, rep)
+    * for every endpoint, rep = component minimum.
+    *
+    * large-star: connect every strictly-larger neighbor of u to
+    * m = min(Γ(u) ∪ {u}); small-star: point u and its ≤ neighbors at m.
+    * Alternating the two converges in O(log n) rounds on any diameter
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the round count does not track the longest chain the way plain
+    * min-label propagation does. The driver loop holds no data — each
+    * round is shuffle joins + min-aggregates with Materialize.stage
+    * truncating the iterative lineage, and convergence is ONE action
+    * (symmetric-difference emptiness over the distinct edge sets; exact,
+    * no hash shortcut — a false "converged" would be WRONG data, not slow
+    * data — and isEmpty stops at the first witness row).
+    *
+    * StarRewriteProperties checks this differentially against plain
+    * min-label propagation on arbitrary random graphs.
+    */
+  private[operators] def starComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = graft.Materialize.stage(pairsIn.select("doc_a", "doc_b"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b"))).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
+      val m = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input is child→parent (src > dst by large-star construction)
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      e.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var edges = graft.Materialize.stage(
+      pairs.select(least(col("doc_a"), col("doc_b")).as("dst"),
+        greatest(col("doc_a"), col("doc_b")).as("src"))
+        .select(col("src"), col("dst")).distinct())
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = graft.Materialize.stage(smallStar(largeStar(edges)))
+      converged = next.except(edges).union(edges.except(next)).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"starComponents: not converged after $rounds star rounds — " +
+        "raise the bound (log2 of component count should far undercut it)")
+    // fixpoint edges are exactly (doc → component-min) stars; roots
+    // carry themselves
+    nodes.join(edges.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("rep"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the verified minhash
     * pair graph — the transitive form the pair-based pipeline rule
-    * deliberately avoids. Iterative min-label propagation: each round
-    * every vertex adopts the smallest representative among itself and its
-    * neighbors; convergence in O(component diameter) rounds (near-dup
-    * components are chains/cliques of duplicates — shallow by nature).
-    * The driver loop holds only a changed-row COUNT per round (no data
-    * collects); each round is one shuffle join + one min-aggregate, with
-    * Materialize.stage truncating the iterative lineage — the standard
-    * Spark CC shape (GraphX's large-star/small-star is the same loop with
-    * smarter edge rewriting; at 100 TB swap it in unchanged from here).
+    * deliberately avoids. The component labeling is [[starComponents]]
+    * (large-star/small-star; at 100 TB this loop IS the scale path).
     * Output: (doc_id, rep, csize) for every doc in some near-dup pair.
     */
   val dedupClusters = GQuery(
     "dedup_clusters",
     (s, d) => {
-      val pairs = graft.Materialize.stage(minhashPairs(s, d).select("doc_a", "doc_b"))
-      val nodes = pairs.select(col("doc_a").as("doc_id"))
-        .union(pairs.select(col("doc_b"))).distinct()
-
-      // large-star: connect every strictly-larger neighbor of u to
-      // m = min(Γ(u) ∪ {u}); small-star: point u and its ≤ neighbors at m.
-      // Alternating the two converges in O(log n) rounds on any diameter
-      // (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-      // the round count no longer tracks the longest near-dup chain the
-      // way plain min-label propagation did.
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
-        val m = sym.groupBy("src").agg(min("dst").as("mn"))
-          .select(col("src"), least(col("mn"), col("src")).as("m"))
-        sym.join(m, "src")
-          .filter(col("dst") > col("src"))
-          .select(col("dst").as("src"), col("m").as("dst"))
-          .distinct()
-      }
-      def smallStar(e: DataFrame): DataFrame = {
-        // input is child→parent (src > dst by large-star construction)
-        val m = e.groupBy("src").agg(min("dst").as("m"))
-        e.join(m, "src")
-          .select(col("dst").as("src"), col("m").as("dst"))
-          .union(m.select(col("src"), col("m")))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
-      }
-
-      var edges = graft.Materialize.stage(
-        pairs.select(least(col("doc_a"), col("doc_b")).as("dst"),
-          greatest(col("doc_a"), col("doc_b")).as("src"))
-          .select(col("src"), col("dst")).distinct())
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val next = graft.Materialize.stage(smallStar(largeStar(edges)))
-        // ONE action per round: set equality as symmetric-difference
-        // emptiness (both sides are distinct edge sets). Exact, no hash
-        // shortcut — a false "converged" would be WRONG data, not slow
-        // data — and isEmpty stops at the first witness row.
-        converged = next.except(edges).union(edges.except(next)).isEmpty
-        edges = next
-        rounds += 1
-      }
-      require(converged,
-        s"dedup_clusters: not converged after $rounds star rounds — " +
-          "raise the bound (log2 of component count should far undercut it)")
-      // fixpoint edges are exactly (doc → component-min) stars; roots
-      // carry themselves
-      val labels = nodes.join(edges.withColumnRenamed("src", "doc_id"),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("rep"))
+      val labels = starComponents(minhashPairs(s, d).select("doc_a", "doc_b"))
       val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
       labels.join(sizes, Seq("rep")).select("doc_id", "rep", "csize")
     },
