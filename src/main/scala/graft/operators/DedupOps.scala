@@ -698,6 +698,71 @@ object DedupOps {
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin),
     bench = true)
 
+  /** Banded sign-LSH near-dup — the recall-recovery variant of
+    * [[dedupEmbeddingLsh]]. Single-band LSH misses any near-dup pair whose
+    * vectors split on even ONE of the 8 planes (recall ≈ (1−θ/π)⁸ — about
+    * 0.59 at cosine 0.98); the standard fix is OR-ing B independent bands:
+    * recall = 1−(1−(1−θ/π)^r)^B ≈ 0.97 at B=4, r=8, cosine 0.98
+    * (EmbeddingLshSmoke measures both against planted pairs). Shape: each
+    * row computes B row-local band buckets, explodes to (band, bucket)
+    * keys, self-joins per key, exact-cosine verifies, and UNION-dedups
+    * pairs found by multiple bands. The explode multiplies shuffle volume
+    * by B — the classic LSH recall-for-bandwidth trade; at 100 TB pick B
+    * and r so each band's bucket count tracks corpus size (candidates per
+    * bucket stay O(bucket²)).
+    */
+  val dedupEmbeddingLshBanded = GQuery(
+    "dedup_embedding_lsh_banded",
+    (s, d) => {
+      val (bands, r) = (LshBands, LshBandPlanes)
+      val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
+        (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
+      }
+      // staged: both join sides consume it; the B×r-plane signature pass
+      // over the corpus must run once, not per side
+      val keyed = Materialize.stage(bucketed)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosExpr())
+        .filter(col("cos") >= CosineThreshold)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 4).as("cosine"))
+        .distinct()
+    },
+    oracle = Some {
+      val bandCols = (0 until LshBands)
+        .map(b => s"${SimilarityOps.bandBucketDuck(b, LshBandPlanes)} AS b$b")
+        .mkString(",\n         ")
+      val bandJoins = (0 until LshBands).map(b =>
+        s"SELECT a.vec_id AS va, b.vec_id AS vb FROM wb a JOIN wb b " +
+          s"ON a.b$b = b.b$b AND a.vec_id < b.vec_id").mkString("\n  UNION\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |wb AS (SELECT vec_id, v, nrm, $bandCols FROM e),
+         |cand AS (
+         |  $bandJoins)
+         |SELECT c.va AS vec_a, c.vb AS vec_b,
+         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM cand c JOIN wb a ON a.vec_id = c.va JOIN wb b ON b.vec_id = c.vb
+         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin
+    })
+
+  /** Banded-LSH geometry: 4 bands × 8 planes (planes 0..31 of the shared
+    * hyperplane family). */
+  val LshBands = 4
+  val LshBandPlanes = 8
+
   /** vec_id, label, v (double array), nrm — the single normalization used
     * by BOTH the dedup and ANN cosine paths (SimilarityOps). Norms and dot
     * products use the native codegen DotProduct expression (primitive loop,
@@ -719,6 +784,6 @@ object DedupOps {
 
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
-    dedupEmbeddingCosine, dedupEmbeddingLsh, decontamMinhash,
-    pipelineCorpusClean, dedupClusters)
+    dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
+    decontamMinhash, pipelineCorpusClean, dedupClusters)
 }

@@ -341,10 +341,13 @@ object EventOps {
         .select(col("event_id"), col("user_id"), col("event_type"))
       // app-id suffix: bench and verify can run concurrently, and a shared
       // fixed path would let one run's overwrite clobber the other's
-      // generations mid-read
+      // generations mid-read. The per-app dir is deleted on JVM exit
+      // (shutdown hook below) — app-id isolation must not trade clobbering
+      // for unbounded tmp growth across runs.
       val root = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_schema_evolution_${s.sparkContext.applicationId}").getAbsolutePath
+      registerScratchCleanup(root)
       base.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"))
         .write.mode("overwrite").parquet(s"$root/gen=1")
@@ -376,6 +379,27 @@ object EventOps {
         |       count(DISTINCT comment_filled) AS n_comments,
         |       CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM merged GROUP BY event_type""".stripMargin))
+
+  /** Scratch dirs schema_evolution wrote this JVM, deleted on exit. A set,
+    * not a single path: tests spin up more than one session (app id) per
+    * JVM. Deletion is exit-time, not post-read — the query hands back a
+    * lazy DataFrame, so the generations must outlive this call.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      scratchDirs.forEach(p => rm(new java.io.File(p)))
+    }: Unit
+  }
+  private def registerScratchCleanup(root: String): Unit = {
+    scratchDirs.add(root)
+    scratchHook
+  }
 
   /** S1: producer serialization round trip — typed event → wire JSON →
     * schema decode → typed event (convertEventToMsg/convertMsgToEvent,

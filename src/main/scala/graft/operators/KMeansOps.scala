@@ -95,24 +95,43 @@ object KMeansOps {
     }
   }
 
-  /** Memo of the Lloyd's model sequence, keyed by (applicationId, data dir):
-    * states(i) is the model after i iterations (states(0) = the vec_id<K
-    * seeds). Training is deterministic, so the sequence is a pure function
-    * of the dataset and every consumer shares one training run —
-    * kmeans_centroids trains 2 iterations, the IVF search queries extend the
-    * SAME sequence to 3 instead of retraining from scratch. That is the
-    * 100 TB posture: the coarse quantizer is an index artifact built once,
-    * not a per-query cost. Cached state is O(K·Dims) longs per dataset.
+  /** Memo of the Lloyd's model sequence, keyed by (applicationId, data dir,
+    * dataset fingerprint): states(i) is the model after i iterations
+    * (states(0) = the vec_id<K seeds). Training is deterministic, so the
+    * sequence is a pure function of the dataset and every consumer shares
+    * one training run — kmeans_centroids trains 2 iterations, the IVF
+    * search queries extend the SAME sequence to 3 instead of retraining
+    * from scratch. That is the 100 TB posture: the coarse quantizer is an
+    * index artifact built once, not a per-query cost. Cached state is
+    * O(K·Dims) longs per dataset.
+    *
+    * The fingerprint (file names + lengths + mtimes of the embeddings
+    * parquet under the dir) invalidates the memo if a harness rewrites the
+    * dataset in place within one application — without it, lloyd would
+    * serve a model trained on the old data while the DuckDB oracle retrains
+    * on the new, a silent verify mismatch.
     */
   private val models =
-    scala.collection.mutable.Map.empty[(String, String), Vector[Seq[(Int, Array[Long], Long)]]]
+    scala.collection.mutable.Map.empty[(String, String, String), Vector[Seq[(Int, Array[Long], Long)]]]
+
+  /** Driver-side metadata scan of `d`/embeddings.parquet (file or dir):
+    * cheap (no data read), and any in-place rewrite changes it. */
+  private def datasetFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(d, "embeddings.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    scala.util.hashing.MurmurHash3.stringHash(sig).toHexString
+  }
 
   /** Lloyd's for `iters` iterations over the dataset at `d`. Seeds from
     * vec_id 0..K-1. Collects only the K×Dims model state per iteration
     * (O(k·d), not O(n)); iterations already in [[models]] are not re-run. */
   private[operators] def lloyd(pts: DataFrame, d: String, iters: Int): Seq[(Int, Array[Long], Long)] =
     synchronized {
-      val key = (pts.sparkSession.sparkContext.applicationId, d)
+      val key =
+        (pts.sparkSession.sparkContext.applicationId, d, datasetFingerprint(d))
       var states = models.getOrElse(key, {
         val seeds = pts.filter(col("vec_id") < K).select(col("vec_id"), col("qv")).collect()
           .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 0L))

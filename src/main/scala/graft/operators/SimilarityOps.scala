@@ -44,14 +44,29 @@ object SimilarityOps {
     * reproduces the oracle's left-to-right list_sum order, so the > 0 sign
     * test is bit-identical in both engines.
     */
-  private[operators] def withBucket(e: DataFrame): DataFrame = {
+  private[graft] def withBucket(e: DataFrame): DataFrame =
+    withBandBucket(e, 0, NumPlanes, "bucket")
+
+  /** One band's bucket: r sign bits over planes band·r .. band·r+r−1,
+    * packed into a Long. Row-local compiled projection (one graft_dot per
+    * plane against a referenced literal).
+    */
+  private[graft] def withBandBucket(
+      e: DataFrame, band: Int, r: Int, colName: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(e.sparkSession)
-    e.withColumn("bucket",
-      (0 until NumPlanes).map { p =>
-        when(call_function("graft_dot", col("v"), typedLit(planeLit(p))) > 0,
-          lit(1L << p)).otherwise(0L)
+    e.withColumn(colName,
+      (0 until r).map { i =>
+        when(call_function("graft_dot", col("v"), typedLit(planeLit(band * r + i))) > 0,
+          lit(1L << i)).otherwise(0L)
       }.reduce(_ + _))
   }
+
+  /** The DuckDB twin of [[withBandBucket]]. */
+  private[graft] def bandBucketDuck(band: Int, r: Int): String =
+    (0 until r).map { i =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+        s"j -> v[j] * (${planeDuck(band * r + i)})[j])) > 0 THEN 1::BIGINT << $i ELSE 0 END)"
+    }.mkString(" + ")
 
   /** The DuckDB twin of [[withBucket]]'s bucket expression. */
   private[operators] def bucketDuck: String =
