@@ -485,15 +485,17 @@ object DedupOps {
   val QualityFloor = 560L
 
   /** The end-to-end corpus-cleaning pipeline — the composition story of
-    * this whole extension set: exact dedup → quality floor → near-dup
-    * removal, each stage the operator implemented above, reported as
-    * per-(source, outcome) counts with precedence exact_dup > low_quality
-    * > near_dup > kept. The near-dup rule is pair-based keep-lowest (the
-    * doc_b of any verified pair drops) — the deterministic non-transitive
-    * form; full connected-component clustering is an iterative graph job,
-    * deliberately out of single-query scope. Scale shape: three loser
-    * sets, each produced by an already-scale-audited subplan, left-joined
-    * to the corpus on doc_id.
+    * this whole extension set: exact dedup → quality floor → text near-dup
+    * removal (minhash) → embedding near-dup removal (banded sign-LSH,
+    * recall ≈ 0.97 — [[bandedEmbPairs]], doc_id = vec_id in the testbed),
+    * each stage the operator implemented above, reported as per-(source,
+    * outcome) counts with precedence exact_dup > low_quality > near_dup >
+    * emb_near_dup > kept. Both near-dup rules are pair-based keep-lowest
+    * (the higher id of any verified pair drops) — the deterministic
+    * non-transitive form; full connected-component clustering is an
+    * iterative graph job, deliberately out of single-query scope. Scale
+    * shape: four loser sets, each produced by an already-scale-audited
+    * subplan, left-joined to the corpus on doc_id.
     */
   val pipelineCorpusClean = GQuery(
     "pipeline_corpus_clean",
@@ -521,14 +523,19 @@ object DedupOps {
       val nearLosers = minhashPairs(s, d)
         .select(col("doc_b").as("doc_id")).distinct()
         .select(col("doc_id"), lit(1).as("f_near"))
+      val embLosers = bandedEmbPairs(s, d)
+        .select(col("vec_b").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("f_emb"))
       docs.select("doc_id", "source")
         .join(exactLosers, Seq("doc_id"), "left")
         .join(lowQ, Seq("doc_id"), "left")
         .join(nearLosers, Seq("doc_id"), "left")
+        .join(embLosers, Seq("doc_id"), "left")
         .withColumn("outcome",
           when(col("f_exact").isNotNull, "exact_dup")
             .when(col("f_quality").isNotNull, "low_quality")
             .when(col("f_near").isNotNull, "near_dup")
+            .when(col("f_emb").isNotNull, "emb_near_dup")
             .otherwise("kept"))
         .groupBy("source", "outcome")
         .agg(count(lit(1)).as("n"))
@@ -553,17 +560,21 @@ object DedupOps {
          |              THEN (du * 500 // n) + ((n - ds) * 300 // n) +
          |                   least((ncl - n + 1) * 200 // (8 * n), 200)
          |              ELSE 0 END) < $QualityFloor),
-         |near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |${bandedPairsCtes("eb_")},
+         |emb_losers AS (SELECT DISTINCT vb AS doc_id FROM eb_pairs)
          |SELECT d.source,
          |       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
          |            WHEN q.doc_id IS NOT NULL THEN 'low_quality'
          |            WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+         |            WHEN el.doc_id IS NOT NULL THEN 'emb_near_dup'
          |            ELSE 'kept' END AS outcome,
          |       count(*) AS n
          |FROM documents d
          |LEFT JOIN exact_losers e ON d.doc_id = e.doc_id
          |LEFT JOIN low_q q ON d.doc_id = q.doc_id
          |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+         |LEFT JOIN emb_losers el ON d.doc_id = el.doc_id
          |GROUP BY d.source, outcome""".stripMargin),
     bench = true)
 
@@ -698,6 +709,16 @@ object DedupOps {
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin),
     bench = true)
 
+  /** Banded-LSH geometry: 4 bands × 8 planes (planes 0..31 of the shared
+    * hyperplane family). Declared BEFORE [[dedupEmbeddingLshBanded]]:
+    * GQuery.oracle is a strict Option built during object init, so any
+    * constant it interpolates must already be initialized (vals below a
+    * reference read as 0 mid-init — this shipped a malformed oracle once;
+    * OracleSanitySpec now guards the whole registry).
+    */
+  final val LshBands = 4
+  final val LshBandPlanes = 8
+
   /** Banded sign-LSH near-dup — the recall-recovery variant of
     * [[dedupEmbeddingLsh]]. Single-band LSH misses any near-dup pair whose
     * vectors split on even ONE of the 8 planes (recall ≈ (1−θ/π)⁸ — about
@@ -713,55 +734,72 @@ object DedupOps {
     */
   val dedupEmbeddingLshBanded = GQuery(
     "dedup_embedding_lsh_banded",
-    (s, d) => {
-      val (bands, r) = (LshBands, LshBandPlanes)
-      val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
-        (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
-      }
-      // staged: both join sides consume it; the B×r-plane signature pass
-      // over the corpus must run once, not per side
-      val keyed = Materialize.stage(bucketed)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosExpr())
-        .filter(col("cos") >= CosineThreshold)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(col("cos"), 4).as("cosine"))
-        .distinct()
-    },
-    oracle = Some {
-      val bandCols = (0 until LshBands)
-        .map(b => s"${SimilarityOps.bandBucketDuck(b, LshBandPlanes)} AS b$b")
-        .mkString(",\n         ")
-      val bandJoins = (0 until LshBands).map(b =>
-        s"SELECT a.vec_id AS va, b.vec_id AS vb FROM wb a JOIN wb b " +
-          s"ON a.b$b = b.b$b AND a.vec_id < b.vec_id").mkString("\n  UNION\n  ")
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-         |  FROM embeddings),
-         |wb AS (SELECT vec_id, v, nrm, $bandCols FROM e),
-         |cand AS (
-         |  $bandJoins)
-         |SELECT c.va AS vec_a, c.vb AS vec_b,
-         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
-         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
-         |FROM cand c JOIN wb a ON a.vec_id = c.va JOIN wb b ON b.vec_id = c.vb
-         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
-         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin
-    })
+    (s, d) => bandedEmbPairs(s, d),
+    oracle = Some(
+      s"""WITH ${bandedPairsCtes("eb_")}
+         |SELECT va AS vec_a, vb AS vec_b, cosine FROM eb_pairs""".stripMargin),
+    bench = true)
 
-  /** Banded-LSH geometry: 4 bands × 8 planes (planes 0..31 of the shared
-    * hyperplane family). */
-  val LshBands = 4
-  val LshBandPlanes = 8
+  /** Distinct verified banded-LSH near-dup pairs (vec_a < vec_b, rounded
+    * cosine ≥ [[CosineThreshold]]) — the shared pair source for the banded
+    * query and the corpus-clean pipeline's embedding stage. Shape: one
+    * staged B×r-plane signature pass, explode to (band, bucket) keys,
+    * per-key self-join, exact-cosine verify, UNION-dedup across bands.
+    */
+  private[operators] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
+    val (bands, r) = (LshBands, LshBandPlanes)
+    val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
+      (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
+    }
+    // staged: both join sides consume it; the B×r-plane signature pass
+    // over the corpus must run once, not per side
+    val keyed = Materialize.stage(bucketed)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosExpr())
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cosine"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[bandedEmbPairs]] as a `p`-prefixed CTE chain ending
+    * in `${p}pairs(va, vb, cosine)` — prefixing keeps the names disjoint
+    * from [[MinhashPairsCte]]'s when both compose into one oracle. Only
+    * compile-time-constant vals ([[LshBands]]/[[LshBandPlanes]], inlined
+    * literals) may be interpolated here: this is called from eager
+    * `oracle = Some{...}` blocks that run mid-object-init.
+    */
+  private def bandedPairsCtes(p: String): String = {
+    val bandCols = (0 until LshBands)
+      .map(b => s"${SimilarityOps.bandBucketDuck(b, LshBandPlanes)} AS b$b")
+      .mkString(",\n         ")
+    val bandJoins = (0 until LshBands).map(b =>
+      s"SELECT a.vec_id AS va, b.vec_id AS vb FROM ${p}wb a JOIN ${p}wb b " +
+        s"ON a.b$b = b.b$b AND a.vec_id < b.vec_id").mkString("\n  UNION\n  ")
+    s"""${p}e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |${p}wb AS (SELECT vec_id, v, nrm, $bandCols FROM ${p}e),
+       |${p}cand AS (
+       |  $bandJoins),
+       |${p}pairs AS (
+       |  SELECT c.va, c.vb,
+       |         round(list_sum(list_transform(generate_series(1, len(a.v)),
+       |               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM ${p}cand c JOIN ${p}wb a ON a.vec_id = c.va
+       |                  JOIN ${p}wb b ON b.vec_id = c.vb
+       |  WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+       |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold)""".stripMargin
+  }
 
   /** vec_id, label, v (double array), nrm — the single normalization used
     * by BOTH the dedup and ANN cosine paths (SimilarityOps). Norms and dot

@@ -390,7 +390,10 @@ object EventOps {
   private lazy val scratchHook: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles is null on I/O error or if the dir vanished between the
+        // isDirectory check and the call — never throw from a shutdown hook
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         f.delete(): Unit
       }
       scratchDirs.forEach(p => rm(new java.io.File(p)))

@@ -115,7 +115,12 @@ object KMeansOps {
     scala.collection.mutable.Map.empty[(String, String, String), Vector[Seq[(Int, Array[Long], Long)]]]
 
   /** Driver-side metadata scan of `d`/embeddings.parquet (file or dir):
-    * cheap (no data read), and any in-place rewrite changes it. */
+    * cheap (no data read), and any in-place rewrite changes it. Known
+    * tradeoff (accepted): a rewrite that preserves every file name AND
+    * length within the filesystem's mtime resolution is invisible — a
+    * content checksum would close that but costs a data read; metadata-only
+    * is the right price for a per-query guard. Superseded fingerprints for
+    * the same (app, dir) are evicted on insert in [[lloyd]]. */
   private def datasetFingerprint(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
@@ -143,6 +148,11 @@ object KMeansOps {
         val rows = sums(withCid(pts, cur.map(c => (c._1, c._2)))).collect()
         states = states :+ nextCents(cur, rows)
       }
+      // an in-place rewrite changes the fingerprint: drop entries the new
+      // fingerprint supersedes for the same (app, dir) so stale models
+      // don't accumulate over a long-lived application
+      models.keys.filter(k => k._1 == key._1 && k._2 == key._2 && k != key)
+        .toSeq.foreach(models.remove)
       models(key) = states
       states(iters)
     }

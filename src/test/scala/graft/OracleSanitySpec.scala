@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the oracle registry against the Scala object-initialization-order
+  * failure class: `GQuery.oracle` is a strict `Option[String]`, so an oracle
+  * that interpolates a numeric `val` declared BELOW it in the same object
+  * reads 0 mid-init and silently ships degenerate SQL (empty `(0 until 0)`
+  * mkStrings → dangling commas, empty CTE bodies). That exact bug shipped
+  * once (`dedup_embedding_lsh_banded`, round 6) and was invisible to every
+  * run-the-query test because only the eagerly-built oracle string was
+  * corrupted. These are pure-string assertions — no Spark, no DuckDB — so
+  * they run in milliseconds and fail the build the moment a degenerate
+  * oracle is constructed.
+  */
+class OracleSanitySpec extends AnyFunSuite {
+
+  // a comma (or SELECT) followed directly by FROM: a projection list that
+  // lost its tail to an empty mkString
+  private val danglingComma = raw"(?is)(,|\bSELECT)\s+FROM\b".r
+  // a CTE or subquery with an empty body — the `(` must not be a zero-arg
+  // function call (`row_number()`), so it can't follow an identifier char
+  private val emptyParens = raw"(?<![A-Za-z0-9_])\(\s*\)".r
+  // an mkString over an uninitialized (0 until 0) range leaves "JOIN  ON"
+  // or "AND  AND"-style doubled keywords behind in join assemblies
+  private val doubledKeyword = raw"(?i)\b(ON|AND|OR|WHERE)\s+(AND|OR|ON)\b".r
+
+  for ((name, sql) <- SparkEntry.oracleSql) {
+    test(s"$name oracle SQL is not degenerate") {
+      assert(sql.trim.nonEmpty, "empty oracle")
+      withClue(sql) {
+        assert(danglingComma.findFirstIn(sql).isEmpty,
+          s"projection list lost its tail: ${danglingComma.findFirstIn(sql)}")
+        assert(emptyParens.findFirstIn(sql).isEmpty, "empty CTE/subquery body")
+        assert(doubledKeyword.findFirstIn(sql).isEmpty,
+          s"doubled keyword: ${doubledKeyword.findFirstIn(sql)}")
+      }
+    }
+  }
+
+  test("banded-LSH oracle interpolates the real band geometry") {
+    val sql = SparkEntry.oracleSql("dedup_embedding_lsh_banded")
+    // all four band columns must appear — 0 would mean init-order regressed
+    for (b <- 0 until graft.operators.DedupOps.LshBands)
+      assert(sql.contains(s"b$b"), s"missing band column b$b")
+  }
+}
