@@ -9,16 +9,28 @@ import org.apache.spark.sql.SparkSession
   * measure the query, not JVM initialization.
   *
   * COLD/WARM CONTRACT (permanent, per round-3 root-cause): each query runs
-  * THREE times back-to-back; the reported WARM number is the MIN of the two
-  * post-cold runs, which measures the plan, and the cold (first) timing is
-  * kept alongside so compile-cost redistribution can never again masquerade
-  * as a plan regression. Warm is a min, not a single sample, because the
-  * round-5 driver run recorded warm > cold on the headline set with 8.6 s
-  * for join_broadcast — numbers a local re-run could not reproduce at any
+  * THREE times — structured as three full PASSES over the sorted registry
+  * (cold pass, then two warm passes), NOT back-to-back per query; the
+  * reported WARM number is the MIN of the two warm-pass runs, which
+  * measures the plan, and the cold (first-pass) timing is kept alongside
+  * so compile-cost redistribution can never again masquerade as a plan
+  * regression. Warm is a min, not a single sample, because the round-5
+  * driver run recorded warm > cold on the headline set with 8.6 s for
+  * join_broadcast — numbers a local re-run could not reproduce at any
   * percentile (9.9 s headline warm vs the driver's 24.9). That class of
   * inflation is external CPU contention on the shared driver machine, and
   * a one-sample warm metric is defenseless against it; min-of-2 rejects a
-  * single contended sample while leaving genuine plan costs untouched. Round 3's driver-recorded inflation (the text_ and setop_
+  * single contended sample while leaving genuine plan costs untouched.
+  * The PASS structure (round 7) is the second half of that defense:
+  * back-to-back samples sit inside the same ~1-2 s window, so one
+  * contention burst inflates both and the min passes it through; samples
+  * a full pass apart are decorrelated, so a burst must span minutes to
+  * survive the min. Root-cause evidence for "contention, not plan": on an
+  * idle machine the round-7 suite warms read AT OR BELOW a TimeQuery
+  * isolated pass on the same tree (replay_alive_status 0.76 suite vs 1.20
+  * isolated-run2, ann_lsh_bucket 0.44 vs 0.65, dedup_minhash_lsh 0.56 vs
+  * 0.90, prefix_filter 0.14 vs 0.26) — there is no suite-level residual
+  * to fix in the harness itself. Round 3's driver-recorded inflation (the text_ and setop_
   * families at 3-9x their round-2 values while isolated re-timing
   * reproduced round 2 exactly)
   * was Janino compile cost re-paid at query time: the generated-class cache
@@ -69,11 +81,16 @@ object Bench {
       releaseStaged(spark)
       sec
     }
-    val results = SparkEntry.all.sortBy(_.name).map { q =>
-      val cold = timeOnce(q)
-      val warm = math.min(timeOnce(q), timeOnce(q))
-      (q.name, cold, warm)
-    }
+    val qs = SparkEntry.all.sortBy(_.name)
+    // three passes (see COLD/WARM CONTRACT): the two warm samples of any
+    // query land minutes apart, so a contention burst can't inflate both
+    def pass(): Map[String, Double] =
+      qs.map(q => q.name -> timeOnce(q)).toMap
+    val cold = pass()
+    val warm1 = pass()
+    val warm2 = pass()
+    val results =
+      qs.map(q => (q.name, cold(q.name), math.min(warm1(q.name), warm2(q.name))))
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =

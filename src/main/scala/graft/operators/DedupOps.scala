@@ -740,6 +740,40 @@ object DedupOps {
          |SELECT va AS vec_a, vb AS vec_b, cosine FROM eb_pairs""".stripMargin),
     bench = true)
 
+  /** Connected components over the banded embedding near-dup pair graph —
+    * the embedding analog of [[dedupClusters]]: [[bandedEmbPairs]] supplies
+    * the verified edges, [[starComponents]] (large-star/small-star, O(log n)
+    * rounds, one action per round) labels them. At 100 TB this is THE
+    * canonical semantic-dedup composition: banded recall ≈ 0.97 pair
+    * generation, then transitive closure so a near-dup CHAIN collapses to
+    * one representative instead of pairwise keep-lowest.
+    */
+  val dedupEmbeddingClusters = GQuery(
+    "dedup_embedding_clusters",
+    (s, d) => {
+      val labels = starComponents(bandedEmbPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, Seq("rep"))
+        .select(col("doc_id").as("vec_id"), col("rep"), col("csize"))
+    },
+    oracle = Some(
+      s"""WITH ${bandedPairsCtes("eb_")},
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM eb_pairs
+         |  UNION SELECT vb, va FROM eb_pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+         |comp AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |repsizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
+         |SELECT c.vec_id, c.rep, s.csize
+         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
   /** Distinct verified banded-LSH near-dup pairs (vec_a < vec_b, rounded
     * cosine ≥ [[CosineThreshold]]) — the shared pair source for the banded
     * query and the corpus-clean pipeline's embedding stage. Shape: one
@@ -823,5 +857,6 @@ object DedupOps {
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
-    decontamMinhash, pipelineCorpusClean, dedupClusters)
+    dedupEmbeddingClusters, decontamMinhash, pipelineCorpusClean,
+    dedupClusters)
 }

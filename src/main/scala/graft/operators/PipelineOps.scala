@@ -204,6 +204,89 @@ object PipelineOps {
         |FROM mix_w LEFT JOIN mix_adm USING (source)""".stripMargin),
     bench = true)
 
+  /** Tokens per training sequence for [[packSequences]]. */
+  val PackCapacity = 512L
+
+  /** Q:pack_sequences — concat-and-chunk sequence-packing planner: assign
+    * every document a (pack_id, pack_offset) inside its (source, shard)
+    * stream, where packs hold [[PackCapacity]] tokens and documents are
+    * concatenated in doc_id order (the standard pretraining batch layout;
+    * a doc may straddle a pack boundary — the chunker's concern, not the
+    * planner's). The shard key ((doc_id mod p)·Knuth mod 8) bounds every
+    * window partition to ~1/8 of a source at any corpus size — a plain
+    * per-source window would funnel the dominant source through ONE task
+    * at 100 TB; more shards = more parallelism, same plan. All integer
+    * arithmetic (floor division), so both engines agree exactly.
+    */
+  val packSequences = GQuery(
+    "pack_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokArr(col("text"))).cast("long").as("n_tokens"),
+          ((col("doc_id") % 1000003L) * 2654435761L % 8L).as("shard"))
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          expr(s"cum_before div $PackCapacity").as("pack_id"),
+          (col("cum_before") % PackCapacity).as("pack_offset"))
+    },
+    oracle = Some(
+      s"""WITH pk AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+         |         ((doc_id % 1000003) * 2654435761) % 8 AS shard
+         |  FROM documents),
+         |pkcum AS (
+         |  SELECT doc_id, source, shard, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           PARTITION BY source, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS cum_before
+         |  FROM pk)
+         |SELECT doc_id, source, shard, n_tokens,
+         |       cum_before // $PackCapacity AS pack_id,
+         |       cum_before % $PackCapacity AS pack_offset
+         |FROM pkcum""".stripMargin))
+
+  /** Per-stratum sample size for [[sampleStratified]]. */
+  val StratumSampleK = 50
+
+  /** Q:sample_stratified — fixed-size deterministic sample per source: rank
+    * documents inside each source by Knuth multiplicative hash of doc_id
+    * (the same cross-engine-exact family as sample_hash_bernoulli — the
+    * product stays under 2^53, so the DOUBLE score is exact) and keep the
+    * first [[StratumSampleK]]. Runs through the fused graft_cosine_topk
+    * k-heap aggregate, so only k rows per stratum cross the shuffle — the
+    * row_number window form would shuffle AND sort every stratum in full,
+    * which is exactly what dies first on a 100 TB dominant source.
+    */
+  val sampleStratified = GQuery(
+    "sample_stratified",
+    (s, d) => {
+      graft.functions.CosineTopKAggregate.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          (-((col("doc_id") % 1000003L) * 2654435761L).cast("double")).as("score"))
+        .groupBy("source")
+        .agg(expr(s"graft_cosine_topk(score, doc_id, $StratumSampleK)").as("topk"))
+        .select(col("source"), posexplode(col("topk")).as(Seq("pos", "kv")))
+        .select(col("source"), col("kv.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("sample_rank"))
+    },
+    oracle = Some(
+      s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+         |FROM (SELECT source, doc_id,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY (doc_id % 1000003) * 2654435761, doc_id) AS rn
+         |      FROM documents)
+         |WHERE rn <= $StratumSampleK""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
-    textRepetition, textLengthHistogram, piiRedact, sampleWeights)
+    textRepetition, textLengthHistogram, piiRedact, sampleWeights,
+    packSequences, sampleStratified)
 }
