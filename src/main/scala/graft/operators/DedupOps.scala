@@ -478,6 +478,57 @@ object DedupOps {
     },
     bench = true)
 
+  /** Exact n-gram collision decontamination (the GPT-3-appendix form of
+    * benchmark decontam: a training doc is contaminated if it shares ANY
+    * exact n-gram with the benchmark; production uses 13-grams, here n=3 —
+    * the repo-wide shingle width — with the [[ShingleDfCap]] df cap
+    * excluding boilerplate shingles that would mark everything).
+    * Complement of [[decontamMinhash]]: that one finds near-COPIES of
+    * benchmark docs; this one flags any verbatim n-gram overlap, however
+    * local. Scale shape: the benchmark shingle set is tiny and broadcasts;
+    * the corpus streams once (scan → df-cap semi-join → broadcast hash
+    * join → per-doc count) — the corpus is never shuffled on a pair key,
+    * and the df cap bounds per-shingle fan-out exactly as in
+    * [[dedupNgramJaccard]].
+    */
+  val decontamNgramExact = GQuery(
+    "decontam_ngram_exact",
+    (s, d) => {
+      val shAll = shingleRows(s, d)
+      val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("sh")
+      // staged once: the capped shingle frame feeds the benchmark side,
+      // the corpus side, and the per-doc sizes
+      val sh = graft.Materialize.stage(shAll.join(keepSh, Seq("sh")))
+      val benchSh = broadcast(
+        sh.filter(col("doc_id") % 7 === 0).select("sh").distinct())
+      val corpus = sh.filter(col("doc_id") % 7 =!= 0)
+      // shingle rows are distinct per doc (generator dedups), so the join
+      // hit count IS the distinct overlapping-shingle count
+      val hits = corpus.join(benchSh, Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      hits.join(sizes, Seq("doc_id"))
+        .select(col("doc_id").as("corpus_doc"), col("n_hits"),
+          expr("n_hits * 10000 div n").as("hit_ratio_e4"))
+    },
+    oracle = Some(
+      s"""$ShingleCte,
+         |capped AS (
+         |  SELECT s.doc_id, s.sh FROM shingle s
+         |  JOIN (SELECT sh FROM shingle GROUP BY sh
+         |        HAVING count(*) <= $ShingleDfCap) k USING (sh)),
+         |bench AS (SELECT DISTINCT sh FROM capped WHERE doc_id % 7 = 0),
+         |corpus AS (SELECT doc_id, sh FROM capped WHERE doc_id % 7 <> 0),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_hits
+         |  FROM corpus c JOIN bench USING (sh) GROUP BY c.doc_id),
+         |nsz AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id)
+         |SELECT h.doc_id AS corpus_doc, h.n_hits,
+         |       h.n_hits * 10000 // z.n AS hit_ratio_e4
+         |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin))
+
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
     * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
     * genuinely degenerate tail).
@@ -857,6 +908,6 @@ object DedupOps {
   val queries: Seq[GQuery] = Seq(
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
-    dedupEmbeddingClusters, decontamMinhash, pipelineCorpusClean,
-    dedupClusters)
+    dedupEmbeddingClusters, decontamMinhash, decontamNgramExact,
+    pipelineCorpusClean, dedupClusters)
 }
