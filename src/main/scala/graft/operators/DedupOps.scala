@@ -55,6 +55,45 @@ object DedupOps {
     */
   val ShingleDfCap = 64L
 
+  /** Bucket-cardinality cap for the LSH candidate self-joins — the
+    * [[ShingleDfCap]] idea applied one layer up, to band-bucket membership.
+    * A per-(band, signature) self-join emits n²/2 candidate pairs for a
+    * bucket of n docs into a single reducer; on a boilerplate-heavy corpus
+    * (templated pages, near-empty docs, clustered embeddings) one hot
+    * bucket at 100 TB is the classic LSH scale-killer. Buckets with more
+    * than this many members are dropped BEFORE pair generation (their key
+    * is no longer a similarity signal — it's the corpus's boilerplate
+    * mode), which bounds every per-key join at cap²/2 candidates.
+    *
+    * Recall tradeoff, documented: pairs whose ONLY agreeing bucket is hot
+    * are missed. For minhash that mostly means large exact-duplicate
+    * classes (identical docs share all 4 band signatures) — those are the
+    * exact-dedup stage's job, which precedes near-dup in
+    * [[pipelineCorpusClean]]; for embeddings it means a near-dup pair
+    * inside a ≥cap-sized degenerate cluster. Both oracles mirror the cap
+    * (same HAVING ≤ cap membership filter), so capped results stay
+    * hash-checked. Value-neutral on the driver testbed (max observed
+    * bucket: 20 minhash / 120 embedding at sf0.1 — under the cap), so the
+    * guard only engages on pathological corpora. Cap at 2^8 = the df-cap
+    * analog: 256² / 2 = 32k pairs per hot key is one reducer's normal work.
+    */
+  final val LshBucketCap = 256L
+
+  /** Drop rows whose (keys…) group exceeds [[LshBucketCap]] members. The
+    * hot-key set is tiny by construction (each survivor key has > cap
+    * members, so there are at most n/cap of them) — it broadcasts, and the
+    * main frame streams through a broadcast anti-join with no shuffle. The
+    * membership count itself is one map-side-combinable aggregate on the
+    * same key the subsequent self-join uses.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > LshBucketCap)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Full-length base-131 rolling hash of a token/shingle — the DuckDB
     * fold bit-identical to the native graft_polyhash
     * (graft.functions.VectorExpressions.PolyHash).
@@ -192,7 +231,10 @@ object DedupOps {
     // or a reliable checkpoint dir (spark.graft.checkpoint.dir, the
     // 100 TB posture) with an identical plan shape
     val tks = graft.Materialize.stage(hashedShinglesOf(docs))
-    val bands = bandedSignatures(rowLocalSignatures(tks))
+    // hot (band, sig) buckets dropped before the self-join — see
+    // [[LshBucketCap]] for the quadratic hazard and the recall tradeoff
+    val bands =
+      capBuckets(bandedSignatures(rowLocalSignatures(tks)), Seq("band", "sig"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -227,10 +269,14 @@ object DedupOps {
        |tkset AS (SELECT DISTINCT doc_id, tk FROM keyed),
        |tksizes AS (SELECT doc_id, count(*) AS n FROM tkset GROUP BY doc_id),
        |sig AS (SELECT doc_id, $mins FROM tkset GROUP BY doc_id),
-       |bands AS (
+       |bands_all AS (
        |  SELECT doc_id, b.band, b.sig FROM sig,
        |  LATERAL (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band,
        |                  unnest($bandExprs) AS sig) b),
+       |bands AS (
+       |  SELECT ba.doc_id, ba.band, ba.sig FROM bands_all ba
+       |  JOIN (SELECT band, sig FROM bands_all GROUP BY band, sig
+       |        HAVING count(*) <= $LshBucketCap) k USING (band, sig)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -421,6 +467,14 @@ object DedupOps {
     * signatures broadcast and the corpus streams once — no shuffle of the
     * corpus at all. Candidates verified by exact Jaccard ≥ 0.5 on the
     * hashed-shingle arrays.
+    *
+    * No [[LshBucketCap]] here, deliberately: the quadratic hazard is
+    * specific to SELF-joins (hot bucket → n²/2 pairs on one reducer). This
+    * broadcast hash join has no shuffle key to skew — each corpus row
+    * probes the broadcast table and fans out at most to the benchmark's
+    * multiplicity on that band key, which is bounded by the (small)
+    * benchmark itself; capping corpus buckets would only cost decontam
+    * recall on boilerplate docs, the docs most likely to be contaminated.
     */
   val decontamMinhash = GQuery(
     "decontam_minhash",
@@ -527,7 +581,8 @@ object DedupOps {
          |nsz AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id)
          |SELECT h.doc_id AS corpus_doc, h.n_hits,
          |       h.n_hits * 10000 // z.n AS hit_ratio_e4
-         |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin))
+         |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin),
+    bench = true)
 
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
     * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
@@ -640,10 +695,18 @@ object DedupOps {
     * the round count does not track the longest chain the way plain
     * min-label propagation does. The driver loop holds no data — each
     * round is shuffle joins + min-aggregates with Materialize.stage
-    * truncating the iterative lineage, and convergence is ONE action
-    * (symmetric-difference emptiness over the distinct edge sets; exact,
-    * no hash shortcut — a false "converged" would be WRONG data, not slow
-    * data — and isEmpty stops at the first witness row).
+    * truncating the iterative lineage. Convergence detection is two-tier:
+    * the per-round signal is a (count, xor-of-xxhash64) digest of the new
+    * edge set — ONE map-side-combinable aggregate over the staged frame,
+    * no extra shuffle — and only the round whose digest matches the
+    * previous one pays for the exact symmetric-difference check that
+    * actually declares convergence. Equal sets always have equal digests,
+    * so the cheap signal never skips a real fixpoint; a digest collision
+    * on unequal sets (≈2⁻⁶⁴) just fails the exact check and the loop
+    * continues — a false "converged" would be WRONG data, not slow data,
+    * so the exact check stays load-bearing. Net: 2 set-difference shuffle
+    * jobs per round (the round-7 shape) become one 1-row aggregate per
+    * round plus one set-difference at the fixpoint.
     *
     * StarRewriteProperties checks this differentially against plain
     * min-label propagation on arbitrary random graphs.
@@ -672,16 +735,33 @@ object DedupOps {
         .distinct()
     }
 
+    def digest(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: a 64-bit hash sum overflows Long (ANSI error);
+      // xor is order-independent and overflow-free, and both frames are
+      // DISTINCT edge sets compared together with their cardinality, so
+      // xor's multiset blindness ({a,a,b} vs {b}) cannot arise
+      val r = e.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean =
+      a.except(b).union(b.except(a)).isEmpty
+
     var edges = graft.Materialize.stage(
       pairs.select(least(col("doc_a"), col("doc_b")).as("dst"),
         greatest(col("doc_a"), col("doc_b")).as("src"))
         .select(col("src"), col("dst")).distinct())
+    var dig = digest(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val next = graft.Materialize.stage(smallStar(largeStar(edges)))
-      converged = next.except(edges).union(edges.except(next)).isEmpty
+      val nextDig = digest(next)
+      // exact set equality checked ONLY when the cheap digest matches —
+      // see the convergence paragraph in the scaladoc above
+      converged = nextDig == dig && sameEdgeSet(next, edges)
       edges = next
+      dig = nextDig
       rounds += 1
     }
     require(converged,
@@ -823,13 +903,15 @@ object DedupOps {
          |repsizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
          |SELECT c.vec_id, c.rep, s.csize
          |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+    bench = true)
 
   /** Distinct verified banded-LSH near-dup pairs (vec_a < vec_b, rounded
     * cosine ≥ [[CosineThreshold]]) — the shared pair source for the banded
     * query and the corpus-clean pipeline's embedding stage. Shape: one
     * staged B×r-plane signature pass, explode to (band, bucket) keys,
-    * per-key self-join, exact-cosine verify, UNION-dedup across bands.
+    * [[LshBucketCap]] hot-bucket drop, per-key self-join, exact-cosine
+    * verify, UNION-dedup across bands.
     */
   private[operators] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
     val (bands, r) = (LshBands, LshBandPlanes)
@@ -838,12 +920,17 @@ object DedupOps {
     }
     // staged: both join sides consume it; the B×r-plane signature pass
     // over the corpus must run once, not per side
-    val keyed = Materialize.stage(bucketed)
+    val exploded = Materialize.stage(bucketed)
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // hot (band, bucket) keys dropped before the self-join — see
+    // [[LshBucketCap]]: a degenerate embedding cluster (all-zero vectors,
+    // template pages embedded identically) lands one bucket, and n²/2
+    // candidate pairs on one reducer is the LSH scale-killer
+    val keyed = capBuckets(exploded, Seq("band", "bucket"))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -866,16 +953,25 @@ object DedupOps {
     val bandCols = (0 until LshBands)
       .map(b => s"${SimilarityOps.bandBucketDuck(b, LshBandPlanes)} AS b$b")
       .mkString(",\n         ")
-    val bandJoins = (0 until LshBands).map(b =>
-      s"SELECT a.vec_id AS va, b.vec_id AS vb FROM ${p}wb a JOIN ${p}wb b " +
-        s"ON a.b$b = b.b$b AND a.vec_id < b.vec_id").mkString("\n  UNION\n  ")
+    val bandIdx = (0 until LshBands).mkString("[", ", ", "]")
+    val bandRefs = (0 until LshBands).map(b => s"b$b").mkString("[", ", ", "]")
     s"""${p}e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |  FROM embeddings),
        |${p}wb AS (SELECT vec_id, v, nrm, $bandCols FROM ${p}e),
+       |${p}bb AS (
+       |  SELECT vec_id, u.band, u.bucket FROM ${p}wb,
+       |  LATERAL (SELECT unnest($bandIdx) AS band,
+       |                  unnest($bandRefs) AS bucket) u),
+       |${p}cb AS (
+       |  SELECT bb.vec_id, bb.band, bb.bucket FROM ${p}bb bb
+       |  JOIN (SELECT band, bucket FROM ${p}bb GROUP BY band, bucket
+       |        HAVING count(*) <= $LshBucketCap) k USING (band, bucket)),
        |${p}cand AS (
-       |  $bandJoins),
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM ${p}cb a JOIN ${p}cb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |${p}pairs AS (
        |  SELECT c.va, c.vb,
        |         round(list_sum(list_transform(generate_series(1, len(a.v)),
