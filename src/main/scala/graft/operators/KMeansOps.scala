@@ -123,7 +123,13 @@ object KMeansOps {
     * the same (app, dir) are evicted on insert in [[lloyd]]. */
   private def datasetFingerprint(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      // listFiles() returns null on I/O error or a dir vanishing mid-scan
+      // (not just non-dirs) — treat that as "no children", so the
+      // fingerprint degrades to a different value instead of an NPE from
+      // every kmeans/IVF query
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val sig = walk(new java.io.File(d, "embeddings.parquet"))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")

@@ -212,11 +212,17 @@ object PipelineOps {
     * stream, where packs hold [[PackCapacity]] tokens and documents are
     * concatenated in doc_id order (the standard pretraining batch layout;
     * a doc may straddle a pack boundary — the chunker's concern, not the
-    * planner's). The shard key ((doc_id mod p)·Knuth mod 8) bounds every
-    * window partition to ~1/8 of a source at any corpus size — a plain
-    * per-source window would funnel the dominant source through ONE task
-    * at 100 TB; more shards = more parallelism, same plan. All integer
-    * arithmetic (floor division), so both engines agree exactly.
+    * planner's). The shard key — the TOP 3 bits of the 32-bit Knuth
+    * product of (doc_id mod p) — bounds every window partition to ~1/8 of
+    * a source at any corpus size: a plain per-source window would funnel
+    * the dominant source through ONE task at 100 TB; more shards = more
+    * parallelism, same plan. High bits, not `product mod 8`: the Knuth
+    * constant 2654435761 ≡ 1 (mod 8), so a low-bits reduction degenerates
+    * to doc_id mod 8 — a strided id pattern (all-even doc_ids) would
+    * collapse 8 shards to 4, halving exactly the parallelism the shard
+    * key exists to provide; the multiplier's mixing lives in the high
+    * bits. The product stays under 2⁶³ (max ≈ 2.7e15), so the arithmetic
+    * is integer-exact in both engines.
     */
   val packSequences = GQuery(
     "pack_sequences",
@@ -225,7 +231,8 @@ object PipelineOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(tokArr(col("text"))).cast("long").as("n_tokens"),
-          ((col("doc_id") % 1000003L) * 2654435761L % 8L).as("shard"))
+          expr("((doc_id % 1000003) * 2654435761) % 4294967296 div 536870912")
+            .as("shard"))
       val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -239,7 +246,7 @@ object PipelineOps {
       s"""WITH pk AS (
          |  SELECT doc_id, source,
          |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
-         |         ((doc_id % 1000003) * 2654435761) % 8 AS shard
+         |         ((doc_id % 1000003) * 2654435761) % 4294967296 // 536870912 AS shard
          |  FROM documents),
          |pkcum AS (
          |  SELECT doc_id, source, shard, n_tokens,

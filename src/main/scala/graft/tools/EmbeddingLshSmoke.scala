@@ -96,12 +96,20 @@ object EmbeddingLshSmoke {
     println(f"EMBLSH n=$n%d planted=$planted%d cos=$c%.2f B=$bands r=$r " +
       f"single=$mSingle%.3f (theory $thSingle%.3f) " +
       f"banded=$mBanded%.3f (theory $thBanded%.3f)")
-    // binomial noise at planted≈n/10 samples is well under 0.05
-    assert(math.abs(mSingle - thSingle) < 0.05,
-      f"single-band recall $mSingle%.3f off theory $thSingle%.3f")
-    assert(math.abs(mBanded - thBanded) < 0.05,
-      f"banded recall $mBanded%.3f off theory $thBanded%.3f")
-    assert(mBanded > mSingle, "banding must recover recall")
+    // tolerance scales with the binomial noise of `planted` Bernoulli
+    // samples at the theory rate (4σ — the 0.02 floor covers theory≈0 or 1
+    // where σ vanishes but the planted geometry isn't exactly ideal), so
+    // env-tuned runs with small N_VECS don't fail on sampling noise
+    def tol(th: Double): Double =
+      math.max(0.02, 4 * math.sqrt(th * (1 - th) / planted))
+    assert(math.abs(mSingle - thSingle) < tol(thSingle),
+      f"single-band recall $mSingle%.3f off theory $thSingle%.3f (tol ${tol(thSingle)}%.3f)")
+    assert(math.abs(mBanded - thBanded) < tol(thBanded),
+      f"banded recall $mBanded%.3f off theory $thBanded%.3f (tol ${tol(thBanded)}%.3f)")
+    // at TARGET_COS→1 both recalls saturate at exactly 1.0 — strict > would
+    // fail spuriously there; equality is only accepted at full saturation
+    assert(mBanded > mSingle || (mBanded == 1.0 && mSingle == 1.0),
+      "banding must recover recall")
     spark.stop()
   }
 }

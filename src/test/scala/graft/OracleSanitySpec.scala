@@ -22,8 +22,11 @@ class OracleSanitySpec extends AnyFunSuite {
   // function call (`row_number()`), so it can't follow an identifier char
   private val emptyParens = raw"(?<![A-Za-z0-9_])\(\s*\)".r
   // an mkString over an uninitialized (0 until 0) range leaves "JOIN  ON"
-  // or "AND  AND"-style doubled keywords behind in join assemblies
-  private val doubledKeyword = raw"(?i)\b(ON|AND|OR|WHERE)\s+(AND|OR|ON)\b".r
+  // or "AND  AND"-style doubled keywords behind in join assemblies — JOIN
+  // leads the first alternation so the "JOIN  ON" form (empty table ref
+  // from an empty mkString) is matched directly, not just incidentally
+  private val doubledKeyword =
+    raw"(?i)\b(JOIN|ON|AND|OR|WHERE)\s+(AND|OR|ON)\b".r
 
   for ((name, sql) <- SparkEntry.oracleSql) {
     test(s"$name oracle SQL is not degenerate") {

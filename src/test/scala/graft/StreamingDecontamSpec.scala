@@ -36,4 +36,43 @@ class StreamingDecontamSpec extends SparkSuite {
     assert(hits.contains((3L, 900L)), s"near-copy not flagged: $hits")
     assert(!hits.exists(_._1 == 2L), s"clean doc wrongly flagged: $hits")
   }
+
+  test("exact n-gram hits flag on arrival with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val benchSh = StreamingDecontam.benchmarkShingles(benchmark)
+    // doc 1 embeds one benchmark 3-gram mid-text (a LOCAL overlap — the
+    // near-copy minhash form would miss it); doc 2 shares single words but
+    // never 3 in a row; doc 3 is a verbatim copy
+    val arrivals = Seq(
+      (1L, "totally unrelated start then beta gamma delta and moving on"),
+      (2L, "alpha only and gamma alone plus epsilon scattered through"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.ngramHits(
+      input.toDF().toDF("doc_id", "text"), benchSh)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ngram_hits").start()
+    // two batches: flagging is per-arrival, no cross-batch state
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamFlagged = spark.table("ngram_hits")
+      .select("corpus_doc").distinct().as[Long].collect().toSet
+    // batch twin: the SAME function over the full arrival set as a batch
+    // frame — arrival-time flagging must equal what one batch pass finds
+    val batchFlagged = StreamingDecontam.ngramHits(
+      arrivals.toDF("doc_id", "text"), benchSh)
+      .select("corpus_doc").distinct().as[Long].collect().toSet
+    assert(streamFlagged == Set(1L, 3L),
+      s"expected docs 1 and 3 flagged: $streamFlagged")
+    assert(streamFlagged == batchFlagged,
+      s"stream/batch parity broken: $streamFlagged vs $batchFlagged")
+  }
 }
