@@ -364,11 +364,17 @@ object DedupOps {
     * only shuffles are band keys and the candidate set.
     *
     * 4×16-bit bands give 4·65536 distinct join keys, which keeps per-key
-    * bucket cardinality bounded at corpus scale (the earlier 32-bit form's
-    * 4·256 keys collide quadratically as n grows — the signature width is
-    * the scale knob, and 64 is the 100 TB default). The sign bit is an
-    * ordinary signature bit: comparisons go through xor/bit_count, never
-    * numeric order.
+    * bucket cardinality bounded against RANDOM collisions at corpus scale
+    * (the earlier 32-bit form's 4·256 keys collide quadratically as n
+    * grows — the signature width is the scale knob, and 64 is the 100 TB
+    * default). Width does NOT bound identical-signature clusters — n
+    * byte-identical boilerplate docs share every band value no matter how
+    * wide the signature — so the [[LshBucketCap]] hot-bucket drop applies
+    * here exactly as on the minhash/embedding paths, mirrored in the
+    * oracle (whose pair join is banded for that reason: an all-pairs SQL
+    * twin could not express the cap). The sign bit is an ordinary
+    * signature bit: comparisons go through xor/bit_count, never numeric
+    * order.
     */
   val dedupSimhash = GQuery(
     "dedup_simhash",
@@ -386,8 +392,10 @@ object DedupOps {
       val bandBits = SimhashBits / nBands
       val bandVals = array((0 until nBands).map(b =>
         expr(s"shiftright(sig, ${b * bandBits}) & ${(1L << bandBits) - 1}")): _*)
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(bandVals).as(Seq("band", "bv")))
+      val bands = capBuckets(
+        sig.select(col("doc_id"), col("sig"),
+          posexplode(bandVals).as(Seq("band", "bv"))),
+        Seq("band", "bv"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -423,10 +431,20 @@ object DedupOps {
          |                   ELSE h END AS BIGINT) AS sig
          |  FROM (SELECT doc_id,
          |               sum(CASE WHEN s > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS h
-         |        FROM bits GROUP BY doc_id))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        FROM bits GROUP BY doc_id)),
+         |sh_bands AS (
+         |  SELECT doc_id, sig, g.band,
+         |         ((sig >> (g.band * ${SimhashBits / (SimhashMaxDist + 1)})) & ${(1L << (SimhashBits / (SimhashMaxDist + 1))) - 1}) AS bv
+         |  FROM simhash,
+         |       (SELECT unnest(generate_series(0, $SimhashMaxDist)) AS band) g),
+         |sh_cb AS (
+         |  SELECT sb.doc_id, sb.sig, sb.band, sb.bv FROM sh_bands sb
+         |  JOIN (SELECT band, bv FROM sh_bands GROUP BY band, bv
+         |        HAVING count(*) <= $LshBucketCap) k USING (band, bv))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
-         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |FROM sh_cb a JOIN sh_cb b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxDist""".stripMargin),
     bench = true)
 
@@ -810,14 +828,18 @@ object DedupOps {
     * all-pairs scan into a per-bucket self-join — shuffle keys are bucket
     * ids, signatures are row-local, candidates verified by exact cosine.
     * Recall < 1 by design (a near-dup pair split across buckets is missed);
-    * [[dedupEmbeddingCosine]] remains the exact baseline.
+    * [[dedupEmbeddingCosine]] remains the exact baseline. Hot buckets
+    * (≥ [[LshBucketCap]] members — a degenerate embedding cluster) drop
+    * before the self-join, as on every banded path.
     */
   val dedupEmbeddingLsh = GQuery(
     "dedup_embedding_lsh",
     (s, d) => {
       // staged: both sides of the self-join consume the bucketed frame, and
       // at scale the signature pass over the corpus must not run twice
-      val e = Materialize.stage(SimilarityOps.withBucket(normalizedVecs(s, d)))
+      val e = capBuckets(
+        Materialize.stage(SimilarityOps.withBucket(normalizedVecs(s, d))),
+        Seq("bucket"))
       e.as("a")
         .join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -831,11 +853,15 @@ object DedupOps {
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings),
-         |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e)
+         |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e),
+         |wc AS (
+         |  SELECT wb.vec_id, wb.v, wb.nrm, wb.bucket FROM wb
+         |  JOIN (SELECT bucket FROM wb GROUP BY bucket
+         |        HAVING count(*) <= $LshBucketCap) k USING (bucket))
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
          |       round(list_sum(list_transform(generate_series(1, len(a.v)),
          |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
-         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM wc a JOIN wc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin),
     bench = true)
