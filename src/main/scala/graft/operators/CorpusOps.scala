@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-restructuring operators: sub-document boilerplate removal and
+  * deterministic training-order assignment. Both are the "between curation
+  * and training" steps of a large-scale data pipeline — DedupOps drops whole
+  * documents, these rewrite/arrange what survives.
+  *
+  * Scale posture (100 TB): the boilerplate span set is by construction the
+  * heavy-hitter tail of the span-frequency distribution — tiny relative to
+  * the corpus — so it broadcasts and the corpus is never shuffled on a span
+  * key for the removal join; shard assignment is row-local hashing plus a
+  * per-shard (not global) sort.
+  */
+object CorpusOps {
+
+  /** Non-overlapping span width in tokens. 3 matches the repo-wide shingle
+    * width so the span vocabulary is comparable to the dedup family's.
+    */
+  final val SpanW = 3
+
+  /** A span occurring this many times corpus-wide is boilerplate. At sf0.01
+    * (500 docs, ~18 spans/doc, max span df 10) this removes 47 of 9 216 span
+    * instances — enough to exercise every branch (partial removal, untouched
+    * docs) while leaving the corpus mostly intact. Production tunes this to
+    * the df knee exactly as [[DedupOps.ShingleDfCap]] documents.
+    */
+  final val SpanBoilerDf = 8L
+
+  /** (doc_id, text) frame → (doc_id, i, span) rows: non-overlapping
+    * [[SpanW]]-token spans, i the 1-based ordinal used to restore document
+    * order after the anti-join. Row-local (sequence → slice → array_join,
+    * all codegen'd). Shared by the batch query and the artifact build the
+    * streaming scrub consumes.
+    */
+  private[graft] def spanRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, (size(t) + ${SpanW - 1}) div $SpanW),
+           |  j -> array_join(slice(t, (j-1)*$SpanW + 1, $SpanW), ' '))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("span"))
+
+  /** The boilerplate artifact: spans with corpus-wide df ≥ [[SpanBoilerDf]]
+    * (one map-side-combinable shuffle on the span key; the result is the
+    * heavy-hitter tail — small by Zipf).
+    */
+  def boilerplateSpans(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spanRows(docs).groupBy("span").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= SpanBoilerDf)
+      .select("span")
+
+  /** Sub-document boilerplate removal — the RefinedWeb/CCNet "line-level
+    * dedup" adapted to the single-line testbed corpus: the unit is a
+    * non-overlapping [[SpanW]]-token span instead of a newline-delimited
+    * line (reference analog: the corpus-wide repeated-content drop that
+    * whole-doc dedup cannot express; a doc is REWRITTEN, not removed).
+    *
+    * Plan shape: spans are generated row-locally ([[spanRows]]), the
+    * span-frequency count is one map-side-combinable shuffle on the span
+    * key, the boilerplate set ([[boilerplateSpans]]) broadcasts into a
+    * left-anti join, and reassembly shuffles kept spans once on doc_id.
+    * The corpus is never joined span×span, so there is no quadratic hazard
+    * at any scale; a doc whose every span is boilerplate survives with
+    * empty clean_text (left join from the totals side). Arrival-time twin:
+    * `streaming/StreamingBoilerplate.scrub` (same output shape, artifact-
+    * driven).
+    */
+  val dedupSpanBoilerplate = GQuery(
+    "dedup_span_boilerplate",
+    (s, d) => {
+      val spans = spanRows(Tables.documents(s, d))
+      val boiler = boilerplateSpans(Tables.documents(s, d))
+      val kept = spans.join(broadcast(boiler), Seq("span"), "left_anti")
+      val clean = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("i"), col("span")))),
+            x => x.getField("span")),
+          " ").as("clean_text"))
+      val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      totals.join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+    oracle = Some(
+      s"""WITH sb_t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+         |  FROM documents),
+         |sb_sp AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           generate_series(1, (len(t) + ${SpanW - 1}) // $SpanW),
+         |           j -> {'i': j, 'span': array_to_string(
+         |                   t[(j-1)*$SpanW + 1 : (j-1)*$SpanW + $SpanW], ' ')}))
+         |           AS u
+         |  FROM sb_t WHERE len(t) >= 1),
+         |sb AS (SELECT doc_id, u.i AS i, u.span AS span FROM sb_sp),
+         |sb_boiler AS (
+         |  SELECT span FROM sb GROUP BY span HAVING count(*) >= $SpanBoilerDf),
+         |sb_kept AS (SELECT s.* FROM sb s ANTI JOIN sb_boiler b USING (span)),
+         |sb_clean AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(span, ' ' ORDER BY i) AS clean_text
+         |  FROM sb_kept GROUP BY doc_id),
+         |sb_tot AS (SELECT doc_id, count(*) AS n_spans FROM sb GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_spans,
+         |       coalesce(c.n_kept, 0) AS n_kept,
+         |       t.n_spans - coalesce(c.n_kept, 0) AS n_removed,
+         |       coalesce(c.clean_text, '') AS clean_text
+         |FROM sb_tot t LEFT JOIN sb_clean c USING (doc_id)""".stripMargin),
+    bench = true)
+
+  /** Number of training shards. Testbed-sized; production sets this to
+    * O(executors × cores) so every shard's window sort fits one task.
+    */
+  final val ShuffleShards = 64L
+
+  /** Deterministic distributed shuffle — the "globally shuffle the corpus
+    * before training" step, without a global sort: shard = Knuth
+    * multiplicative hash of doc_id (row-local, no shuffle), position within
+    * shard = rank by an independent second hash (per-shard window sort, all
+    * shards in parallel). Reproducible across engines and runs — the
+    * scale-safe replacement for orderBy(rand()). Both hashes reduce doc_id
+    * mod a prime below 2^20 before the multiply so the product never wraps
+    * Long (the sample_hash_bernoulli overflow-parity rule).
+    */
+  val shuffleShards = GQuery(
+    "shuffle_shards",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"(doc_id % 1000003) * 2654435761 % $ShuffleShards").as("shard"),
+          expr("(doc_id % 999983) * 2654435761 % 1000000007").as("h2"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy(col("h2"), col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "shard", "pos"),
+    oracle = Some(
+      s"""SELECT doc_id, shard, CAST(row_number() OVER (
+         |         PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |             (doc_id % 1000003) * 2654435761 % $ShuffleShards AS shard,
+         |             (doc_id % 999983) * 2654435761 % 1000000007 AS h2
+         |      FROM documents)""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(dedupSpanBoilerplate, shuffleShards)
+}

@@ -602,6 +602,97 @@ object DedupOps {
          |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin),
     bench = true)
 
+  /** decontam_bloom filter geometry: 2^21 bits / 4 hashes. With n bench
+    * shingles the false-positive rate is (1 - e^{-4n/2^21})^4 — ≈ 2e-9 at
+    * the sf0.01 bench set (~4k shingles), still < 1% at n = 250k; beyond
+    * that production scales the bit count linearly (the words array is
+    * m/64 longs — 2 MB at 2^27 bits, trivially broadcastable).
+    */
+  final val BloomBits = 1L << 21
+  final val BloomK = 4
+
+  /** Bloom-prefiltered exact decontamination — same semantics (and oracle)
+    * as [[decontamNgramExact]], different physical path: the benchmark
+    * shingle set is compressed to a [[BloomBits]]-bit Bloom filter carried
+    * as ONE array<long> literal, and the corpus-side membership probe is
+    * pure xxhash64 + shift/mask arithmetic (fully codegen'd — no UDF, no
+    * broadcast hash relation on the probe). Survivors (true hits + a
+    * vanishing FP tail) then hit the exact broadcast join, so the result is
+    * exactly the exact query's. This is the shape that wins at 100 TB when
+    * the bench set is too large for a cheap broadcast hash join but its
+    * bloom is not: the full corpus scan touches only a constant, the
+    * expensive join sees ~(hit-rate + FPP) of the corpus. The filter build
+    * computes bit positions WITH THE SAME Spark expression the probe uses
+    * (hash parity by construction) and collects only distinct positions
+    * (≤ k·n ints) — at production bench scale this stays a driver-trivial
+    * collect because benchmark suites are orders smaller than the corpus.
+    */
+  val decontamBloom = GQuery(
+    "decontam_bloom",
+    (s, d) => {
+      val shAll = shingleRows(s, d)
+      val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("sh")
+      val sh = Materialize.stage(shAll.join(keepSh, Seq("sh")))
+      val benchRows = sh.filter(col("doc_id") % 7 === 0).select("sh")
+      // NOT staged: recomputing this distinct from the staged `sh` in the
+      // verify join is cheaper than a checkpoint job of its own
+      val benchSh = benchRows.distinct()
+      // Kirsch-Mitzenmacher double hashing: ONE xxhash64 per shingle row
+      // (hoisted into the `bh` projection so the lambda never re-hashes),
+      // the k positions derived as h1 + i·h2 mod m — integer arithmetic
+      // instead of k string hashes on the corpus-scan side. h2 is forced
+      // odd so it is nonzero and cycles all of m (m a power of two).
+      val kmPos = s"transform(sequence(0, ${BloomK - 1}), i -> " +
+        s"pmod(pmod(bh, $BloomBits) + " +
+        s"CAST(i AS BIGINT) * (1 + 2 * pmod(shiftright(bh, 21), " +
+        s"$BloomBits)), $BloomBits))"
+      val words = new Array[Long]((BloomBits / 64).toInt)
+      // distributed OR-fold of the filter: positions → (word, mask) →
+      // map-side-combinable bit_or — the driver collects ≤ m/64 packed
+      // words, never the k·n raw positions. Built from the UNdeduplicated
+      // bench rows: duplicate shingles set the same bits, and skipping the
+      // distinct keeps the build a single one-shuffle job
+      benchRows.withColumn("bh", xxhash64(col("sh")))
+        .select(explode(expr(kmPos)).as("p"))
+        .selectExpr("int(p div 64) AS w",
+          "shiftleft(CAST(1 AS BIGINT), int(p % 64)) AS m")
+        .groupBy("w").agg(expr("bit_or(m)").as("m"))
+        .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+      // probe = every derived position's bit set; forall over the same
+      // position expression the build used (hash parity by construction)
+      val probe = s"forall($kmPos, p -> " +
+        s"(shiftright(bf[int(p div 64)], int(p % 64)) & 1) = 1)"
+      val corpus = sh.filter(col("doc_id") % 7 =!= 0)
+      val cand = corpus
+        .withColumn("bh", xxhash64(col("sh")))
+        .withColumn("bf", typedLit(words.toSeq))
+        .filter(expr(probe)).drop("bf", "bh")
+      val hits = cand.join(broadcast(benchSh), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      hits.join(sizes, Seq("doc_id"))
+        .select(col("doc_id").as("corpus_doc"), col("n_hits"),
+          expr("n_hits * 10000 div n").as("hit_ratio_e4"))
+    },
+    oracle = Some(
+      s"""$ShingleCte,
+         |capped AS (
+         |  SELECT s.doc_id, s.sh FROM shingle s
+         |  JOIN (SELECT sh FROM shingle GROUP BY sh
+         |        HAVING count(*) <= $ShingleDfCap) k USING (sh)),
+         |bench AS (SELECT DISTINCT sh FROM capped WHERE doc_id % 7 = 0),
+         |corpus AS (SELECT doc_id, sh FROM capped WHERE doc_id % 7 <> 0),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_hits
+         |  FROM corpus c JOIN bench USING (sh) GROUP BY c.doc_id),
+         |nsz AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id)
+         |SELECT h.doc_id AS corpus_doc, h.n_hits,
+         |       h.n_hits * 10000 // z.n AS hit_ratio_e4
+         |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin),
+    bench = true)
+
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
     * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
     * genuinely degenerate tail).
@@ -1031,5 +1122,5 @@ object DedupOps {
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
     dedupEmbeddingClusters, decontamMinhash, decontamNgramExact,
-    pipelineCorpusClean, dedupClusters)
+    decontamBloom, pipelineCorpusClean, dedupClusters)
 }

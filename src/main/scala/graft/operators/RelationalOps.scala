@@ -292,8 +292,60 @@ object RelationalOps {
         |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** Range-join bucket width in µs (24 h) — equal to the interval length so
+    * every probe interval spans at most 2 buckets.
+    */
+  final val RangeBucketUs = 86400000000L
+
+  /** Big×big point-in-interval join, bucketized — the scale technique for
+    * range joins Spark has no native optimization for: a naive
+    * `a JOIN b ON b.ts BETWEEN a.ts - W AND a.ts` plans as
+    * BroadcastNestedLoopJoin (quadratic per user at 100 TB). Instead both
+    * sides get an equi-joinable time-bucket key of width W: the build side
+    * keeps its own bucket, the probe side expands to the only 2 buckets its
+    * interval can touch (bucket width = interval length), the join runs as a
+    * plain shuffled hash join on (user_id, bucket), and the exact range
+    * predicate filters the ≤2× candidate fan-out. Per-pair uniqueness is
+    * structural — each build row carries exactly one bucket. The query:
+    * for every purchase, how many clicks by the same user in the preceding
+    * 24 h (attribution lookback).
+    */
+  val joinRangeBucketed = GQuery(
+    "join_range_bucketed",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tu"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tu").as("btu"),
+          expr(s"tu div $RangeBucketUs").as("bkt"))
+      val probes = purchases.select(col("event_id"), col("user_id"), col("tu"),
+        explode(array(expr(s"tu div $RangeBucketUs"),
+          expr(s"tu div $RangeBucketUs - 1"))).as("bkt"))
+      val matched = probes.join(clicks, Seq("user_id", "bkt"))
+        .filter(col("btu") >= col("tu") - RangeBucketUs && col("btu") < col("tu"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_recent_clicks"))
+      purchases.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+    },
+    oracle = Some(
+      s"""WITH rj_a AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+         |  WHERE event_type = 'purchase'),
+         |rj_b AS (
+         |  SELECT user_id, epoch_us(ts) AS tu FROM events
+         |  WHERE event_type = 'click')
+         |SELECT a.event_id, count(b.tu) AS n_recent_clicks
+         |FROM rj_a a LEFT JOIN rj_b b ON b.user_id = a.user_id
+         |  AND b.tu >= a.tu - $RangeBucketUs AND b.tu < a.tu
+         |GROUP BY a.event_id""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
-    aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles)
+    aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, DedupOps, RelationalOps}
+
+/** Invariant checks for the corpus-restructuring operators and the two
+  * alternate-physical-path queries added with them — the DuckDB oracle gate
+  * proves engine parity; these pin the properties the oracle can't express
+  * (lossless reassembly, permutation structure, physical-variant
+  * equivalence against the naive plan).
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  test("dedup_span_boilerplate: untouched docs reassemble losslessly") {
+    val out = CorpusOps.dedupSpanBoilerplate.run(spark, smokeDir)
+    val docs = Tables.documents(spark, smokeDir)
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "), w => w =!= ""), " ")
+          .as("norm_text"))
+    // every doc with tokens appears exactly once
+    assert(out.count() === docs.filter(col("norm_text") =!= "").count())
+    assert(out.select("doc_id").distinct().count() === out.count())
+    // counts are consistent
+    assert(out.filter(col("n_kept") + col("n_removed") =!= col("n_spans"))
+      .count() === 0)
+    // a doc with nothing removed must reassemble to its normalized text,
+    // and a doc with removals must not
+    val joined = out.join(docs, Seq("doc_id"))
+    assert(joined.filter(col("n_removed") === 0 &&
+      col("clean_text") =!= col("norm_text")).count() === 0)
+    assert(joined.filter(col("n_removed") > 0 &&
+      col("clean_text") === col("norm_text")).count() === 0)
+    // the threshold actually fires on the testbed (non-vacuous test)
+    assert(out.filter(col("n_removed") > 0).count() > 0)
+  }
+
+  test("dedup_span_boilerplate: removed spans are exactly the df>=cap set") {
+    val out = CorpusOps.dedupSpanBoilerplate.run(spark, smokeDir)
+    // total removed instances == total instances of boilerplate spans
+    val docs = Tables.documents(spark, smokeDir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 1)
+    val spans = docs.select(explode(expr(
+      s"""transform(sequence(1, (size(t) + ${CorpusOps.SpanW - 1}) div ${CorpusOps.SpanW}),
+         |  j -> array_join(slice(t, (j-1)*${CorpusOps.SpanW} + 1, ${CorpusOps.SpanW}), ' '))"""
+        .stripMargin)).as("span"))
+    val boilerInstances = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= CorpusOps.SpanBoilerDf)
+      .agg(sum("df")).collect()(0).getLong(0)
+    val removed = out.agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(removed === boilerInstances)
+  }
+
+  test("shuffle_shards: a permutation — every doc once, dense ranks per shard") {
+    val out = CorpusOps.shuffleShards.run(spark, smokeDir)
+    val nDocs = Tables.documents(spark, smokeDir).count()
+    assert(out.count() === nDocs)
+    assert(out.select("doc_id").distinct().count() === nDocs)
+    // within each shard, pos must be exactly 1..shard_size
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("npos"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+        col("npos") =!= col("n"))
+    assert(bad.count() === 0)
+    // the hash actually spreads (not all docs in one shard)
+    assert(out.select("shard").distinct().count() > 1)
+  }
+
+  test("join_range_bucketed matches the naive non-equi plan") {
+    val out = RelationalOps.joinRangeBucketed.run(spark, smokeDir)
+    val e = Tables.events(spark, smokeDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tu"))
+    val b = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("bu"), col("tu").as("btu"))
+    val naive = a.join(b,
+        col("bu") === col("user_id") &&
+          col("btu") >= col("tu") - RelationalOps.RangeBucketUs &&
+          col("btu") < col("tu"), "left")
+      .groupBy("event_id").agg(count(col("btu")).as("n_recent_clicks"))
+    assert(out.except(naive).count() === 0)
+    assert(naive.except(out).count() === 0)
+    // non-vacuous: some purchase has a preceding click in-window
+    assert(out.filter(col("n_recent_clicks") > 0).count() > 0)
+  }
+
+  test("decontam_bloom is row-identical to decontam_ngram_exact") {
+    val bloom = DedupOps.decontamBloom.run(spark, smokeDir)
+    val exact = DedupOps.decontamNgramExact.run(spark, smokeDir)
+    assert(bloom.except(exact).count() === 0)
+    assert(exact.except(bloom).count() === 0)
+    assert(bloom.count() > 0)
+  }
+}
