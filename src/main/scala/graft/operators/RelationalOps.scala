@@ -310,6 +310,28 @@ object RelationalOps {
     * for every purchase, how many clicks by the same user in the preceding
     * 24 h (attribution lookback).
     */
+  /** The bucketized core, reusable on any (event_id, user_id, tu) probe
+    * frame × (user_id, btu) build frame — shared by the registered query
+    * and the scale smoke. Returns one row per probe with its in-window
+    * build count.
+    */
+  private[graft] def recentCountBucketed(
+      probesIn: org.apache.spark.sql.DataFrame,
+      buildIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val build = buildIn.select(col("user_id"), col("btu"),
+      expr(s"btu div $RangeBucketUs").as("bkt"))
+    val probes = probesIn.select(col("event_id"), col("user_id"), col("tu"),
+      explode(array(expr(s"tu div $RangeBucketUs"),
+        expr(s"tu div $RangeBucketUs - 1"))).as("bkt"))
+    val matched = probes.join(build, Seq("user_id", "bkt"))
+      .filter(col("btu") >= col("tu") - RangeBucketUs && col("btu") < col("tu"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_recent_clicks"))
+    probesIn.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+  }
+
   val joinRangeBucketed = GQuery(
     "join_range_bucketed",
     (s, d) => {
@@ -319,17 +341,8 @@ object RelationalOps {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tu"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tu").as("btu"),
-          expr(s"tu div $RangeBucketUs").as("bkt"))
-      val probes = purchases.select(col("event_id"), col("user_id"), col("tu"),
-        explode(array(expr(s"tu div $RangeBucketUs"),
-          expr(s"tu div $RangeBucketUs - 1"))).as("bkt"))
-      val matched = probes.join(clicks, Seq("user_id", "bkt"))
-        .filter(col("btu") >= col("tu") - RangeBucketUs && col("btu") < col("tu"))
-        .groupBy("event_id").agg(count(lit(1)).as("n_recent_clicks"))
-      purchases.join(matched, Seq("event_id"), "left")
-        .select(col("event_id"),
-          coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+        .select(col("user_id"), col("tu").as("btu"))
+      recentCountBucketed(purchases, clicks)
     },
     oracle = Some(
       s"""WITH rj_a AS (

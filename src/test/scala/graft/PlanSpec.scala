@@ -61,4 +61,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThan(event_id,9000)"),
       s"offset predicate not pushed:\n$p")
   }
+
+  test("join_range_bucketed never degrades to a nested-loop join") {
+    // the whole point of the bucketization: the non-equi time predicate
+    // rides an equi-join on (user_id, bucket) — a NestedLoop anywhere in
+    // this plan is the quadratic hazard the operator exists to avoid
+    val p = plan(RelationalOps.joinRangeBucketed)
+    assert(!p.contains("NestedLoop"), s"range join degraded to NLJ:\n$p")
+    assert(p.contains("Join"), s"expected a join in the plan:\n$p")
+  }
+
+  test("dedup_span_boilerplate anti-joins against a broadcast boiler set") {
+    val p = plan(graft.operators.CorpusOps.dedupSpanBoilerplate)
+    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
+    assert(!p.contains("SortMergeJoin LeftAnti"),
+      s"boiler set must broadcast, not shuffle the corpus spans:\n$p")
+  }
 }
