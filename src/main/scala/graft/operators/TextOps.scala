@@ -352,8 +352,60 @@ object TextOps {
         |      FROM scored)
         |WHERE rank <= 5""".stripMargin))
 
+  /** Corpus-LM quality scoring — the CCNet/Wikipedia-LM perplexity filter
+    * re-expressed with an integer-exact statistic: a document's score is
+    * the mean floor(log2(corpus frequency)) of its bigrams. High mean =
+    * the doc is made of very common bigrams (boilerplate/templated); low
+    * mean = rare bigrams (novel, or gibberish) — exactly the two tails a
+    * perplexity filter cuts, without a float log anywhere: floor(log2(n))
+    * is `length(bin(n)) - 1`, bit-identical in both engines (the repo's
+    * no-floating-log2 rule). Plan shape at 100 TB: the LM "model" is the
+    * bigram-frequency table built by one map-side-combinable shuffle; the
+    * scoring join is co-keyed on the bigram (the model table never
+    * broadcasts by assumption — it scales with the corpus), then one
+    * per-doc aggregation. Occurrences score individually (a doc repeating
+    * a common bigram is MORE templated, so duplicates must count).
+    */
+  val textBigramLogfreq = GQuery(
+    "text_bigram_logfreq",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = t.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("bigram"))
+      val lm = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+      bi.join(lm, Seq("bigram"))
+        .select(col("doc_id"),
+          (length(bin(col("n"))) - 1).cast("long").as("r"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("r")).cast("long").as("sum_log2f"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_log2f"),
+          expr("sum_log2f * 10000 div n_bigrams").as("avg_log2f_e4"))
+    },
+    oracle = Some(
+      """WITH blf_t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |blf_b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM blf_t WHERE len(t) >= 2),
+        |blf_lm AS (SELECT bigram, count(*) AS n FROM blf_b GROUP BY bigram),
+        |blf_sc AS (
+        |  SELECT b.doc_id, CAST(length(bin(d.n)) - 1 AS BIGINT) AS r
+        |  FROM blf_b b JOIN blf_lm d USING (bigram))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(r) AS BIGINT) AS sum_log2f,
+        |       CAST(sum(r) AS BIGINT) * 10000 // count(*) AS avg_log2f_e4
+        |FROM blf_sc GROUP BY doc_id""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
     textBpeTokenCount, textFingerprint, textNormalize, textTopBigrams,
-    textTfidfTopk, textBm25Topk)
+    textTfidfTopk, textBm25Topk, textBigramLogfreq)
 }
