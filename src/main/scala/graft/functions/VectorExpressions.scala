@@ -474,5 +474,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }
