@@ -58,6 +58,27 @@ object CorpusOps {
       .filter(col("df") >= SpanBoilerDf)
       .select("span")
 
+  /** Shared oracle CTE chain: docs → (doc_id, i, span) rows → boilerplate
+    * set → kept spans. The SQL twin of [[spanRows]]/[[boilerplateSpans]] +
+    * the anti-join, reused by every span-family oracle.
+    */
+  private val SpanCtes =
+    s"""sb_t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |sb_sp AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(1, (len(t) + ${SpanW - 1}) // $SpanW),
+       |           j -> {'i': j, 'span': array_to_string(
+       |                   t[(j-1)*$SpanW + 1 : (j-1)*$SpanW + $SpanW], ' ')}))
+       |           AS u
+       |  FROM sb_t WHERE len(t) >= 1),
+       |sb AS (SELECT doc_id, u.i AS i, u.span AS span FROM sb_sp),
+       |sb_boiler AS (
+       |  SELECT span FROM sb GROUP BY span HAVING count(*) >= $SpanBoilerDf),
+       |sb_kept AS (SELECT s.* FROM sb s ANTI JOIN sb_boiler b USING (span))""".stripMargin
+
   /** Sub-document boilerplate removal — the RefinedWeb/CCNet "line-level
     * dedup" adapted to the single-line testbed corpus: the unit is a
     * non-overlapping [[SpanW]]-token span instead of a newline-delimited
@@ -95,21 +116,7 @@ object CorpusOps {
           coalesce(col("clean_text"), lit("")).as("clean_text"))
     },
     oracle = Some(
-      s"""WITH sb_t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
-         |  FROM documents),
-         |sb_sp AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(
-         |           generate_series(1, (len(t) + ${SpanW - 1}) // $SpanW),
-         |           j -> {'i': j, 'span': array_to_string(
-         |                   t[(j-1)*$SpanW + 1 : (j-1)*$SpanW + $SpanW], ' ')}))
-         |           AS u
-         |  FROM sb_t WHERE len(t) >= 1),
-         |sb AS (SELECT doc_id, u.i AS i, u.span AS span FROM sb_sp),
-         |sb_boiler AS (
-         |  SELECT span FROM sb GROUP BY span HAVING count(*) >= $SpanBoilerDf),
-         |sb_kept AS (SELECT s.* FROM sb s ANTI JOIN sb_boiler b USING (span)),
+      s"""WITH $SpanCtes,
          |sb_clean AS (
          |  SELECT doc_id, count(*) AS n_kept,
          |         string_agg(span, ' ' ORDER BY i) AS clean_text
@@ -155,5 +162,70 @@ object CorpusOps {
          |             (doc_id % 999983) * 2654435761 % 1000000007 AS h2
          |      FROM documents)""".stripMargin))
 
-  val queries: Seq[GQuery] = Seq(dedupSpanBoilerplate, shuffleShards)
+  /** Composition flagship: boilerplate-scrubbed packing plan — the span
+    * rewrite feeding the sequence-packing planner, i.e. "materialize the
+    * training batches for the CLEANED corpus" in one query. Stages are the
+    * operators above verbatim: [[spanRows]] → [[boilerplateSpans]]
+    * broadcast anti-join → per-doc CLEAN token counts (sum of kept-span
+    * token counts — one doc_id shuffle) → the [[PipelineOps.packSequences]]
+    * planner over clean lengths (same Knuth high-bits shard key bounding
+    * every window partition, same capacity). Docs scrubbed to zero tokens
+    * drop out of the packing stream entirely (inner join): a doc that was
+    * ALL boilerplate contributes no empty slot. Scale shape is the union
+    * of its stages' — nothing new shuffles; the pack window still sees
+    * (source, shard)-bounded partitions.
+    */
+  val pipelineScrubPack = GQuery(
+    "pipeline_scrub_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val kept = spanRows(docs)
+        .join(broadcast(boilerplateSpans(docs)), Seq("span"), "left_anti")
+      val cleanToks = kept
+        .select(col("doc_id"),
+          size(filter(split(col("span"), " "), w => w =!= ""))
+            .cast("long").as("sp_toks"))
+        .groupBy("doc_id").agg(sum(col("sp_toks")).as("n_tokens"))
+      val toks = docs.select(col("doc_id"), col("source"))
+        .join(cleanToks, Seq("doc_id"))
+        .withColumn("shard",
+          expr("((doc_id % 1000003) * 2654435761) % 4294967296 div 536870912"))
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          expr(s"cum_before div ${PipelineOps.PackCapacity}").as("pack_id"),
+          (col("cum_before") % PipelineOps.PackCapacity).as("pack_offset"))
+    },
+    oracle = Some(
+      s"""WITH $SpanCtes,
+         |sp_ct AS (
+         |  SELECT doc_id,
+         |         CAST(sum(len(list_filter(string_split(span, ' '),
+         |                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+         |  FROM sb_kept GROUP BY doc_id),
+         |sp_tok AS (
+         |  SELECT d.doc_id, d.source, c.n_tokens,
+         |         ((d.doc_id % 1000003) * 2654435761) % 4294967296
+         |           // 536870912 AS shard
+         |  FROM documents d JOIN sp_ct c ON c.doc_id = d.doc_id),
+         |sp_cum AS (
+         |  SELECT doc_id, source, shard, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           PARTITION BY source, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS cum_before
+         |  FROM sp_tok)
+         |SELECT doc_id, source, shard, n_tokens,
+         |       cum_before // ${PipelineOps.PackCapacity} AS pack_id,
+         |       cum_before % ${PipelineOps.PackCapacity} AS pack_offset
+         |FROM sp_cum""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] =
+    Seq(dedupSpanBoilerplate, shuffleShards, pipelineScrubPack)
 }
