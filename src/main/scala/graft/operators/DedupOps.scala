@@ -693,6 +693,85 @@ object DedupOps {
          |FROM hits h JOIN nsz z ON z.doc_id = h.doc_id""".stripMargin),
     bench = true)
 
+  /** dedup_substring_windows geometry: 20-token sliding windows (the
+    * Lee et al. "Deduplicating Training Data" exact-substring signal uses
+    * 50-token matches; 20 fits the testbed's ~54-token docs), and every
+    * doc_id ≡ 0 (mod 31) gets a 25-token boilerplate prefix planted on
+    * BOTH engine and oracle sides — the testbed corpus contains no natural
+    * 20-token verbatim repeats, so (as with pii_redact's planted contacts)
+    * the detector mechanism, not the synthetic data, is what the oracle
+    * checks.
+    */
+  final val SubstrWindow = 20
+  final val SubstrPlantMod = 31L
+  private val SubstrBoiler = (0 until 25).map(i => s"swb$i").mkString(" ")
+
+  /** Exact-substring repeat detection — the third granularity of the
+    * dedup family: whole-doc (dedup_exact), near-doc (minhash/simhash/
+    * embedding), sub-doc span removal (dedup_span_boilerplate), and now
+    * LONG VERBATIM RUNS anywhere in a doc (the Lee et al. exact-substring
+    * signal): a sliding [[SubstrWindow]]-token window whose polyhash
+    * occurs ≥ 2 times corpus-wide marks a repeated region; the per-doc
+    * repeated-window fraction is the removal signal. Plan shape mirrors
+    * text_bigram_logfreq: window hashes are row-local (one
+    * graft_polyhash per window over the joined tokens), the frequency
+    * table is one map-side-combinable shuffle, and the marking join is
+    * co-keyed on the hash — the repeated-window table scales with the
+    * corpus and is never broadcast-assumed. Hash collisions (p = 2³¹−1)
+    * can mark a false repeat; both engines share the hash, so the oracle
+    * stays exact while production would re-verify marked regions
+    * byte-wise (the candidates-then-verify pattern of the LSH family).
+    */
+  val dedupSubstringWindows = GQuery(
+    "dedup_substring_windows",
+    (s, d) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % SubstrPlantMod === 0,
+          concat(lit(SubstrBoiler + " "), col("text")))
+          .otherwise(col("text")).as("text2"))
+      val t = aug
+        .select(col("doc_id"),
+          filter(split(col("text2"), " "), w => w =!= "").as("t"))
+        .filter(size(col("t")) >= SubstrWindow)
+      val wins = t.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${SubstrWindow - 1}), " +
+          s"j -> graft_polyhash(array_join(slice(t, j, $SubstrWindow), ' ')))"))
+        .as("wh"))
+      val freq = wins.groupBy("wh").agg(count(lit(1)).as("df"))
+      wins.join(freq, Seq("wh"))
+        .select(col("doc_id"),
+          when(col("df") >= 2, lit(1L)).otherwise(lit(0L)).as("rep"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("rep")).cast("long").as("n_repeated"))
+        .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+          expr("n_repeated * 10000 div n_windows").as("repeated_frac_e4"))
+    },
+    oracle = Some {
+      val winExpr = s"array_to_string(t[j:j+${SubstrWindow - 1}], ' ')"
+      s"""WITH sw_t AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |           CASE WHEN doc_id % $SubstrPlantMod = 0
+         |                THEN '$SubstrBoiler ' || text ELSE text END, ' '),
+         |         w -> w <> '') AS t
+         |  FROM documents),
+         |sw_w AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           generate_series(1, len(t) - ${SubstrWindow - 1}),
+         |           j -> ${tkDuck(winExpr)})) AS wh
+         |  FROM sw_t WHERE len(t) >= $SubstrWindow),
+         |sw_df AS (SELECT wh, count(*) AS df FROM sw_w GROUP BY wh),
+         |sw_j AS (
+         |  SELECT w.doc_id, CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS rep
+         |  FROM sw_w w JOIN sw_df d USING (wh))
+         |SELECT doc_id, count(*) AS n_windows,
+         |       CAST(sum(rep) AS BIGINT) AS n_repeated,
+         |       CAST(sum(rep) AS BIGINT) * 10000 // count(*) AS repeated_frac_e4
+         |FROM sw_j GROUP BY doc_id""".stripMargin
+    })
+
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
     * corpus range at sf0.01 is 507..916, median 624 — 560 drops the
     * genuinely degenerate tail).
@@ -1122,5 +1201,6 @@ object DedupOps {
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
     dedupEmbeddingClusters, decontamMinhash, decontamNgramExact,
-    decontamBloom, pipelineCorpusClean, dedupClusters)
+    decontamBloom, pipelineCorpusClean, dedupClusters,
+    dedupSubstringWindows)
 }

@@ -54,7 +54,10 @@ object RangeJoinSmoke {
     val secs = (System.nanoTime() - t0) / 1e9
 
     // correctness parity on a deterministic ~50k-event subsample
-    val sProbes = probes.filter(pmod(col("event_id"), lit(n / 50000L)) === 0)
+    // (stride floored at 1 so a small N_EVENTS run keeps every probe
+    // instead of dividing by zero)
+    val sProbes = probes.filter(
+      pmod(col("event_id"), lit(math.max(1L, n / 50000L))) === 0)
     val sBuild = build
     val sBucketized =
       graft.operators.RelationalOps.recentCountBucketed(sProbes, sBuild)
