@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQuery, Tables}
+import graft.{GQuery, Materialize, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * and training" steps of a large-scale data pipeline — DedupOps drops whole
   * documents, these rewrite/arrange what survives.
   *
-  * Scale posture (100 TB): the boilerplate span set is by construction the
-  * heavy-hitter tail of the span-frequency distribution — tiny relative to
-  * the corpus — so it broadcasts and the corpus is never shuffled on a span
-  * key for the removal join; shard assignment is row-local hashing plus a
+  * Scale posture (100 TB): the boilerplate span set is the heavy-hitter
+  * tail of the span-frequency distribution — small RELATIVE to the corpus,
+  * but with an absolute df threshold its absolute size grows with the
+  * corpus, so "it broadcasts" is an assumption, not a property. The
+  * removal join therefore guards it: the artifact is staged and counted
+  * driver-side ([[keptSpans]]); under [[BoilerBroadcastMaxKey]] rows it
+  * broadcasts, over it the anti-join runs co-keyed on the span key (the
+  * same key the df count already shuffled on — one more co-keyed join,
+  * not a new plan shape). Shard assignment is row-local hashing plus a
   * per-shard (not global) sort.
   */
 object CorpusOps {
@@ -58,6 +63,72 @@ object CorpusOps {
       .filter(col("df") >= SpanBoilerDf)
       .select("span")
 
+  /** Broadcast guard for the boilerplate artifact, as a session conf so
+    * the fallback-parity spec can trip it without a special corpus. The
+    * default (64k spans, a few MB broadcast) is the regime where forcing
+    * the broadcast is obviously right; production tunes it to executor
+    * memory exactly like autoBroadcastJoinThreshold.
+    */
+  final val BoilerBroadcastMaxKey = "spark.graft.boiler.broadcast.max"
+  final val BoilerBroadcastMaxDefault = 65536L
+
+  /** Driver-side artifact for the STREAMING scrub, which must carry the
+    * span set as one literal (the rewrite is row-local — see
+    * [[graft.streaming.StreamingBoilerplate]]) and so needs a hard size
+    * bound where the batch path gets a plan fallback: spans ranked by
+    * (df DESC, span) and cut at maxSpans. Truncation drops the LEAST
+    * frequent boilerplate first — the bounded artifact is exactly the
+    * heavy-hitter prefix, and a batch refresh re-ranks as the corpus
+    * grows. Deterministic (total order), so batch/stream parity is
+    * testable with the bound active.
+    */
+  def boilerplateArtifact(
+      docs: org.apache.spark.sql.DataFrame,
+      maxSpans: Int = BoilerBroadcastMaxDefault.toInt): Seq[String] =
+    spanRows(docs).groupBy("span").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= SpanBoilerDf)
+      .orderBy(col("df").desc, col("span"))
+      .limit(maxSpans)
+      .select("span").collect().map(_.getString(0)).toSeq
+
+  /** The removal anti-join with the artifact's broadcast assumption made a
+    * DRIVER-CHECKED decision instead of a fixed claim: one probe job runs
+    * the artifact aggregate and collects AT MOST bound+1 rows
+    * (executeCollectLimit — the driver never holds more than the bound),
+    * then
+    *
+    *  - ≤ bound: broadcast left-anti against the COLLECTED rows as a local
+    *    relation — the Zipf-tail regime; no shuffle of the span rows, and
+    *    the main query re-derives nothing (the broadcast side is a
+    *    driver-local literal, so the probe job is the only artifact pass);
+    *  - > bound: plain left-anti co-keyed on the span key, the artifact
+    *    staged ([[Materialize.stage]]) so the overflow probe's discarded
+    *    pass is the only duplicate work — one shuffle of the span rows, on
+    *    the same key the df count already shuffled, so the fallback is a
+    *    known plan shape, not a new hazard. Spark/AQE may still broadcast
+    *    if runtime stats allow; the point is the plan no longer FORCES a
+    *    broadcast of a corpus-sized artifact.
+    *
+    * Both branches compute the identical result (the oracle is shared),
+    * which is why the guard lives in the plan, not the semantics.
+    */
+  private[graft] def keptSpans(
+      spans: org.apache.spark.sql.DataFrame,
+      boiler: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = boiler.sparkSession
+    val bound = spark.conf.getOption(BoilerBroadcastMaxKey)
+      .map(_.toLong).getOrElse(BoilerBroadcastMaxDefault)
+    val probeN = math.min(bound, Int.MaxValue - 1L).toInt + 1
+    val head = boiler.limit(probeN).collect()
+    if (head.length < probeN) {
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(head: _*), boiler.schema)
+      spans.join(broadcast(local), Seq("span"), "left_anti")
+    } else
+      spans.join(Materialize.stage(boiler), Seq("span"), "left_anti")
+  }
+
   /** Shared oracle CTE chain: docs → (doc_id, i, span) rows → boilerplate
     * set → kept spans. The SQL twin of [[spanRows]]/[[boilerplateSpans]] +
     * the anti-join, reused by every span-family oracle.
@@ -87,34 +158,41 @@ object CorpusOps {
     *
     * Plan shape: spans are generated row-locally ([[spanRows]]), the
     * span-frequency count is one map-side-combinable shuffle on the span
-    * key, the boilerplate set ([[boilerplateSpans]]) broadcasts into a
-    * left-anti join, and reassembly shuffles kept spans once on doc_id.
+    * key, the boilerplate set ([[boilerplateSpans]]) feeds the guarded
+    * left-anti join ([[keptSpans]] — broadcast when driver-verified small,
+    * co-keyed otherwise), and reassembly shuffles kept spans once on doc_id.
     * The corpus is never joined span×span, so there is no quadratic hazard
     * at any scale; a doc whose every span is boilerplate survives with
     * empty clean_text (left join from the totals side). Arrival-time twin:
     * `streaming/StreamingBoilerplate.scrub` (same output shape, artifact-
     * driven).
     */
+  /** The full scrub over ANY (doc_id, text) corpus — shared by the testbed
+    * query below and the span-heavy fallback smoke
+    * ([[graft.tools.BoilerScaleSmoke]]).
+    */
+  def spanScrubOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spans = spanRows(docs)
+    val kept = keptSpans(spans, boilerplateSpans(docs))
+    val clean = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("i"), col("span")))),
+          x => x.getField("span")),
+        " ").as("clean_text"))
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    totals.join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   val dedupSpanBoilerplate = GQuery(
     "dedup_span_boilerplate",
-    (s, d) => {
-      val spans = spanRows(Tables.documents(s, d))
-      val boiler = boilerplateSpans(Tables.documents(s, d))
-      val kept = spans.join(broadcast(boiler), Seq("span"), "left_anti")
-      val clean = kept.groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("i"), col("span")))),
-            x => x.getField("span")),
-          " ").as("clean_text"))
-      val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-      totals.join(clean, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-    },
+    (s, d) => spanScrubOf(Tables.documents(s, d)),
     oracle = Some(
       s"""WITH $SpanCtes,
          |sb_clean AS (
@@ -141,14 +219,18 @@ object CorpusOps {
     * shards in parallel). Reproducible across engines and runs — the
     * scale-safe replacement for orderBy(rand()). Both hashes reduce doc_id
     * mod a prime below 2^20 before the multiply so the product never wraps
-    * Long (the sample_hash_bernoulli overflow-parity rule).
+    * Long (the sample_hash_bernoulli overflow-parity rule). The shard is
+    * the HIGH bits of the 32-bit Knuth product (same extraction as
+    * pack_sequences): the low bits of an odd multiplier mod 2^k are a
+    * bijection of the input's low bits — round-robin, not a hash.
     */
   val shuffleShards = GQuery(
     "shuffle_shards",
     (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr(s"(doc_id % 1000003) * 2654435761 % $ShuffleShards").as("shard"),
+          expr(s"((doc_id % 1000003) * 2654435761) % 4294967296" +
+            s" div ${4294967296L / ShuffleShards}").as("shard"),
           expr("(doc_id % 999983) * 2654435761 % 1000000007").as("h2"))
         .withColumn("pos", row_number()
           .over(Window.partitionBy("shard").orderBy(col("h2"), col("doc_id")))
@@ -158,7 +240,8 @@ object CorpusOps {
       s"""SELECT doc_id, shard, CAST(row_number() OVER (
          |         PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos
          |FROM (SELECT doc_id,
-         |             (doc_id % 1000003) * 2654435761 % $ShuffleShards AS shard,
+         |             ((doc_id % 1000003) * 2654435761) % 4294967296
+         |               // ${4294967296L / ShuffleShards} AS shard,
          |             (doc_id % 999983) * 2654435761 % 1000000007 AS h2
          |      FROM documents)""".stripMargin))
 
@@ -180,8 +263,7 @@ object CorpusOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val kept = spanRows(docs)
-        .join(broadcast(boilerplateSpans(docs)), Seq("span"), "left_anti")
+      val kept = keptSpans(spanRows(docs), boilerplateSpans(docs))
       val cleanToks = kept
         .select(col("doc_id"),
           size(filter(split(col("span"), " "), w => w =!= ""))

@@ -80,18 +80,28 @@ object DedupOps {
   final val LshBucketCap = 256L
 
   /** Drop rows whose (keys…) group exceeds [[LshBucketCap]] members. The
-    * hot-key set is tiny by construction (each survivor key has > cap
-    * members, so there are at most n/cap of them) — it broadcasts, and the
-    * main frame streams through a broadcast anti-join with no shuffle. The
-    * membership count itself is one map-side-combinable aggregate on the
-    * same key the subsequent self-join uses.
+    * hot-key count is one map-side-combinable aggregate (over the staged
+    * signature frame at every call site, so the probe re-walks a
+    * checkpoint, not the corpus), and the result is GATED driver-side:
+    * the overwhelmingly common case — no hot bucket at all — is decided
+    * by a metadata-sized `isEmpty` (limit-1 over the aggregate) and the
+    * candidate self-join then runs on `rows` UNMODIFIED, the exact pre-cap
+    * plan with zero extra operators. Only when a hot key exists does the
+    * broadcast left-anti join enter the plan (the hot-key set is tiny by
+    * construction: every survivor has > cap members, so ≤ n/cap keys).
+    * Both branches are the same relation — a left-anti against an empty
+    * set is the identity — so the gate is a plan choice, not a semantics
+    * fork, same pattern as [[CorpusOps.keptSpans]]. This recovers the
+    * round-8 regression where every capped query paid the anti-join even
+    * on corpora with no hot bucket.
     */
   private def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > LshBucketCap)
       .select(keys.map(col): _*)
-    rows.join(broadcast(hot), keys, "left_anti")
+    if (hot.isEmpty) rows
+    else rows.join(broadcast(hot), keys, "left_anti")
   }
 
   /** Full-length base-131 rolling hash of a token/shingle — the DuckDB

@@ -16,10 +16,12 @@ import graft.operators.CorpusOps
   * spans and their order (a join or array_except would dedup), the
   * artifact rides along as ONE array literal and the scrub is a row-local
   * `filter(spans, s -> !array_contains(...))` — no join, no state, no
-  * shuffle; per-batch work is stream-rows × spans-per-doc. The linear
-  * array_contains probe is right for an artifact-sized set (heavy hitters
-  * are small by Zipf); a production corpus whose artifact outgrows that
-  * swaps the literal for the Bloom-bitset probe `decontam_bloom`
+  * shuffle; per-batch work is stream-rows × spans-per-doc. The literal is
+  * HARD-BOUNDED at build time ([[CorpusOps.boilerplateArtifact]] cuts at
+  * top-N by df — an absolute-df set grows with the corpus, so an unbounded
+  * collect here is the batch path's broadcast hazard in driver form); a
+  * production corpus whose artifact saturates the bound swaps the linear
+  * array_contains for the Bloom-bitset probe `decontam_bloom`
   * demonstrates, unchanged semantics.
   */
 object StreamingBoilerplate {

@@ -88,6 +88,44 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.filter(col("n_recent_clicks") > 0).count() > 0)
   }
 
+  test("keptSpans: co-keyed fallback is row-identical to the broadcast plan") {
+    val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
+    val broadcastRun = CorpusOps.spanScrubOf(docs)
+    val kept0 = CorpusOps.keptSpans(
+      CorpusOps.spanRows(docs), CorpusOps.boilerplateSpans(docs))
+    // the default bound covers the testbed artifact → broadcast is FORCED
+    assert(kept0.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"),
+      "under the bound the anti-join must carry the broadcast hint")
+    val before = broadcastRun.collect().map(_.toSeq).toSet
+    spark.conf.set(CorpusOps.BoilerBroadcastMaxKey, "0")
+    try {
+      val keptF = CorpusOps.keptSpans(
+        CorpusOps.spanRows(docs), CorpusOps.boilerplateSpans(docs))
+      assert(!keptF.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+        "over the bound the plan must NOT force a broadcast")
+      val after = CorpusOps.spanScrubOf(docs).collect().map(_.toSeq).toSet
+      assert(after === before,
+        "fallback branch diverged from the broadcast branch")
+    } finally spark.conf.unset(CorpusOps.BoilerBroadcastMaxKey)
+  }
+
+  test("boilerplateArtifact: bound cuts by df desc deterministically") {
+    val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
+    val full = CorpusOps.boilerplateArtifact(docs)
+    assert(full.size > 1, "need >1 boiler spans to exercise the cut")
+    val cut = CorpusOps.boilerplateArtifact(docs, maxSpans = 1)
+    assert(cut.size === 1)
+    // the survivor is the max-df span (span tiebreak): recompute df driver-side
+    val dfs = CorpusOps.boilerplateSpans(docs)
+      .join(CorpusOps.spanRows(docs), Seq("span"))
+      .groupBy("span").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = dfs.sortBy { case (sp, df) => (-df, sp) }.head._1
+    assert(cut.head === want)
+  }
+
   test("decontam_bloom is row-identical to decontam_ngram_exact") {
     val bloom = DedupOps.decontamBloom.run(spark, smokeDir)
     val exact = DedupOps.decontamNgramExact.run(spark, smokeDir)

@@ -16,10 +16,14 @@ class StreamingBoilerplateSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
 
     val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
-    // the artifact, exactly as a batch refresh would build it
-    val boiler = CorpusOps.boilerplateSpans(docs)
-      .collect().map(_.getString(0)).toSeq
+    // the artifact, exactly as a batch refresh would build it (the bounded
+    // builder — the only form the streaming scrub accepts; the testbed's
+    // boiler set is far under the bound, so nothing truncates here)
+    val boiler = CorpusOps.boilerplateArtifact(docs)
     assert(boiler.nonEmpty, "testbed must produce a non-empty artifact")
+    assert(boiler.toSet ===
+      CorpusOps.boilerplateSpans(docs).collect().map(_.getString(0)).toSet,
+      "under the bound the artifact must equal the full boiler set")
 
     // sample deliberately: rewritten docs AND untouched docs, so the
     // parity check covers both branches regardless of corpus order
