@@ -732,22 +732,32 @@ object DedupOps {
     * stays exact while production would re-verify marked regions
     * byte-wise (the candidates-then-verify pattern of the LSH family).
     */
-  val dedupSubstringWindows = GQuery(
-    "dedup_substring_windows",
-    (s, d) => {
-      graft.functions.VectorExpressions.ensureRegistered(s)
-      val aug = Tables.documents(s, d).select(col("doc_id"),
+  /** (doc_id, j, wh) rows — the polyhash of every [[SubstrWindow]]-token
+    * sliding window with its 1-based start position j, boilerplate prefix
+    * planted. Row-local; shared by the window-fraction query and the
+    * maximal-run merge below.
+    */
+  private def substrWindowRows(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
         when(col("doc_id") % SubstrPlantMod === 0,
           concat(lit(SubstrBoiler + " "), col("text")))
           .otherwise(col("text")).as("text2"))
-      val t = aug
-        .select(col("doc_id"),
-          filter(split(col("text2"), " "), w => w =!= "").as("t"))
-        .filter(size(col("t")) >= SubstrWindow)
-      val wins = t.select(col("doc_id"), explode(expr(
+      .select(col("doc_id"),
+        filter(split(col("text2"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= SubstrWindow)
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(t) - ${SubstrWindow - 1}), " +
           s"j -> graft_polyhash(array_join(slice(t, j, $SubstrWindow), ' ')))"))
-        .as("wh"))
+        .as(Seq("p", "wh")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("j"), col("wh"))
+  }
+
+  val dedupSubstringWindows = GQuery(
+    "dedup_substring_windows",
+    (s, d) => {
+      val wins = substrWindowRows(s, d)
       val freq = wins.groupBy("wh").agg(count(lit(1)).as("df"))
       wins.join(freq, Seq("wh"))
         .select(col("doc_id"),
@@ -780,6 +790,61 @@ object DedupOps {
          |       CAST(sum(rep) AS BIGINT) AS n_repeated,
          |       CAST(sum(rep) AS BIGINT) * 10000 // count(*) AS repeated_frac_e4
          |FROM sw_j GROUP BY doc_id""".stripMargin
+    })
+
+  /** Maximal repeated runs — the statistic Lee et al. actually threshold:
+    * adjacent repeated [[SubstrWindow]]-token windows merged into maximal
+    * runs, so a 25-token verbatim region reports as ONE run of 25 tokens,
+    * not 6 window hits. The merge is the island trick: repeated window
+    * starts j within a doc get group key j − row_number() (constant
+    * exactly on consecutive-j islands), then one groupBy per island. Plan
+    * shape adds a single doc_id-partitioned window over the already
+    * co-keyed marking join of [[dedupSubstringWindows]]; the island
+    * groupBy needs no further shuffle (hash-partitioning on doc_id
+    * satisfies the (doc_id, grp) clustering). Output: one row per maximal
+    * run — run_tokens = run_windows + W − 1 because island windows are
+    * consecutive by construction.
+    */
+  val dedupSubstringRuns = GQuery(
+    "dedup_substring_runs",
+    (s, d) => {
+      val wins = substrWindowRows(s, d)
+      val freq = wins.groupBy("wh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val rep = wins.join(freq, Seq("wh")).select("doc_id", "j")
+      val w = Window.partitionBy("doc_id").orderBy("j")
+      rep.withColumn("grp", col("j") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min("j").as("run_start"),
+          count(lit(1)).as("run_windows"))
+        .select(col("doc_id"), col("run_start"), col("run_windows"),
+          (col("run_windows") + (SubstrWindow - 1)).as("run_tokens"))
+    },
+    oracle = Some {
+      val winExpr = s"array_to_string(t[j:j+${SubstrWindow - 1}], ' ')"
+      s"""WITH sw_t AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |           CASE WHEN doc_id % $SubstrPlantMod = 0
+         |                THEN '$SubstrBoiler ' || text ELSE text END, ' '),
+         |         w -> w <> '') AS t
+         |  FROM documents),
+         |sw_u AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           generate_series(1, len(t) - ${SubstrWindow - 1}),
+         |           j -> {'j': j, 'wh': ${tkDuck(winExpr)}})) AS u
+         |  FROM sw_t WHERE len(t) >= $SubstrWindow),
+         |sw_w AS (SELECT doc_id, u.j AS j, u.wh AS wh FROM sw_u),
+         |sw_df AS (SELECT wh FROM sw_w GROUP BY wh HAVING count(*) >= 2),
+         |sw_rep AS (SELECT w.doc_id, w.j FROM sw_w w JOIN sw_df d USING (wh)),
+         |sw_isl AS (
+         |  SELECT doc_id, j,
+         |         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+         |  FROM sw_rep)
+         |SELECT doc_id, CAST(min(j) AS BIGINT) AS run_start,
+         |       CAST(count(*) AS BIGINT) AS run_windows,
+         |       CAST(count(*) + ${SubstrWindow - 1} AS BIGINT) AS run_tokens
+         |FROM sw_isl GROUP BY doc_id, grp""".stripMargin
     })
 
   /** Quality floor for the corpus-clean pipeline (quality_milli scale;
@@ -1212,5 +1277,5 @@ object DedupOps {
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
     dedupEmbeddingClusters, decontamMinhash, decontamNgramExact,
     decontamBloom, pipelineCorpusClean, dedupClusters,
-    dedupSubstringWindows)
+    dedupSubstringWindows, dedupSubstringRuns)
 }

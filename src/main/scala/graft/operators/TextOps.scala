@@ -147,8 +147,81 @@ object TextOps {
         |            FROM documents))
         |WHERE n > 0""".stripMargin))
 
+  /** The BPE merge table — a FIXED, ordered tokenizer artifact, exactly
+    * as production token counting works (the tokenizer ships with the
+    * pipeline; it is not relearned per corpus). Ordered: merge k can pair
+    * symbols produced by merges < k (t+h → th, th+e → the), which is what
+    * makes application order-sensitive and the cross-engine replay a real
+    * check. Small by design — the point is exact iterative application,
+    * the artifact pattern of the Bloom filter literal.
+    */
+  final val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r",
+    "a" -> "n", "o" -> "r", "s" -> "t", "d" -> "a", "da" -> "t",
+    "dat" -> "a", "a" -> "t", "r" -> "o", "ro" -> "w", "l" -> "e",
+    "a" -> "r", "c" -> "h", "q" -> "u", "u" -> "e", "j" -> "o",
+    "jo" -> "in", "w" -> "in", "win" -> "d", "o" -> "w")
+
+  /** One greedy left-to-right BPE merge pass per table entry, as a chain
+    * of plain `replace` calls — identical SQL in Spark and DuckDB, fully
+    * codegen-friendly (no UDF, no per-row interpretation). Encoding: each
+    * symbol is wrapped in single spaces and concatenated, so adjacent
+    * symbols are separated by a DOUBLE space ("the" → " t  h  e ") and the
+    * merge (a,b) is `replace(s, ' a  b ', ' ab ')`: a match must sit on
+    * exact symbol boundaries (a symbol that merely STARTS with b cannot
+    * match — its closing space is in the wrong place), and left-to-right
+    * non-overlapping replacement is precisely greedy BPE pair application
+    * ("aaaa" + (a,a) → "aa aa", the overlap case, works because each
+    * match consumes its own trailing wrapper only). Symbol count =
+    * wrapper spaces / 2. Words cannot contain the space separator by
+    * construction of the whitespace split.
+    */
+  private def bpeChain(base: String): String =
+    BpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** Exact BPE token counting — [[BpeMerges]] applied iteratively,
+    * row-locally, to every word; the count a sequence-packing planner can
+    * trust (the regex estimate below systematically over/under-counts
+    * merged words). The oracle replays the SAME merge chain in DuckDB —
+    * order, greediness, and boundary behavior are all hash-checked.
+    */
+  val textBpeExact = GQuery(
+    "text_bpe_exact",
+    (s, d) => {
+      val sparkChain = bpeChain("regexp_replace(w, '(.)', ' $1 ')")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(
+            s"""aggregate(
+               |  transform(
+               |    transform(filter(split(text, ' '), w -> w != ''),
+               |              w -> $sparkChain),
+               |    m -> (length(m) - length(replace(m, ' ', ''))) div 2),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+            .as("n_bpe_tokens"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_words"))
+    },
+    oracle = Some {
+      val duckChain = bpeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")
+      s"""SELECT doc_id,
+         |       CAST(coalesce(list_sum(list_transform(
+         |         list_transform(list_filter(string_split(text, ' '),
+         |                                    w -> w <> ''),
+         |                        w -> $duckChain),
+         |         m -> (length(m) - length(replace(m, ' ', ''))) // 2)), 0)
+         |       AS BIGINT) AS n_bpe_tokens,
+         |       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |       AS BIGINT) AS n_words
+         |FROM documents""".stripMargin
+    })
+
   /** BPE-ish token counting: word pieces + punctuation via regex — the
     * pretraining "token budget" estimator (distinct from whitespace count).
+    * [[textBpeExact]] is the exact-count twin; this stays as the cheap
+    * single-pass estimator.
     */
   val textBpeTokenCount = GQuery(
     "text_bpe_token_count",
@@ -406,6 +479,6 @@ object TextOps {
 
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
-    textBpeTokenCount, textFingerprint, textNormalize, textTopBigrams,
-    textTfidfTopk, textBm25Topk, textBigramLogfreq)
+    textBpeTokenCount, textBpeExact, textFingerprint, textNormalize,
+    textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq)
 }

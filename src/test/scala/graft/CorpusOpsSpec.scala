@@ -126,6 +126,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(cut.head === want)
   }
 
+  test("dedup_substring_runs merges the planted prefix into one maximal run") {
+    val runs = DedupOps.dedupSubstringRuns.run(spark, smokeDir)
+    val planted = Tables.documents(spark, smokeDir)
+      .filter(col("doc_id") % DedupOps.SubstrPlantMod === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.size > 1, "need >1 planted docs for the prefix to repeat")
+    // every planted doc reports a run anchored at token 1 spanning the
+    // whole 25-token prefix: 6 consecutive windows = 25 tokens, ONE row
+    val prefixRuns = runs.filter(col("run_start") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    planted.foreach { id =>
+      val (w, t) = prefixRuns.getOrElse(id,
+        fail(s"planted doc $id has no run at position 1"))
+      assert(w >= 6 && t >= 25, s"doc $id prefix run too short: $w windows")
+    }
+    // the merge is real: no doc reports two adjacent runs (islands maximal)
+    import org.apache.spark.sql.expressions.Window
+    val adj = runs.withColumn("prev_end",
+        lag(col("run_start") + col("run_windows"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("run_start")))
+      .filter(col("prev_end") === col("run_start"))
+    assert(adj.count() === 0, "two runs touch — islands were not maximal")
+  }
+
   test("decontam_bloom is row-identical to decontam_ngram_exact") {
     val bloom = DedupOps.decontamBloom.run(spark, smokeDir)
     val exact = DedupOps.decontamNgramExact.run(spark, smokeDir)
