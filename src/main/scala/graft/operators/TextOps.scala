@@ -438,28 +438,77 @@ object TextOps {
     * broadcasts by assumption — it scales with the corpus), then one
     * per-doc aggregation. Occurrences score individually (a doc repeating
     * a common bigram is MORE templated, so duplicates must count).
+    *
+    * Hot-bigram skew: "AQE splits it" turned out to be FALSE for this
+    * shape — the model side's final aggregate fuses between its shuffle
+    * stage and the join sort, and AQE's OptimizeSkewedJoin only matches
+    * Sort-directly-over-ShuffleQueryStage on BOTH sides (an explicit
+    * same-key repartition of the model table doesn't survive
+    * EnsureRequirements either: the aggregate's partitioning already
+    * satisfies it). AqeSkewSpec documents the discovery. The skew answer
+    * is therefore STRUCTURAL, the repo's hot-key-separation pattern: a
+    * bounded driver probe collects the ≤ [[HotBigramMax]] bigrams with
+    * count > [[HotBigramDf]]; their probe rows score via a row-local map
+    * literal and NEVER enter the bigram shuffle, while the (now
+    * hot-free) tail joins co-keyed. Plan-only: either path computes the
+    * identical (bigram, n) pairs, so the oracle is unchanged.
     */
+  /** A bigram occurring more often than this is scored via the literal
+    * map instead of the co-keyed join. Above the df-cap scale of the
+    * dedup family on purpose: a hot JOIN partition only hurts once it
+    * dwarfs its siblings.
+    */
+  final val HotBigramDf = 4096L
+
+  /** Hard bound on the literal map (the keptSpans bound in miniature):
+    * more hot keys than this leave the overflow in the shuffle join —
+    * partial mitigation, never an unbounded driver artifact.
+    */
+  final val HotBigramMax = 64
+
+  /** The full pipeline over ANY (doc_id, text) corpus — shared by the
+    * registered query and the AQE skew evidence spec.
+    */
+  def bigramLogfreqOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = t.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1)))).as("bigram"))
+    val lm = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val hot = lm.filter(col("n") > HotBigramDf)
+      .orderBy(col("n").desc, col("bigram")).limit(HotBigramMax)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val scored =
+      if (hot.isEmpty) bi.join(lm, Seq("bigram"))
+        .select(col("doc_id"), col("n"))
+      else {
+        val hotKeys = hot.map(_._1).toSeq
+        val hotScored = bi.filter(col("bigram").isInCollection(hotKeys))
+          .select(col("doc_id"),
+            element_at(typedLit(hot.toMap), col("bigram")).as("n"))
+        val tail = bi.filter(!col("bigram").isInCollection(hotKeys))
+          .join(lm, Seq("bigram"))
+          .select(col("doc_id"), col("n"))
+        hotScored.unionByName(tail)
+      }
+    scored
+      .select(col("doc_id"),
+        (length(bin(col("n"))) - 1).cast("long").as("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r")).cast("long").as("sum_log2f"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_log2f"),
+        expr("sum_log2f * 10000 div n_bigrams").as("avg_log2f_e4"))
+  }
+
   val textBigramLogfreq = GQuery(
     "text_bigram_logfreq",
-    (s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), w => w =!= "").as("t"))
-        .filter(size(col("t")) >= 2)
-      val bi = t.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1)))).as("bigram"))
-      val lm = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
-      bi.join(lm, Seq("bigram"))
-        .select(col("doc_id"),
-          (length(bin(col("n"))) - 1).cast("long").as("r"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("r")).cast("long").as("sum_log2f"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_log2f"),
-          expr("sum_log2f * 10000 div n_bigrams").as("avg_log2f_e4"))
-    },
+    (s, d) => bigramLogfreqOf(Tables.documents(s, d)),
     oracle = Some(
       """WITH blf_t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t

@@ -82,8 +82,9 @@ object EventStream {
       schema = Some(EventsFileSchema))
 
     /** Pulsar connector config — drops in unmodified where the connector
-      * jar is on the classpath (none exists in this sandbox, so this path
-      * is exercised only down to the DataStreamReader wiring).
+      * jar is on the classpath (none exists in this sandbox, so the LIVE
+      * path is exercised only down to the DataStreamReader wiring; the
+      * normalization it feeds is executed end-to-end by [[pulsarReplay]]).
       */
     def pulsar(serviceUrl: String, adminUrl: String,
                topicsPattern: String): EventSourceConfig = EventSourceConfig(
@@ -92,7 +93,29 @@ object EventStream {
         "service.url" -> serviceUrl,
         "admin.url" -> adminUrl,
         "topicsPattern" -> topicsPattern))
+
+    /** Captured-frame replay: a directory of parquet files holding RAW
+      * broker frames ([[PulsarFrameSchema]] — the connector's output
+      * columns, e.g. a topic dump), streamed through the file source and
+      * the SAME `pulsar` normalization branch as the live connector. This
+      * is how the topic→room / MessageID→seq / publishTime→ts mapping is
+      * executed (not just config-inspected) without a broker.
+      */
+    def pulsarReplay(framesDir: String): EventSourceConfig = EventSourceConfig(
+      format = "pulsar",
+      path = Some(framesDir),
+      options = Map("maxFilesPerTrigger" -> "1"),
+      schema = Some(PulsarFrameSchema))
   }
+
+  /** The connector's raw frame columns — what a Pulsar source (or a
+    * captured topic dump) delivers before normalization.
+    */
+  val PulsarFrameSchema: StructType = StructType(Seq(
+    StructField("__topic", StringType),
+    StructField("__sequenceId", LongType),
+    StructField("__publishTime", TimestampType),
+    StructField("value", BinaryType)))
 
   /** S2/S3: the event log as an unbounded stream through the source seam —
     * build the reader from config, normalize to the events-shaped columns.
@@ -103,7 +126,13 @@ object EventStream {
       // owns this conf so callers of the seam never hit the
       // Illegal-Parquet-TIMESTAMP(NANOS) footgun
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    var reader = spark.readStream.format(cfg.format)
+    // frame replay: broker frames arrive via the parquet file source but
+    // flow through the `pulsar` normalization branch below — the replay
+    // and the live connector differ ONLY in the physical reader
+    val readerFormat =
+      if (cfg.format == "pulsar" && cfg.path.isDefined) "parquet"
+      else cfg.format
+    var reader = spark.readStream.format(readerFormat)
     cfg.schema.foreach(s => reader = reader.schema(s))
     reader = reader.options(cfg.options)
     val raw = cfg.path.map(reader.load).getOrElse(reader.load())

@@ -69,21 +69,111 @@ class RangeJoinRuleSpec extends SparkSuite {
     }
   }
 
-  test("out-of-scope shapes are untouched: outer join, no range bounds") {
-    def outer = probes.as("a").join(
+  test("out-of-scope shapes are untouched: full outer, no range bounds") {
+    def full = probes.as("a").join(
+      build.as("b"),
+      col("b.k") === col("a.k") &&
+        col("b.btu") >= col("a.tu") - W && col("b.btu") < col("a.tu"),
+      "full")
+    def equiOnly = probes.as("a").join(build.as("b"), col("b.k") === col("a.k"))
+    val fullBaseline = rows(full)
+    withRule {
+      assert(!full.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"), "full outer join must not rewrite")
+      assert(!equiOnly.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"), "equi-only join must not rewrite")
+      // full outer results stay correct with the rule installed
+      assert(rows(full) === fullBaseline)
+    }
+  }
+
+  /** Probes with keys the build side never has → guaranteed unmatched
+    * rows, so the outer null-extension paths are non-vacuous.
+    */
+  private def probesSparse = {
+    import spark.implicits._
+    (0L until 500L).map(i => (i, i % 17, (i * 7919) % 100000))
+      .toDF("event_id", "k", "tu")
+  }
+
+  test("left outer, probe preserved: rewrite with exact null extension") {
+    def q = probesSparse.as("a").join(
       build.as("b"),
       col("b.k") === col("a.k") &&
         col("b.btu") >= col("a.tu") - W && col("b.btu") < col("a.tu"),
       "left")
-    def equiOnly = probes.as("a").join(build.as("b"), col("b.k") === col("a.k"))
-    val outerBaseline = rows(outer)
+      .select(col("a.event_id"), col("b.btu"))
+    val baseline = rows(q)
+    assert(baseline.exists(_.contains("null")),
+      "geometry must leave some probes unmatched")
+    assert(baseline.size > baseline.count(_.contains("null")),
+      "geometry must match some probes")
     withRule {
-      assert(!outer.queryExecution.optimizedPlan.toString
-        .contains("__graft_range_bkt"), "outer join must not rewrite")
-      assert(!equiOnly.queryExecution.optimizedPlan.toString
-        .contains("__graft_range_bkt"), "equi-only join must not rewrite")
-      // outer results stay correct with the rule installed
-      assert(rows(outer) === outerBaseline)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_range_rid"),
+        s"probe-preserved outer rewrite did not fire:\n$optimized")
+      assert(!q.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      // multiplicity-exact: every match once, every unmatched probe ONE
+      // null row (not one per bucket copy)
+      assert(rows(q) === baseline)
+    }
+  }
+
+  test("right outer, probe preserved: mirrored rewrite, same result") {
+    def q = build.as("b").join(
+      probesSparse.as("a"),
+      col("b.k") === col("a.k") &&
+        col("b.btu") >= col("a.tu") - W && col("b.btu") < col("a.tu"),
+      "right")
+      .select(col("a.event_id"), col("b.btu"))
+    val baseline = rows(q)
+    assert(baseline.exists(_.contains("null")))
+    withRule {
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("__graft_range_rid"))
+      assert(rows(q) === baseline)
+    }
+  }
+
+  test("left outer, build preserved: direct rewrite (no dedup machinery)") {
+    // build is on the LEFT and preserved; the probe side explodes but is
+    // not null-extended, so no row-id window is needed or used
+    def q = build.as("b").join(
+      probesSparse.as("a"),
+      col("b.k") === col("a.k") &&
+        col("b.btu") >= col("a.tu") - W && col("b.btu") < col("a.tu"),
+      "left")
+      .select(col("b.k"), col("b.btu"), col("a.event_id"))
+    val baseline = rows(q)
+    assert(baseline.exists(_.contains("null")),
+      "geometry must leave some build rows unmatched")
+    withRule {
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_range_bkt"), "must rewrite")
+      assert(!optimized.contains("__graft_range_rid"),
+        "build-preserved outer must not pay the row-id window")
+      assert(rows(q) === baseline)
+    }
+  }
+
+  test("already-bucketized joins are left alone (no double fan-out)") {
+    // the hand-bucketized recentCountBucketed shape: bucket keys derived
+    // from the same time attributes, range conjuncts folded back into the
+    // join condition by predicate pushdown. repartition() keeps the local
+    // test frames from constant-folding the bucket Project into the
+    // LocalRelation (file-backed frames, as in the real query, keep it)
+    def q = probes.repartition(2)
+      .withColumn("bkt", explode(array(expr(s"tu div $W"), expr(s"tu div $W - 1"))))
+      .join(build.repartition(2).withColumn("bkt", expr(s"btu div $W")), Seq("k", "bkt"))
+      .filter(col("btu") >= col("tu") - W && col("btu") < col("tu"))
+      .select(col("event_id"), col("btu"))
+    val baseline = rows(q)
+    assert(baseline.nonEmpty)
+    withRule {
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "rule must not re-bucketize a hand-bucketized join")
+      assert(rows(q) === baseline)
     }
   }
 }
