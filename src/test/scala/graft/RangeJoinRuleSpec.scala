@@ -156,6 +156,36 @@ class RangeJoinRuleSpec extends SparkSuite {
     }
   }
 
+  test("randomized parity: inner/left/right across random geometries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val w = 1L + rnd.nextInt(2000)
+      val nKeys = 1 + rnd.nextInt(16)
+      val tRange = 1 + rnd.nextInt(5000)
+      // ~5% null event times on the probe side: null never matches, and
+      // outer-preserved null rows must still survive exactly once
+      val p = (0 until 150).map(i => (i.toLong, rnd.nextInt(nKeys + 4).toLong,
+          if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(tRange).toLong)))
+        .toDF("event_id", "k", "tu")
+      val b = (0 until 600).map(_ => (rnd.nextInt(nKeys).toLong,
+          rnd.nextInt(tRange).toLong))
+        .toDF("k", "btu")
+      Seq("inner", "left", "right").foreach { jt =>
+        def q = p.as("a").join(b.as("b"),
+          col("b.k") === col("a.k") &&
+            col("b.btu") >= col("a.tu") - w && col("b.btu") < col("a.tu"), jt)
+          .select(col("a.event_id"), col("a.tu"), col("b.btu"))
+        val baseline = rows(q)
+        withRule {
+          assert(q.queryExecution.optimizedPlan.toString
+            .contains("__graft_range"), s"trial $trial $jt: did not rewrite")
+          assert(rows(q) === baseline, s"trial $trial $jt W=$w diverged")
+        }
+      }
+    }
+  }
+
   test("already-bucketized joins are left alone (no double fan-out)") {
     // the hand-bucketized recentCountBucketed shape: bucket keys derived
     // from the same time attributes, range conjuncts folded back into the
