@@ -38,6 +38,63 @@ private[functions] object Tokenize {
   }
 }
 
+/** Rolling-hash kernel behind `graft_window_hashes`: one pass over the
+  * canonical token stream (tokens joined by single spaces) builds prefix
+  * hashes H and powers PW of the polyhash base, then every W-token window
+  * hash is H[b] − H[a]·PW[b−a] (mod 2³¹−1) — two multiplies per window.
+  * Top-level class so the codegen reference object has a clean binary
+  * name (the ShingleKernel rule).
+  */
+final class WindowHashKernel(w: Int) extends ShingleKernel {
+  private val Mod = 2147483647L
+
+  override def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val r = Tokenize.ranges(bytes)
+    val nTok = r.length / 2
+    if (nTok < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    var streamLen = nTok - 1
+    var t = 0
+    while (t < nTok) { streamLen += r(2 * t + 1) - r(2 * t); t += 1 }
+    val h = new Array[Long](streamLen + 1)
+    val pw = new Array[Long](streamLen + 1)
+    val tokStart = new Array[Int](nTok)
+    val tokEnd = new Array[Int](nTok)
+    pw(0) = 1L
+    var pos = 0
+    t = 0
+    while (t < nTok) {
+      if (t > 0) { // the joining space
+        h(pos + 1) = (h(pos) * 131 + 0x20L) % Mod
+        pw(pos + 1) = (pw(pos) * 131) % Mod
+        pos += 1
+      }
+      tokStart(t) = pos
+      var b = r(2 * t)
+      val e = r(2 * t + 1)
+      while (b < e) {
+        h(pos + 1) = (h(pos) * 131 + (bytes(b) & 0xffL)) % Mod
+        pw(pos + 1) = (pw(pos) * 131) % Mod
+        pos += 1
+        b += 1
+      }
+      tokEnd(t) = pos
+      t += 1
+    }
+    val out = new Array[Long](nTok - w + 1)
+    var j = 0
+    while (j < out.length) {
+      val a = tokStart(j)
+      val b = tokEnd(j + w - 1)
+      val v = (h(b) - (h(a) * pw(b - a)) % Mod) % Mod
+      out(j) = if (v < 0) v + Mod else v
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expressions for the hot inner loops (SURVEY §4's "custom
   * work" list). Both participate in whole-stage codegen: the generated Java
   * is a primitive loop over ArrayData / UTF8String bytes — no boxing, no
@@ -395,11 +452,51 @@ object VectorExpressions {
     val MixB = 1442695040888963407L
   }
 
+  /** graft_window_hashes(text, W): polyhash of EVERY W-token sliding
+    * window, in window order (duplicates kept — window ordinal = array
+    * position + 1). Value-identical to
+    *   transform(sequence(1, size(t) - W + 1),
+    *             j -> graft_polyhash(array_join(slice(t, j, W), ' ')))
+    * but O(chars) instead of O(chars × W): one canonical-stream pass
+    * builds prefix hashes and 131-powers, then each window hash is two
+    * modular multiplies — hash(s[a..b)) = H[b] − H[a]·131^(b−a) (mod P).
+    * The joined window string is never materialized, and multi-space
+    * separators collapse exactly like filter(split(...)) tokenization
+    * (the canonical stream inserts ONE joining space between tokens).
+    * < W tokens ⇒ empty array, matching the callers' size filter.
+    */
+  case class WindowHashes(child: Expression, width: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val kernel = new WindowHashKernel(width)
+
+    override def nullSafeEval(v: Any): Any =
+      kernel.compute(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val k = ctx.addReferenceObj("windowHashKernel", kernel,
+        classOf[ShingleKernel].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $k.compute($s);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_shingle_rows" -> (es => ShingleRows(es.head)),
+    "graft_window_hashes" -> (es => es(1) match {
+      case Literal(w: Int, IntegerType) if w >= 1 =>
+        WindowHashes(es.head, w)
+      case other => throw new IllegalArgumentException(
+        s"graft_window_hashes width must be a positive int literal, got $other")
+    }),
     "graft_simhash" -> (es => es.length match {
       case 1 => SimhashSignature(es.head, Literal(32))
       case 2 => SimhashSignature(es.head, es(1))

@@ -734,7 +734,13 @@ object DedupOps {
     */
   /** (doc_id, j, wh) rows — the polyhash of every [[SubstrWindow]]-token
     * sliding window with its 1-based start position j, boilerplate prefix
-    * planted. Row-local; shared by the window-fraction query and the
+    * planted. Row-local, via the rolling-hash kernel
+    * (`graft_window_hashes` — O(chars), no intermediate window strings;
+    * value-identical to the polyhash-of-array_join form, which
+    * ShingleHashesSpec cross-checks and the unchanged DuckDB oracle
+    * hash-verifies). A doc under [[SubstrWindow]] tokens hashes to an
+    * empty array and drops out of the posexplode, replacing the previous
+    * explicit size filter. Shared by the window-fraction query and the
     * maximal-run merge below.
     */
   private def substrWindowRows(s: SparkSession, d: String): DataFrame = {
@@ -744,12 +750,8 @@ object DedupOps {
         when(col("doc_id") % SubstrPlantMod === 0,
           concat(lit(SubstrBoiler + " "), col("text")))
           .otherwise(col("text")).as("text2"))
-      .select(col("doc_id"),
-        filter(split(col("text2"), " "), w => w =!= "").as("t"))
-      .filter(size(col("t")) >= SubstrWindow)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(t) - ${SubstrWindow - 1}), " +
-          s"j -> graft_polyhash(array_join(slice(t, j, $SubstrWindow), ' ')))"))
+      .select(col("doc_id"), posexplode(
+        expr(s"graft_window_hashes(text2, $SubstrWindow)"))
         .as(Seq("p", "wh")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("j"), col("wh"))
   }

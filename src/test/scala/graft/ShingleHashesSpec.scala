@@ -139,4 +139,39 @@ class ShingleHashesSpec extends SparkSuite {
     assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
     assert(df.collect().forall(_.getSeq[Long](0).nonEmpty))
   }
+
+  test("graft_window_hashes == the polyhash-of-array_join HOF chain") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // widths 1, 3 and 20 (the substring family's), corpus + edge cases:
+    // multi-space runs, exact-width docs, one-under-width docs, repeats
+    val edge = Seq(
+      "", " ", "a", "a b c", "a  b   c  d e", " lead trail ",
+      ((1 to 20).map(i => s"w$i").mkString(" ")),
+      ((1 to 19).map(i => s"w$i").mkString(" ")),
+      "x x x x x x x x x x x x x x x x x x x x x x",
+      "héllo wörld déjà vu ñ ü ö ß µ § ¶ † ‡ ° ™ © ® ¿ ¡ ¢ £"
+    ).zipWithIndex.map { case (t, i) => (30000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, smokeDir).select("doc_id", "text")
+      .union(edge)
+    Seq(1, 3, 20).foreach { w =>
+      val viaHof = docs
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => x =!= "").as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), expr(
+          s"transform(sequence(1, size(t) - ${w - 1}), " +
+            s"j -> graft_polyhash(array_join(slice(t, j, $w), ' ')))").as("wh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaNative = docs
+        .select(col("doc_id"), expr(s"graft_window_hashes(text, $w)").as("wh"))
+        .filter(size(col("wh")) > 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaNative.keySet === viaHof.keySet, s"width $w row sets differ")
+      viaHof.foreach { case (id, whs) =>
+        assert(viaNative(id) === whs, s"width $w doc $id diverges")
+      }
+      assert(viaNative.nonEmpty)
+    }
+  }
 }
