@@ -1215,6 +1215,78 @@ object DedupOps {
       .distinct()
   }
 
+  /** Semantic benchmark decontamination — the embedding-space member of
+    * the decontam family (minhash / exact n-gram / bloom are all lexical):
+    * drop corpus docs whose EMBEDDING sits within [[CosineThreshold]] of
+    * any benchmark doc, catching paraphrased contamination that shares no
+    * n-grams with the benchmark. Shape mirrors [[decontamMinhash]] in
+    * embedding space: both corpora get the banded sign-LSH buckets of
+    * [[bandedEmbPairs]] (one staged signature pass, B=4 × r=8 planes,
+    * banded recall ≈ 0.97 — EmbeddingLshSmoke), the BENCHMARK's
+    * (band, bucket) rows broadcast (the bench side is thousands of rows
+    * at any corpus scale), corpus rows probe the broadcast table — the
+    * corpus never shuffles — and candidates verify with the exact cosine
+    * carried inline (vectors ride the bucket rows, so no verification
+    * re-join). Bench-side buckets deliberately uncapped, same reasoning
+    * as decontamMinhash: the fan-out is bounded by the benchmark itself,
+    * and capping would cost recall exactly on the boilerplate-shaped docs
+    * most likely to be contaminated.
+    */
+  val decontamEmbedding = GQuery(
+    "decontam_embedding",
+    (s, d) => {
+      val (bands, r) = (LshBands, LshBandPlanes)
+      val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
+        (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
+      }
+      val exploded = Materialize.stage(bucketed)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val benchSide = broadcast(exploded.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("bench_vec"), col("v").as("bv"),
+          col("nrm").as("bnrm"), col("band"), col("bucket")))
+      exploded.filter(col("vec_id") % 7 =!= 0)
+        .join(benchSide, Seq("band", "bucket"))
+        .withColumn("cos",
+          expr("graft_dot(v, bv)") / (col("nrm") * col("bnrm")))
+        .filter(col("cos") >= CosineThreshold)
+        .select(col("bench_vec"), col("vec_id").as("corpus_vec"),
+          round(col("cos"), 4).as("cosine"))
+        .distinct()
+    },
+    oracle = Some {
+      val bandCols = (0 until LshBands)
+        .map(b => s"${SimilarityOps.bandBucketDuck(b, LshBandPlanes)} AS b$b")
+        .mkString(",\n         ")
+      val bandIdx = (0 until LshBands).mkString("[", ", ", "]")
+      val bandRefs = (0 until LshBands).map(b => s"b$b").mkString("[", ", ", "]")
+      s"""WITH de_e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |de_wb AS (SELECT vec_id, v, nrm, $bandCols FROM de_e),
+         |de_bb AS (
+         |  SELECT vec_id, u.band, u.bucket FROM de_wb,
+         |  LATERAL (SELECT unnest($bandIdx) AS band,
+         |                  unnest($bandRefs) AS bucket) u),
+         |de_cand AS (
+         |  SELECT DISTINCT q.vec_id AS bench_vec, c.vec_id AS corpus_vec
+         |  FROM de_bb q JOIN de_bb c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0)
+         |SELECT c.bench_vec, c.corpus_vec,
+         |       round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM de_cand c JOIN de_wb a ON a.vec_id = c.bench_vec
+         |               JOIN de_wb b ON b.vec_id = c.corpus_vec
+         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin
+    },
+    bench = true)
+
   /** DuckDB twin of [[bandedEmbPairs]] as a `p`-prefixed CTE chain ending
     * in `${p}pairs(va, vb, cosine)` — prefixing keeps the names disjoint
     * from [[MinhashPairsCte]]'s when both compose into one oracle. Only
@@ -1278,6 +1350,6 @@ object DedupOps {
     dedupExact, dedupMinhashLsh, dedupNgramJaccard, dedupSimhash,
     dedupEmbeddingCosine, dedupEmbeddingLsh, dedupEmbeddingLshBanded,
     dedupEmbeddingClusters, decontamMinhash, decontamNgramExact,
-    decontamBloom, pipelineCorpusClean, dedupClusters,
+    decontamBloom, decontamEmbedding, pipelineCorpusClean, dedupClusters,
     dedupSubstringWindows, dedupSubstringRuns)
 }
