@@ -209,4 +209,16 @@ object GraftProperties extends Properties("graft") {
         .map(r => r.getUTF8String(0).toString)
       native == specShingles(text)
     }
+
+  property("window rolling hash == naive polyhash of every joined window") =
+    forAll(textGen, Gen.choose(1, 6)) { (text, w) =>
+      val native = new graft.functions.WindowHashKernel(w)
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray().toSeq
+      val t = text.split(" ", -1).filter(_.nonEmpty)
+      val spec =
+        if (t.length < w) Seq.empty
+        else t.sliding(w).map(win => specPolyhash(win.mkString(" "))).toSeq
+      native == spec
+    }
 }
