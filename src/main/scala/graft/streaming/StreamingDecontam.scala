@@ -62,4 +62,42 @@ object StreamingDecontam {
   def benchmarkShingles(benchmark: DataFrame): DataFrame =
     graft.operators.DedupOps.hashedShinglesOf(benchmark)
       .select(explode(col("tks")).as("tk")).distinct()
+
+  /** Streaming SEMANTIC decontamination — the arrival-time form of the
+    * batch `decontam_embedding` query: each arriving (vec_id, embedding)
+    * row computes its banded sign-LSH buckets row-locally, probes the
+    * STATIC benchmark's bucket rows (broadcast by the stream-static
+    * join), and verifies the cosine inline — the benchmark vectors ride
+    * its bucket rows, so the verified hit emits in the same projection.
+    * Stateless like the lexical forms: no keyed state, no watermark; one
+    * row per (corpus, bench, band) agreement (pair-level dedup across
+    * bands is the consumer's rollup — a streaming distinct would be
+    * cross-batch state).
+    */
+  def embeddingHits(vecs: DataFrame, benchVecs: DataFrame): DataFrame = {
+    import graft.operators.{DedupOps, SimilarityOps}
+    def bucketRows(e: DataFrame): DataFrame = {
+      val bucketed = (0 until DedupOps.LshBands).foldLeft(
+        e.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))) {
+        (df, b) => SimilarityOps.withBandBucket(df, b, DedupOps.LshBandPlanes, s"b$b")
+      }
+      bucketed.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until DedupOps.LshBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    graft.functions.VectorExpressions.ensureRegistered(vecs.sparkSession)
+    val bench = bucketRows(benchVecs)
+      .select(col("vec_id").as("bench_vec"), col("v").as("bv"),
+        col("nrm").as("bnrm"), col("band"), col("bucket"))
+    bucketRows(vecs)
+      .join(broadcast(bench), Seq("band", "bucket"))
+      .withColumn("cos", expr("graft_dot(v, bv)") / (col("nrm") * col("bnrm")))
+      .filter(col("cos") >= DedupOps.CosineThreshold)
+      .select(col("vec_id").as("corpus_vec"), col("bench_vec"),
+        col("band"), round(col("cos"), 4).as("cosine"))
+  }
 }

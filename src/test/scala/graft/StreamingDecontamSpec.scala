@@ -75,4 +75,37 @@ class StreamingDecontamSpec extends SparkSuite {
     assert(streamFlagged == batchFlagged,
       s"stream/batch parity broken: $streamFlagged vs $batchFlagged")
   }
+
+  test("embedding hits flag on arrival, pair-identical to the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the batch query's exact split: vec_id % 7 == 0 is the benchmark
+    val all = Tables.embeddings(spark, smokeDir).select("vec_id", "embedding")
+    val bench = all.filter(col("vec_id") % 7 === 0)
+    val arrivals = all.filter(col("vec_id") % 7 =!= 0)
+      .as[(Long, Array[Float])].collect()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingDecontam.embeddingHits(
+      input.toDF().toDF("vec_id", "embedding"), bench)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("emb_hits").start()
+    val half = arrivals.length / 2
+    input.addData(arrivals.take(half): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(half): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // band-level hits roll up to exactly the batch query's verified pairs
+    val streamed = spark.table("emb_hits")
+      .select("bench_vec", "corpus_vec", "cosine").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.DedupOps.decontamEmbedding.run(spark, smokeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch,
+      s"stream/batch pair sets differ: ${streamed.size} vs ${batch.size}")
+    assert(streamed.nonEmpty, "testbed must produce at least one hit")
+  }
 }
