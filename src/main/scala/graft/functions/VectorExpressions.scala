@@ -45,7 +45,7 @@ private[functions] object Tokenize {
   * Top-level class so the codegen reference object has a clean binary
   * name (the ShingleKernel rule).
   */
-final class WindowHashKernel(w: Int) extends ShingleKernel {
+final class WindowHashKernel(w: Int, base: Long = 131L) extends ShingleKernel {
   private val Mod = 2147483647L
 
   override def compute(s: UTF8String): ArrayData = {
@@ -66,16 +66,16 @@ final class WindowHashKernel(w: Int) extends ShingleKernel {
     t = 0
     while (t < nTok) {
       if (t > 0) { // the joining space
-        h(pos + 1) = (h(pos) * 131 + 0x20L) % Mod
-        pw(pos + 1) = (pw(pos) * 131) % Mod
+        h(pos + 1) = (h(pos) * base + 0x20L) % Mod
+        pw(pos + 1) = (pw(pos) * base) % Mod
         pos += 1
       }
       tokStart(t) = pos
       var b = r(2 * t)
       val e = r(2 * t + 1)
       while (b < e) {
-        h(pos + 1) = (h(pos) * 131 + (bytes(b) & 0xffL)) % Mod
-        pw(pos + 1) = (pw(pos) * 131) % Mod
+        h(pos + 1) = (h(pos) * base + (bytes(b) & 0xffL)) % Mod
+        pw(pos + 1) = (pw(pos) * base) % Mod
         pos += 1
         b += 1
       }
@@ -465,13 +465,13 @@ object VectorExpressions {
     * (the canonical stream inserts ONE joining space between tokens).
     * < W tokens ⇒ empty array, matching the callers' size filter.
     */
-  case class WindowHashes(child: Expression, width: Int)
+  case class WindowHashes(child: Expression, width: Int, base: Long = 131L)
       extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    @transient private lazy val kernel = new WindowHashKernel(width)
+    @transient private lazy val kernel = new WindowHashKernel(width, base)
 
     override def nullSafeEval(v: Any): Any =
       kernel.compute(v.asInstanceOf[UTF8String])
@@ -493,7 +493,13 @@ object VectorExpressions {
     "graft_shingle_rows" -> (es => ShingleRows(es.head)),
     "graft_window_hashes" -> (es => es(1) match {
       case Literal(w: Int, IntegerType) if w >= 1 =>
-        WindowHashes(es.head, w)
+        es.drop(2) match {
+          case Seq() => WindowHashes(es.head, w)
+          case Seq(Literal(b: Int, IntegerType)) if b > 1 =>
+            WindowHashes(es.head, w, b.toLong)
+          case other => throw new IllegalArgumentException(
+            s"graft_window_hashes base must be an int literal > 1, got $other")
+        }
       case other => throw new IllegalArgumentException(
         s"graft_window_hashes width must be a positive int literal, got $other")
     }),

@@ -108,11 +108,16 @@ object DedupOps {
     * fold bit-identical to the native graft_polyhash
     * (graft.functions.VectorExpressions.PolyHash).
     */
-  private[operators] def tkDuck(c: String): String =
+  private[operators] def tkDuck(c: String): String = tkDuckB(c, 131)
+
+  /** [[tkDuck]] with a selectable base — the substring family keys
+    * windows on TWO independent rolling hashes (131 and 137).
+    */
+  private[operators] def tkDuckB(c: String, base: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($c)), " +
       s"i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))), " +
-      s"(acc, x) -> (acc * 131 + x) % $P)"
+      s"(acc, x) -> (acc * $base + x) % $P)"
 
   /** doc_id → exploded distinct 3-gram shingles (one row per shingle) —
     * used by the exact baseline (dedup_ngram_jaccard). NOT materialized
@@ -732,16 +737,27 @@ object DedupOps {
     * stays exact while production would re-verify marked regions
     * byte-wise (the candidates-then-verify pattern of the LSH family).
     */
-  /** (doc_id, j, wh) rows — the polyhash of every [[SubstrWindow]]-token
+  /** (doc_id, j, wh, wh2) rows — TWO independent rolling hashes (bases
+    * 131 and 137, same 2³¹−1 modulus) of every [[SubstrWindow]]-token
     * sliding window with its 1-based start position j, boilerplate prefix
-    * planted. Row-local, via the rolling-hash kernel
-    * (`graft_window_hashes` — O(chars), no intermediate window strings;
-    * value-identical to the polyhash-of-array_join form, which
-    * ShingleHashesSpec cross-checks and the unchanged DuckDB oracle
-    * hash-verifies). A doc under [[SubstrWindow]] tokens hashes to an
-    * empty array and drops out of the posexplode, replacing the previous
-    * explicit size filter. Shared by the window-fraction query and the
-    * maximal-run merge below.
+    * planted. Row-local via the rolling-hash kernel (`graft_window_hashes`
+    * — O(chars) per base, no intermediate window strings; value-identical
+    * to the polyhash-of-array_join form, ShingleHashesSpec cross-checks).
+    *
+    * Why TWO hashes: the repeat detector keys windows on the hash pair.
+    * One 31-bit hash collides at the birthday rate — measured live by
+    * SubstringScaleSmoke before this fix: 4.1M distinct windows produced
+    * ~3.6k false-marked docs (n²/2p exactly), and at 100 TB window counts
+    * a single 31-bit key would mark essentially everything repeated. The
+    * (wh, wh2) pair is an effective 62-bit key (collision ~n²/2^63) while
+    * keeping every per-hash component reproducible in DuckDB's BIGINT
+    * arithmetic — the repo-wide polyhash stays 31-bit for minhash/simhash
+    * SIGNATURES, where collisions only perturb similarity estimates; here
+    * a collision IS a false positive, hence the wider key.
+    *
+    * A doc under [[SubstrWindow]] tokens hashes to an empty array and
+    * drops out of the posexplode. Shared by the window-fraction query and
+    * the maximal-run merge below.
     */
   private def substrWindowRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
@@ -750,18 +766,21 @@ object DedupOps {
         when(col("doc_id") % SubstrPlantMod === 0,
           concat(lit(SubstrBoiler + " "), col("text")))
           .otherwise(col("text")).as("text2"))
-      .select(col("doc_id"), posexplode(
-        expr(s"graft_window_hashes(text2, $SubstrWindow)"))
-        .as(Seq("p", "wh")))
-      .select(col("doc_id"), (col("p") + 1).cast("long").as("j"), col("wh"))
+      .select(col("doc_id"),
+        expr(s"graft_window_hashes(text2, $SubstrWindow)").as("h1"),
+        expr(s"graft_window_hashes(text2, $SubstrWindow, 137)").as("h2"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("h1"), col("h2"))).as(Seq("p", "z")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("j"),
+        col("z.h1").as("wh"), col("z.h2").as("wh2"))
   }
 
   val dedupSubstringWindows = GQuery(
     "dedup_substring_windows",
     (s, d) => {
       val wins = substrWindowRows(s, d)
-      val freq = wins.groupBy("wh").agg(count(lit(1)).as("df"))
-      wins.join(freq, Seq("wh"))
+      val freq = wins.groupBy("wh", "wh2").agg(count(lit(1)).as("df"))
+      wins.join(freq, Seq("wh", "wh2"))
         .select(col("doc_id"),
           when(col("df") >= 2, lit(1L)).otherwise(lit(0L)).as("rep"))
         .groupBy("doc_id")
@@ -778,16 +797,18 @@ object DedupOps {
          |                THEN '$SubstrBoiler ' || text ELSE text END, ' '),
          |         w -> w <> '') AS t
          |  FROM documents),
-         |sw_w AS (
+         |sw_u AS (
          |  SELECT doc_id,
          |         unnest(list_transform(
          |           generate_series(1, len(t) - ${SubstrWindow - 1}),
-         |           j -> ${tkDuck(winExpr)})) AS wh
+         |           j -> {'wh': ${tkDuck(winExpr)},
+         |                 'wh2': ${tkDuckB(winExpr, 137)}})) AS u
          |  FROM sw_t WHERE len(t) >= $SubstrWindow),
-         |sw_df AS (SELECT wh, count(*) AS df FROM sw_w GROUP BY wh),
+         |sw_w AS (SELECT doc_id, u.wh AS wh, u.wh2 AS wh2 FROM sw_u),
+         |sw_df AS (SELECT wh, wh2, count(*) AS df FROM sw_w GROUP BY wh, wh2),
          |sw_j AS (
          |  SELECT w.doc_id, CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS rep
-         |  FROM sw_w w JOIN sw_df d USING (wh))
+         |  FROM sw_w w JOIN sw_df d USING (wh, wh2))
          |SELECT doc_id, count(*) AS n_windows,
          |       CAST(sum(rep) AS BIGINT) AS n_repeated,
          |       CAST(sum(rep) AS BIGINT) * 10000 // count(*) AS repeated_frac_e4
@@ -811,9 +832,9 @@ object DedupOps {
     "dedup_substring_runs",
     (s, d) => {
       val wins = substrWindowRows(s, d)
-      val freq = wins.groupBy("wh").agg(count(lit(1)).as("df"))
+      val freq = wins.groupBy("wh", "wh2").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
-      val rep = wins.join(freq, Seq("wh")).select("doc_id", "j")
+      val rep = wins.join(freq, Seq("wh", "wh2")).select("doc_id", "j")
       val w = Window.partitionBy("doc_id").orderBy("j")
       rep.withColumn("grp", col("j") - row_number().over(w))
         .groupBy(col("doc_id"), col("grp"))
@@ -834,11 +855,14 @@ object DedupOps {
          |  SELECT doc_id,
          |         unnest(list_transform(
          |           generate_series(1, len(t) - ${SubstrWindow - 1}),
-         |           j -> {'j': j, 'wh': ${tkDuck(winExpr)}})) AS u
+         |           j -> {'j': j, 'wh': ${tkDuck(winExpr)},
+         |                 'wh2': ${tkDuckB(winExpr, 137)}})) AS u
          |  FROM sw_t WHERE len(t) >= $SubstrWindow),
-         |sw_w AS (SELECT doc_id, u.j AS j, u.wh AS wh FROM sw_u),
-         |sw_df AS (SELECT wh FROM sw_w GROUP BY wh HAVING count(*) >= 2),
-         |sw_rep AS (SELECT w.doc_id, w.j FROM sw_w w JOIN sw_df d USING (wh)),
+         |sw_w AS (SELECT doc_id, u.j AS j, u.wh AS wh, u.wh2 AS wh2 FROM sw_u),
+         |sw_df AS (SELECT wh, wh2 FROM sw_w GROUP BY wh, wh2
+         |          HAVING count(*) >= 2),
+         |sw_rep AS (SELECT w.doc_id, w.j FROM sw_w w
+         |           JOIN sw_df d USING (wh, wh2)),
          |sw_isl AS (
          |  SELECT doc_id, j,
          |         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
