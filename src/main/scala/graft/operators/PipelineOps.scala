@@ -260,6 +260,51 @@ object PipelineOps {
          |       cum_before % $PackCapacity AS pack_offset
          |FROM pkcum""".stripMargin))
 
+  /** Q:pack_sequences_bpe — the packing planner keyed on the EXACT BPE
+    * token counts ([[TextOps.bpeCountSql]]) instead of the whitespace
+    * count: capacity is a budget in TOKENIZER tokens, the one number a
+    * training pipeline cannot be approximate about (a whitespace-keyed
+    * plan systematically over-fills packs on merge-heavy text and
+    * under-fills on piece-heavy text). Identical plan shape to
+    * pack_sequences — the count is row-local either way — and the oracle
+    * replays the merge chain inside the same packing CTE.
+    */
+  val packSequencesBpe = GQuery(
+    "pack_sequences_bpe",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr(TextOps.bpeCountSql("text")).as("n_tokens"),
+          expr("((doc_id % 1000003) * 2654435761) % 4294967296 div 536870912")
+            .as("shard"))
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          expr(s"cum_before div $PackCapacity").as("pack_id"),
+          (col("cum_before") % PackCapacity).as("pack_offset"))
+    },
+    oracle = Some(
+      s"""WITH pb AS (
+         |  SELECT doc_id, source,
+         |         ${TextOps.bpeCountDuck("text")} AS n_tokens,
+         |         ((doc_id % 1000003) * 2654435761) % 4294967296 // 536870912 AS shard
+         |  FROM documents),
+         |pbcum AS (
+         |  SELECT doc_id, source, shard, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           PARTITION BY source, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS cum_before
+         |  FROM pb)
+         |SELECT doc_id, source, shard, n_tokens,
+         |       cum_before // $PackCapacity AS pack_id,
+         |       cum_before % $PackCapacity AS pack_offset
+         |FROM pbcum""".stripMargin))
+
   /** Per-stratum sample size for [[sampleStratified]]. */
   val StratumSampleK = 50
 
@@ -295,5 +340,5 @@ object PipelineOps {
 
   val queries: Seq[GQuery] = Seq(
     textRepetition, textLengthHistogram, piiRedact, sampleWeights,
-    packSequences, sampleStratified)
+    packSequences, packSequencesBpe, sampleStratified)
 }

@@ -187,23 +187,38 @@ object TextOps {
     * merged words). The oracle replays the SAME merge chain in DuckDB —
     * order, greediness, and boundary behavior are all hash-checked.
     */
+  /** The per-doc exact-BPE token count as a SQL expression over `textCol`
+    * — shared by text_bpe_exact and the BPE-keyed packing planner.
+    */
+  private[operators] def bpeCountSql(textCol: String): String = {
+    val sparkChain = bpeChain("regexp_replace(w, '(.)', ' $1 ')")
+    s"""aggregate(
+       |  transform(
+       |    transform(filter(split($textCol, ' '), w -> w != ''),
+       |              w -> $sparkChain),
+       |    m -> (length(m) - length(replace(m, ' ', ''))) div 2),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeCountSql]]. */
+  private[operators] def bpeCountDuck(textCol: String): String = {
+    val duckChain = bpeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")
+    s"""CAST(coalesce(list_sum(list_transform(
+       |  list_transform(list_filter(string_split($textCol, ' '),
+       |                             w -> w <> ''),
+       |                 w -> $duckChain),
+       |  m -> (length(m) - length(replace(m, ' ', ''))) // 2)), 0)
+       |AS BIGINT)""".stripMargin
+  }
+
   val textBpeExact = GQuery(
     "text_bpe_exact",
-    (s, d) => {
-      val sparkChain = bpeChain("regexp_replace(w, '(.)', ' $1 ')")
+    (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr(
-            s"""aggregate(
-               |  transform(
-               |    transform(filter(split(text, ' '), w -> w != ''),
-               |              w -> $sparkChain),
-               |    m -> (length(m) - length(replace(m, ' ', ''))) div 2),
-               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-            .as("n_bpe_tokens"),
+          expr(bpeCountSql("text")).as("n_bpe_tokens"),
           size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long").as("n_words"))
-    },
+            .cast("long").as("n_words")),
     oracle = Some {
       val duckChain = bpeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")
       s"""SELECT doc_id,
