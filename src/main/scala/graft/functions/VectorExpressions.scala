@@ -578,5 +578,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteOverlapJoin)
   }
 }

@@ -541,8 +541,46 @@ object TextOps {
         |       CAST(sum(r) AS BIGINT) * 10000 // count(*) AS avg_log2f_e4
         |FROM blf_sc GROUP BY doc_id""".stripMargin))
 
+  /** Per-document unigram (token-distribution) entropy — the standard
+    * "repetitive/templated text" quality signal: H = ln(n) − Σ tf·ln(tf) / n
+    * over the doc's term frequencies. Low entropy = a few tokens dominate
+    * (boilerplate, keyword stuffing); filters often pair it with
+    * `text_repetition`. Two shuffles, both doc-bounded keys ((doc_id, word)
+    * then doc_id) with map-side combine — per-key state is capped by
+    * document length, so the plan is skew-safe at corpus scale. Docs with
+    * no tokens drop out in both engines (no tf rows).
+    */
+  /** The entropy aggregation over any (doc_id, text) frame — shared by the
+    * registered query and the hand-computed spec cases.
+    */
+  private[graft] def unigramEntropy(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    termFreq(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= ""))
+      .groupBy("doc_id")
+      .agg(
+        round(expr("ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf)"), 4)
+          .as("entropy"),
+        count(lit(1)).as("n_distinct_tokens"))
+
+  val textUnigramEntropy = GQuery(
+    "text_unigram_entropy",
+    (s, d) => unigramEntropy(Tables.documents(s, d)),
+    oracle = Some(
+      """WITH ue_tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy,
+        |       count(*) AS n_distinct_tokens
+        |FROM ue_tf GROUP BY doc_id""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
     textBpeTokenCount, textBpeExact, textFingerprint, textNormalize,
-    textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq)
+    textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq,
+    textUnigramEntropy)
 }

@@ -115,7 +115,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
     * Generate (the whole generator input counts) — coarseness only makes
     * the already-bucketized guard MORE conservative, never less sound.
     */
-  private def originRefs(e: Expression, plan: LogicalPlan): AttributeSet = {
+  private[plans] def originRefs(e: Expression, plan: LogicalPlan): AttributeSet = {
     def walk(refs: AttributeSet, p: LogicalPlan): AttributeSet = p match {
       case Project(list, child) =>
         val m = list.collect { case a: Alias => a.toAttribute -> a.child.references }

@@ -188,6 +188,23 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket_start"), col("room"), col("n"))
 
+  /** Sessionization on the live stream: gap-based session_window per victim —
+    * the arrival-time twin of the batch `window_session` query (same
+    * projection, so the parity spec compares them row-for-row). State is one
+    * open session per (victim, gap-run): merging is Spark-native, and the
+    * watermark bounds how long a session can stay open, which is what caps
+    * state size on an unbounded stream.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    graft.operators.EventOps.gameColumns(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("victim"), col("n"), col("sum_value"))
+
   // ---- keyed state (S5 TableView / A2 changelog) ------------------------
 
   case class KeyedEvent(room: String, victim: String, seq: Long, value: Double)

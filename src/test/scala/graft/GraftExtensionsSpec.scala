@@ -109,6 +109,38 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("overlap rewrite fires and matches under real wiring; hand query untouched") {
+    def iv(s: SparkSession) = {
+      import s.implicits._
+      (1 to 250).map { i =>
+        val st = (i * 7919) % 2000
+        (i % 4, i.toLong, st.toLong, (st + (i * 31) % 120).toLong)
+      }.toDF("k", "id", "s", "e")
+    }
+    val baseline = iv(spark).as("a").join(iv(spark).as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(baseline.nonEmpty)
+    withExtSession { s2 =>
+      s2.conf.set(graft.plans.RewriteOverlapJoin.WidthKey, "100")
+      def q = iv(s2).as("a").join(iv(s2).as("b"),
+          col("a.k") === col("b.k") &&
+            col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_overlap"),
+        "overlap rule did not fire under real wiring")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline)
+      // the hand-bucketized registered query survives the fixpoint
+      // interleaving (pushdown folds its filter into the join) un-rewritten
+      val hand = RelationalOps.joinIntervalOverlap.run(s2, smokeDir)
+      assert(!hand.queryExecution.optimizedPlan.toString
+        .contains("__graft_overlap"),
+        "hand-bucketized overlap core was re-bucketized under the fixpoint")
+    }
+  }
+
   test("scope cases hold under real wiring: equi-only and full outer") {
     withExtSession { s2 =>
       val (p, b) = frames(s2)

@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session_window per victim == batch window_session") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      EventStream.sessionCounts(stream), "sess_stream", OutputMode.Complete)
+    val streamed = spark.table("sess_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.EventOps.windowSession.run(spark, smokeDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("keyed-state last-per-key == batch max_by compaction") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
