@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite the naive interval-OVERLAP join
   *
@@ -39,10 +40,22 @@ import org.apache.spark.sql.types.LongType
   *    construction.
   *  - NULL endpoints: `least`/`greatest` skip nulls, so the row still
   *    explodes, and the original conjunct evaluates to null downstream —
-  *    filtered, exactly like the naive inner join.
-  *  - Scope: INNER joins only. Outer overlap joins would null-extend every
-  *    exploded copy on BOTH sides; the probe-preserved dedup trick of
-  *    [[RewriteRangeJoin]] covers one side only, so outers are left alone.
+  *    filtered, exactly like the naive inner join. When BOTH endpoints are
+  *    null the coverage sequence itself is null and `Explode` drops the
+  *    row — harmless on the inner path (the row cannot match), but fatal
+  *    to a PRESERVED outer row, so the outer path generates with
+  *    `outer = true` (one null-bucket copy survives to null-extend).
+  *  - Scope: INNER is the direct rewrite. LEFT/RIGHT OUTER preserve one
+  *    exploded side, so the rewrite borrows [[RewriteRangeJoin]]'s
+  *    probe-preserved dedup: tag every preserved ROW with a synthetic id
+  *    (MonotonicallyIncreasingID — no reliance on user-key uniqueness),
+  *    pos-explode its coverage (outer = true for the null-endpoint
+  *    corner), outer-join, and keep a row iff it matched OR (its row-id
+  *    group matched nowhere AND it is copy 0 — `coalesce(pos, 0) = 0`, so
+  *    the null-generator copy counts as copy 0). Matched pairs still
+  *    survive exactly once via bucket attribution; unmatched preserved
+  *    rows null-extend exactly once. FULL OUTER (both sides would need
+  *    the dedup) and semi/anti (copy-level multiplicity) are left alone.
   *
   * Already-bucketized guard: if any equi-conjunct links an expression
   * derived from one side's interval endpoints to one derived from the
@@ -69,6 +82,9 @@ object RewriteOverlapJoin extends Rule[LogicalPlan] {
   private val Prefix = "__graft_overlap"
   private val BktL = s"${Prefix}_bkt_l"
   private val BktR = s"${Prefix}_bkt_r"
+  private val RidName = s"${Prefix}_rid"
+  private val PosName = s"${Prefix}_pos"
+  private val AnyName = s"${Prefix}_any"
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -121,9 +137,10 @@ object RewriteOverlapJoin extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        // fixpoint guard: never rewrite our own (or the range rule's) output
-        if !j.children.exists(_.output.exists(_.name.startsWith("__graft"))) =>
+    case j @ Join(left, right, jt, Some(cond), hint)
+        if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&
+          // fixpoint guard: never rewrite our own (or the range rule's) output
+          !j.children.exists(_.output.exists(_.name.startsWith("__graft"))) =>
       val cs = conjuncts(cond)
       // two opposite-direction cross-side inequalities: (a.s <= b.e) and
       // (b.s <= a.e) with {a.s, a.e} on one side and {b.s, b.e} on the other
@@ -145,34 +162,105 @@ object RewriteOverlapJoin extends Rule[LogicalPlan] {
             if !alreadyBucketized(cs, aSide, bSide, Seq(aS, aE), Seq(bS, bE)) =>
           val w = conf.getConfString(WidthKey, WidthDefault.toString).toLong
           if (w <= 0) j
-          else {
-            val aBkt = AttributeReference(BktL, LongType, nullable = true)()
-            val bBkt = AttributeReference(BktR, LongType, nullable = true)()
-            // Sequence is TimeZoneAwareExpression — without an explicit
-            // timeZoneId it reports unresolved and the optimizer aborts the
-            // batch (plan-validation failure). Long sequences ignore the
-            // zone; it just has to be present.
-            def coverage(s: Expression, e: Expression): Expression =
-              new Sequence(
-                bucketOf(Least(Seq(s, e)), w),
-                bucketOf(Greatest(Seq(s, e)), w),
-                Some(Literal(w)),
-                Some(conf.sessionLocalTimeZone))
-            val genA = Generate(Explode(coverage(aS, aE)),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(aBkt), child = aSide)
-            val genB = Generate(Explode(coverage(bS, bE)),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(bBkt), child = bSide)
-            val attribution =
-              EqualTo(aBkt, bucketOf(Greatest(Seq(aS, bS)), w))
-            val newCond = And(And(cond, EqualTo(aBkt, bBkt)), attribution)
-            val newJoin =
-              if (aSide eq left) Join(genA, genB, Inner, Some(newCond), hint)
-              else Join(genB, genA, Inner, Some(newCond), hint)
-            Project(j.output, newJoin)
+          else jt match {
+            case Inner =>
+              rewriteInner(j, left, cond, hint, aSide, bSide, aS, aE, bS, bE, w)
+            case LeftOuter | RightOuter =>
+              rewritePreserved(j, left, right, jt, cond, hint,
+                aSide, aS, aE, bS, bE, w)
+            case _ => j
           }
         case _ => j
       }
   }
+
+  /** Sequence is TimeZoneAwareExpression — without an explicit timeZoneId
+    * it reports unresolved and the optimizer aborts the batch
+    * (plan-validation failure). Long sequences ignore the zone; it just
+    * has to be present.
+    */
+  private def coverage(s: Expression, e: Expression, w: Long): Expression =
+    new Sequence(
+      bucketOf(Least(Seq(s, e)), w),
+      bucketOf(Greatest(Seq(s, e)), w),
+      Some(Literal(w)),
+      Some(conf.sessionLocalTimeZone))
+
+  private def rewriteInner(
+      j: Join, left: LogicalPlan, cond: Expression, hint: JoinHint,
+      aSide: LogicalPlan, bSide: LogicalPlan,
+      aS: Attribute, aE: Attribute, bS: Attribute, bE: Attribute,
+      w: Long): LogicalPlan = {
+    val aBkt = AttributeReference(BktL, LongType, nullable = true)()
+    val bBkt = AttributeReference(BktR, LongType, nullable = true)()
+    val genA = Generate(Explode(coverage(aS, aE, w)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(aBkt), child = aSide)
+    val genB = Generate(Explode(coverage(bS, bE, w)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bBkt), child = bSide)
+    val attribution =
+      EqualTo(aBkt, bucketOf(Greatest(Seq(aS, bS)), w))
+    val newCond = And(And(cond, EqualTo(aBkt, bBkt)), attribution)
+    val newJoin =
+      if (aSide eq left) Join(genA, genB, Inner, Some(newCond), hint)
+      else Join(genB, genA, Inner, Some(newCond), hint)
+    Project(j.output, newJoin)
+  }
+
+  /** LEFT/RIGHT OUTER: the preserved side explodes too, so borrow
+    * [[RewriteRangeJoin]]'s probe-preserved dedup — synthetic row id,
+    * pos-exploded coverage (outer = true so null-endpoint rows survive to
+    * null-extend), whole-group matched window, keep matched rows plus
+    * copy 0 of never-matched groups.
+    */
+  private def rewritePreserved(
+      j: Join, left: LogicalPlan, right: LogicalPlan, jt: JoinType,
+      cond: Expression, hint: JoinHint, aSide: LogicalPlan,
+      aS: Attribute, aE: Attribute, bS: Attribute, bE: Attribute,
+      w: Long): LogicalPlan = {
+    val preserved = if (jt == LeftOuter) left else right
+    val other = if (jt == LeftOuter) right else left
+    val ((pS, pE), (oS, _)) =
+      if (preserved eq aSide) ((aS, aE), (bS, bE)) else ((bS, bE), (aS, aE))
+    val ridAlias = Alias(MonotonicallyIncreasingID(), RidName)()
+    val projRid = Project(preserved.output :+ ridAlias, preserved)
+    val pos = AttributeReference(PosName, IntegerType, nullable = true)()
+    val pBkt = AttributeReference(BktL, LongType, nullable = true)()
+    val oBkt = AttributeReference(BktR, LongType, nullable = true)()
+    val genP = Generate(PosExplode(coverage(pS, pE, w)),
+      unrequiredChildIndex = Nil, outer = true, qualifier = None,
+      generatorOutput = Seq(pos, pBkt), child = projRid)
+    val genO = Generate(Explode(coverage(oS, bEOf(oS, aS, aE, bS, bE), w)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(oBkt), child = other)
+    val attribution = EqualTo(pBkt, bucketOf(Greatest(Seq(aS, bS)), w))
+    val newCond = And(And(cond, EqualTo(pBkt, oBkt)), attribution)
+    val joined =
+      if (jt == LeftOuter) Join(genP, genO, LeftOuter, Some(newCond), hint)
+      else Join(genO, genP, RightOuter, Some(newCond), hint)
+    // matched ⇒ the other side's start is non-null (the overlap conjuncts
+    // cannot hold on null); MUST reference the join-OUTPUT attribute —
+    // the outer join re-emits it nullable, and IsNotNull over the original
+    // non-nullable reference is constant-folded to `true` by
+    // NullPropagation inside the operator-optimization fixpoint.
+    val oSOut = joined.output.find(_.exprId == oS.exprId).getOrElse(oS)
+    val anyAlias = Alias(
+      WindowExpression(
+        AggregateExpression(Max(IsNotNull(oSOut)), Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(ridAlias.toAttribute), Nil,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+      AnyName)()
+    val win = Window(Seq(anyAlias), Seq(ridAlias.toAttribute), Nil, joined)
+    // the outer-generated null copy has pos = null: it IS copy 0
+    val keep = Or(IsNotNull(oSOut),
+      And(Not(anyAlias.toAttribute),
+        EqualTo(Coalesce(Seq(pos, Literal(0))), Literal(0))))
+    Project(j.output, Filter(keep, win))
+  }
+
+  /** The end attribute paired with `oS` among the candidate's four. */
+  private def bEOf(oS: Attribute, aS: Attribute, aE: Attribute,
+      bS: Attribute, bE: Attribute): Attribute =
+    if (oS.exprId == aS.exprId) aE else bE
 }

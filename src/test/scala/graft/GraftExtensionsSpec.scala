@@ -141,6 +141,41 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("outer overlap rewrite matches under real wiring (NullPropagation runs)") {
+    // sparse keys + ~5% null endpoints: unmatched-row null extension and
+    // the IsNotNull-over-join-output subtlety only surface when the rule
+    // runs INSIDE the operator-optimization fixpoint (the range rule's
+    // outer dedup was constant-folded to `true` there — this pins the
+    // overlap rule against the same failure)
+    def iv(s: SparkSession, seed: Int, n: Int) = {
+      import s.implicits._
+      val r = new scala.util.Random(seed)
+      (1 to n).map { i =>
+        val st = r.nextInt(3000).toLong
+        (r.nextInt(30).toLong, i.toLong,
+          if (r.nextInt(20) == 0) null else java.lang.Long.valueOf(st),
+          if (r.nextInt(20) == 0) null
+          else java.lang.Long.valueOf(st + r.nextInt(40)))
+      }.toDF("k", "id", "s", "e")
+    }
+    def q(s: SparkSession) = iv(s, 21, 250).as("a").join(
+      iv(s, 22, 50).as("b"),
+      col("a.k") === col("b.k") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"),
+      "left")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val baseline = q(spark).collect().map(_.toString).sorted.toSeq
+    assert(baseline.exists(_.contains("null")),
+      "geometry must produce unmatched left rows")
+    withExtSession { s2 =>
+      s2.conf.set(graft.plans.RewriteOverlapJoin.WidthKey, "32")
+      val optimized = q(s2).queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_overlap"),
+        s"outer overlap rule did not fire under real wiring:\n$optimized")
+      assert(q(s2).collect().map(_.toString).sorted.toSeq === baseline)
+    }
+  }
+
   test("scope cases hold under real wiring: equi-only and full outer") {
     withExtSession { s2 =>
       val (p, b) = frames(s2)

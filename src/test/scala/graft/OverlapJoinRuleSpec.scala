@@ -115,7 +115,7 @@ class OverlapJoinRuleSpec extends SparkSuite {
     }
   }
 
-  test("already-bucketized and outer shapes are untouched") {
+  test("already-bucketized and full-outer shapes are untouched") {
     // the hand-bucketized query: its join carries a bucket equi-conjunct
     // derived from both sides' endpoints — must not be double-rewritten
     val handPlan = withRule(width = 50L) {
@@ -125,16 +125,49 @@ class OverlapJoinRuleSpec extends SparkSuite {
     assert(!handPlan.contains("__graft_overlap_bkt"),
       s"hand-bucketized join was double-bucketized:\n$handPlan")
 
-    def outer = intervals(9, 50, 2, 40).as("a").join(
+    def full = intervals(9, 50, 2, 40).as("a").join(
       intervals(10, 50, 2, 40).as("b"),
       col("a.k") === col("b.k") &&
         col("a.s") <= col("b.e") && col("b.s") <= col("a.e"),
-      "left")
-    val baseline = rows(outer)
+      "full")
+    val baseline = rows(full)
     withRule(width = 50L) {
-      assert(!outer.queryExecution.optimizedPlan.toString
-        .contains("__graft_overlap_bkt"), "outer overlap must not rewrite")
-      assert(rows(outer) === baseline)
+      assert(!full.queryExecution.optimizedPlan.toString
+        .contains("__graft_overlap_bkt"),
+        "full outer overlap must not rewrite (both sides would need dedup)")
+      assert(rows(full) === baseline)
+    }
+  }
+
+  test("left/right outer overlap rewrites with exactly-once null extension") {
+    // sparse geometry so a real fraction of left rows have NO partner;
+    // ~5% null endpoints exercise the outer-generate null-coverage corner
+    def mk(seed: Int, n: Int) = {
+      val r = new Random(seed)
+      (1 to n).map { i =>
+        val s = r.nextInt(4000).toLong
+        (r.nextInt(40).toLong, i.toLong,
+          if (r.nextInt(20) == 0) null else java.lang.Long.valueOf(s),
+          if (r.nextInt(20) == 0) null
+          else java.lang.Long.valueOf(s + r.nextInt(30)))
+      }.toDF("k", "id", "s", "e")
+    }
+    for (how <- Seq("left", "right")) {
+      def q = mk(13, 300).as("a").join(
+        mk(14, 60).as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"),
+        how)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val baseline = rows(q)
+      assert(baseline.exists(_.contains("null")),
+        s"$how-outer geometry must produce unmatched rows")
+      withRule(width = 25L) {
+        val optimized = q.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("__graft_overlap_bkt"),
+          s"$how outer overlap did not rewrite:\n$optimized")
+        assert(rows(q) === baseline, s"$how outer parity broke")
+      }
     }
   }
 
