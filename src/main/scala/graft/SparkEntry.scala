@@ -14,7 +14,8 @@ object SparkEntry {
     EventOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       GameOps.queries ++ FoldOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ LcgSourceOps.queries ++
-      PipelineOps.queries ++ KMeansOps.queries ++ CorpusOps.queries
+      PipelineOps.queries ++ KMeansOps.queries ++ CorpusOps.queries ++
+      AnalyticsOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The scoreboard pipeline (SURVEY §3.3): filter → 2-stage agg → top-k.

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` stream table: the staged
+  * conversion funnel and the cohort-retention matrix — the two classic
+  * product-analytics readouts of any event log (the reference's scoreboard
+  * is the per-key aggregate member of the same family,
+  * function-code/src/main/java/.../ScoreboardFunction.java:77-101).
+  *
+  * Scale posture (100 TB of events): every stage is keyed on `user_id` —
+  * per-user aggregates are map-side combinable, and each stage join puts
+  * the aggregate side on the partitioning its own groupBy already
+  * produced, so EnsureRequirements inserts no extra exchange for it. No
+  * window over an unbounded partition, no driver-side state; per-user
+  * skew (a bot firing millions of events) lands on AQE's skew-join
+  * handling like every other user-keyed join in the repo.
+  */
+object AnalyticsOps {
+
+  /** Funnel stage definitions: ordered (index, name, event_type). The
+    * strict `ts` ordering between stages means a user converts only if the
+    * later-stage event happens AFTER their earliest earlier-stage event —
+    * the standard ordered-funnel semantics (not "did both ever happen").
+    */
+  final val FunnelStages: Seq[(Int, String)] =
+    Seq(1 -> "view", 2 -> "click", 3 -> "purchase")
+
+  /** Per-user earliest stage-entry times, one DataFrame per stage.
+    * Stage k+1 joins stage k's (user_id, t_k) co-keyed and keeps only
+    * events strictly after t_k, so each frame's rows are exactly the users
+    * who reached that stage in order.
+    */
+  def stageTimes(events: DataFrame): Seq[DataFrame] = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    FunnelStages.foldLeft(Vector.empty[DataFrame]) { case (acc, (_, etype)) =>
+      val entered = e.filter(col("event_type") === etype)
+      val gated = acc.lastOption match {
+        case None => entered
+        case Some(prev) =>
+          entered.join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+            .filter(col("ts") > col("t_prev"))
+      }
+      acc :+ gated.groupBy("user_id").agg(min("ts").as("t"))
+    }
+  }
+
+  /** Ordered-funnel conversion counts: one row per stage with the number
+    * of users who reached it (view → click after their first view →
+    * purchase after that click).
+    */
+  def funnel(events: DataFrame): DataFrame =
+    stageTimes(events).zip(FunnelStages).map { case (df, (idx, name)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _)
+
+  val funnelStages = GQuery(
+    "funnel_stages",
+    (s, d) => funnel(Tables.events(s, d)),
+    oracle = Some(
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin),
+    bench = true)
+
+  /** Cohort-retention matrix: users bucketed by first-active DATE, then
+    * for each (cohort_day, day_offset) the number of cohort members active
+    * that day. After the (user, day) distinct, each user contributes at
+    * most one row per day and `day = cohort_day + day_offset`, so the
+    * final count is a plain `count(*)` — no count-distinct expansion.
+    * The cohort day is emitted as an ISO string: a cross-engine-stable
+    * representation (DATE round-trips through the two engines' result
+    * readers with different in-memory types).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(first, "user_id")
+      .select(
+        col("cohort_day").cast("string").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val cohortRetention = GQuery(
+    "cohort_retention",
+    (s, d) => retention(Tables.events(s, d)),
+    oracle = Some(
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+        |       CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(funnelStages, cohortRetention)
+}

@@ -95,6 +95,34 @@ object TextOps {
         |            FROM documents))
         |WHERE n > 0""".stripMargin))
 
+  /** Per-doc integer token stats shared by quality scoring and the
+    * per-source quality gate: n tokens, du distinct, ds stopwords, ncl
+    * chars, plus `source`. Zero-token docs are filtered (ANSI mode would
+    * throw DIVIDE_BY_ZERO downstream; the oracles filter identically).
+    */
+  private def qualityStats(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        filter_exprs(split(col("text"), " ")).as("t"),
+        length(col("text")).cast("double").as("nc"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("ncl", col("nc").cast("long"))
+      .withColumn("du", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("ds", size(filter(col("t"),
+        w => w === "the" || w === "a" || w === "of")).cast("long"))
+
+  /** The combined bounded score over a [[qualityStats]] frame. Integer
+    * arithmetic (floor division) end to end: round(double, k) is NOT
+    * cross-engine safe even on the identical IEEE double — Spark rounds
+    * the shortest decimal representation HALF_UP while DuckDB
+    * scales+nearbyints, so e.g. 57/800 rounds to 0.0713 in Spark and
+    * 0.0712 in DuckDB. Scaled integers (x·10⁴ via div) are bit-identical.
+    */
+  private def qualityMilli: org.apache.spark.sql.Column =
+    expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
+      least(expr("(ncl - n + 1) * 200 div (8 * n)"), lit(200L))
+
   /** Quality scoring: mean word length, stopword ratio, uniqueness ratio —
     * the standard cheap filters of a pretraining-data pipeline, combined into
     * one bounded score.
@@ -102,33 +130,14 @@ object TextOps {
   val textQualityScore = GQuery(
     "text_quality_score",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter_exprs(split(col("text"), " ")).as("t"),
-          length(col("text")).cast("double").as("nc"))
-      // Every output is INTEGER arithmetic (floor division), end to end.
-      // round(double, k) is NOT cross-engine safe even on the identical
-      // IEEE double: Spark rounds the shortest decimal representation
-      // HALF_UP while DuckDB scales+nearbyints, so e.g. 57/800 rounds to
-      // 0.0713 in Spark and 0.0712 in DuckDB. Scaled integers (x·10⁴ via
-      // div) are bit-identical. n=0 docs are filtered (ANSI mode would
-      // throw DIVIDE_BY_ZERO; the oracle filters identically).
-      toks
-        .withColumn("n", size(col("t")).cast("long"))
-        .filter(col("n") > 0)
-        .withColumn("ncl", col("nc").cast("long"))
-        .withColumn("du", size(array_distinct(col("t"))).cast("long"))
-        .withColumn("ds", size(filter(col("t"),
-          w => w === "the" || w === "a" || w === "of")).cast("long"))
+      qualityStats(s, d)
         .select(
           col("doc_id"),
           col("n").as("n_tokens"),
           expr("(ncl - n + 1) * 10000 div n").as("mean_word_len_e4"),
           expr("ds * 10000 div n").as("stopword_ratio_e4"),
           expr("du * 10000 div n").as("unique_ratio_e4"),
-          (expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
-            least(expr("(ncl - n + 1) * 200 div (8 * n)"),
-              lit(200L))).as("quality_milli"))
+          qualityMilli.as("quality_milli"))
     },
     oracle = Some(
       """SELECT doc_id, n AS n_tokens,
@@ -146,6 +155,61 @@ object TextOps {
         |                   list_filter(string_split(text, ' '), w -> w <> '') AS t
         |            FROM documents))
         |WHERE n > 0""".stripMargin))
+
+  /** Sources whose mean [[qualityMilli]] falls below this are dropped whole.
+    * 640 sits mid-spread at every testbed sf (source means span ~615–670),
+    * so both branches — kept and dropped sources — are exercised.
+    */
+  final val SourceMeanMin = 640L
+
+  /** Domain-level quality gate: drop every document from a source whose
+    * MEAN quality score is below [[SourceMeanMin]] — the source/domain-level
+    * filtering stage of a pretraining pipeline (block-listing a domain, not
+    * a document: a low-quality domain's good pages are usually scraper
+    * artifacts).
+    *
+    * Scale shape: the per-source means are a map-side-combinable aggregate
+    * over the quality frame; the gate joins the surviving means back on
+    * `source`. The mean side is corpus-DERIVED — its cardinality is the
+    * domain count, which grows with the corpus — so the join is written
+    * plain and Catalyst picks broadcast vs co-keyed from its size estimate
+    * (at testbed scale it broadcasts; at 100 TB the aggregate's statistics
+    * exceed the threshold and the join runs co-keyed on `source`, with a
+    * mega-domain's skew left to AQE like every other keyed join here).
+    */
+  val qualitySourceFilter = GQuery(
+    "quality_source_filter",
+    (s, d) => {
+      val q = qualityStats(s, d)
+        .select(col("doc_id"), col("source"), qualityMilli.as("quality_milli"))
+      val srcMean = q.groupBy("source")
+        .agg(expr("sum(quality_milli) div count(1)").as("src_mean_milli"))
+        .filter(col("src_mean_milli") >= SourceMeanMin)
+      q.join(srcMean, "source")
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          col("src_mean_milli"))
+    },
+    oracle = Some(
+      s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |         (du * 500 // n) + ((n - ds) * 300 // n) +
+        |           least((ncl - n + 1) * 200 // (8 * n), 200) AS quality_milli
+        |  FROM (SELECT doc_id, source,
+        |               CAST(len(t) AS BIGINT) AS n,
+        |               CAST(len(list_distinct(t)) AS BIGINT) AS du,
+        |               CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS ds,
+        |               CAST(length(text) AS BIGINT) AS ncl
+        |        FROM (SELECT doc_id, source, text,
+        |                     list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |              FROM documents))
+        |  WHERE n > 0),
+        |m AS (SELECT source,
+        |             CAST(sum(quality_milli) AS BIGINT) // count(*) AS src_mean_milli
+        |      FROM q GROUP BY 1)
+        |SELECT q.doc_id, q.source, q.quality_milli, m.src_mean_milli
+        |FROM q JOIN m ON q.source = m.source
+        |WHERE m.src_mean_milli >= $SourceMeanMin""".stripMargin),
+    bench = true)
 
   /** The BPE merge table — a FIXED, ordered tokenizer artifact, exactly
     * as production token counting works (the tokenizer ships with the
@@ -582,5 +646,5 @@ object TextOps {
     aggWordCount, textTokenCount, textLangId, textQualityScore,
     textBpeTokenCount, textBpeExact, textFingerprint, textNormalize,
     textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq,
-    textUnigramEntropy)
+    textUnigramEntropy, qualitySourceFilter)
 }

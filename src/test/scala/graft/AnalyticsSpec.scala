@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AnalyticsOps
+
+/** funnel_stages / cohort_retention: hand-built event logs pin the ordered
+  * semantics (a later-stage event BEFORE the earlier stage's first entry
+  * does not convert) and the cohort arithmetic, so a both-engines-wrong
+  * oracle mirror cannot pass silently.
+  */
+class AnalyticsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, String)]) =
+    rows.map { case (u, t, at) => (u, t, ts(at)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel: ordered conversion only — pre-view clicks do not count") {
+    val e = eventsDf(Seq(
+      // u1 converts fully in order
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // u2 clicked BEFORE their first view: stops at view
+      (2L, "click", "2024-01-02 09:00:00"),
+      (2L, "view", "2024-01-02 10:00:00"),
+      // u3 views and clicks, purchase precedes the click: stops at click
+      (3L, "view", "2024-01-03 08:00:00"),
+      (3L, "purchase", "2024-01-03 08:30:00"),
+      (3L, "click", "2024-01-03 09:00:00"),
+      // u4 never views: contributes nowhere
+      (4L, "click", "2024-01-04 12:00:00"),
+      (4L, "purchase", "2024-01-04 13:00:00")))
+    val got = AnalyticsOps.funnel(e)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: strict ordering — same-instant next stage does not convert") {
+    val e = eventsDf(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00")))
+    val got = AnalyticsOps.funnel(e)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("view" -> 1L, "click" -> 0L, "purchase" -> 0L))
+  }
+
+  test("funnel: gate uses the EARLIEST earlier-stage entry") {
+    // u1's second view precedes the click, but the FIRST view is the gate,
+    // so the 09:00 click (after the 08:00 first view) converts.
+    val e = eventsDf(Seq(
+      (1L, "view", "2024-01-01 08:00:00"),
+      (1L, "click", "2024-01-01 09:00:00"),
+      (1L, "view", "2024-01-01 10:00:00")))
+    val got = AnalyticsOps.funnel(e)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got("click") === 1L)
+  }
+
+  test("cohort retention: matrix counts and offsets") {
+    val e = eventsDf(Seq(
+      // u1 first active Jan 1, returns Jan 2 and Jan 4 (twice-in-a-day
+      // collapses via the distinct)
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-02 11:00:00"),
+      (1L, "view", "2024-01-04 09:00:00"),
+      (1L, "view", "2024-01-04 21:00:00"),
+      // u2 also cohort Jan 1, only day-0 active
+      (2L, "view", "2024-01-01 23:59:59"),
+      // u3 cohort Jan 2, returns Jan 3
+      (3L, "view", "2024-01-02 00:00:00"),
+      (3L, "view", "2024-01-03 00:00:00")))
+    val got = AnalyticsOps.retention(e)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-02", 0L) -> 1L,
+      ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("registry wiring: both queries run on the smoke testbed") {
+    for (q <- AnalyticsOps.queries) {
+      val out = q.run(spark, smokeDir)
+      assert(out.count() > 0, q.name)
+    }
+  }
+}
