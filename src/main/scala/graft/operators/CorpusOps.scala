@@ -308,6 +308,67 @@ object CorpusOps {
          |FROM sp_cum""".stripMargin),
     bench = true)
 
+  /** Chunk geometry: window of [[ChunkSize]] tokens advancing by
+    * [[ChunkStride]] — 16 tokens of overlap, the standard context-window /
+    * retrieval-chunk prep shape.
+    */
+  final val ChunkSize = 64
+  final val ChunkStride = 48
+
+  /** Overlapping fixed-token-window chunking — split every document into
+    * [[ChunkSize]]-token windows with [[ChunkStride]] stride (RAG indexing
+    * and context-window pre-tokenization both start here). A trailing
+    * start whose tokens are entirely covered by the previous window is
+    * suppressed (`start + (size − stride) < n`), so chunks never
+    * duplicate a whole tail.
+    *
+    * Scale shape: fully row-local — tokenize, `sequence()` the starts,
+    * explode, slice; no shuffle at all (the plan is scan→generate→project),
+    * and output rows are bounded at ~n/stride per doc. The oracle mirrors
+    * with a lateral generate_series.
+    */
+  val chunkDocuments = GQuery(
+    "chunk_documents",
+    (s, d) => {
+      val overlap = ChunkSize - ChunkStride
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride.toLong)))
+            .as("start"))
+        .filter(col("start") === 0 || col("start") + overlap < col("n"))
+        .select(
+          col("doc_id"),
+          expr(s"start div $ChunkStride").as("chunk_idx"),
+          col("start").as("chunk_start"),
+          least(lit(ChunkSize.toLong), col("n") - col("start")).as("chunk_len"),
+          array_join(expr(s"slice(t, start + 1, $ChunkSize)"), " ")
+            .as("chunk_text"))
+    },
+    oracle = Some(
+      s"""WITH toks_c AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0),
+        |st AS (SELECT doc_id, t, n,
+        |              unnest(range(0, n, $ChunkStride)) AS start
+        |       FROM toks_c)
+        |SELECT doc_id,
+        |       start // $ChunkStride AS chunk_idx,
+        |       start AS chunk_start,
+        |       least($ChunkSize, n - start) AS chunk_len,
+        |       array_to_string(list_slice(t, start + 1,
+        |                                  least(start + $ChunkSize, n)),
+        |                       ' ') AS chunk_text
+        |FROM st
+        |WHERE start = 0 OR start + ${ChunkSize - ChunkStride} < n""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
-    Seq(dedupSpanBoilerplate, shuffleShards, pipelineScrubPack)
+    Seq(dedupSpanBoilerplate, shuffleShards, pipelineScrubPack, chunkDocuments)
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the event log's user-interaction structure. The
+  * dedup family already covers undirected connected components
+  * (DedupOps large-star/small-star); this adds the other classic
+  * iterative graph computation — PageRank — over a directed graph derived
+  * from the events table, with EVERY intermediate in integer arithmetic
+  * so three full iterations replay bit-identically in DuckDB.
+  *
+  * Edge derivation (temporal adjacency): per item `k` (the props key each
+  * event touches), order that item's distinct users by first-touch time
+  * and link each user to the NEXT one — the "who follows whom onto an
+  * item" chain. Edge count is Σ_items (distinct_users − 1): LINEAR in the
+  * interaction log, unlike a co-occurrence projection whose hot items
+  * explode quadratically (the same reason the LSH family caps buckets).
+  */
+object GraphOps {
+
+  /** Fixed iteration count — enough for rank mass to propagate two hops
+    * past the damping base, small enough that the unrolled oracle CTE
+    * chain stays readable. */
+  final val PrIters = 3
+
+  /** Scaled-integer PageRank constants: ranks carry 10⁶ units; the
+    * damping split is 0.15·10⁶ base + 0.85 of in-flow. Per-edge
+    * contribution `(r · 85) div (outdeg · 100)` floor-divides BEFORE the
+    * sum, so the total is a sum of integers — order-independent, hence
+    * reproducible across engines and partitionings. */
+  final val PrUnit = 1000000L
+
+  /** Directed temporal-adjacency edges (src, dst), deduplicated. The
+    * first-touch aggregate is map-side combinable on (item, user); the
+    * per-item chain window's partition is bounded by the item's distinct
+    * users (items parallelize across the corpus; a single pathologically
+    * hot item is the same declared sequential-log assumption as the
+    * per-room running windows, PLANS.md header). */
+  def temporalEdges(events: DataFrame): DataFrame = {
+    val iu = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("user_id"), col("ts"))
+      .groupBy("item", "user_id")
+      .agg(min("ts").as("t0"))
+    iu.withColumn("dst",
+        lead("user_id", 1).over(
+          Window.partitionBy("item").orderBy("t0", "user_id")))
+      .filter(col("dst").isNotNull)
+      .select(col("user_id").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** [[PrIters]] PageRank iterations over [[temporalEdges]]. Each
+    * iteration is one user-keyed join (ranks onto edge sources) and one
+    * map-side-combinable sum onto destinations; nodes with no in-edges
+    * keep the damping base via the left join. The edges/outdeg frames are
+    * recomputed per iteration here (cheap at testbed scale — at 100 TB
+    * you persist them once; the per-iteration shuffle shape is unchanged).
+    */
+  def pagerank(events: DataFrame): DataFrame = {
+    val ed = temporalEdges(events)
+    val nodes = ed.select(col("src").as("u"))
+      .union(ed.select(col("dst").as("u"))).distinct()
+    val od = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var r = nodes.withColumn("r", lit(PrUnit))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(od, "src")
+        .join(r.withColumnRenamed("u", "src"), "src")
+        .select(col("dst").as("u"),
+          expr("(r * 85) div (outdeg * 100)").as("c"))
+        .groupBy("u").agg(sum("c").as("c"))
+      r = nodes.join(contrib, Seq("u"), "left")
+        .select(col("u"),
+          (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    r.orderBy(col("r").desc, col("u"))
+      .limit(10)
+      .select(col("u").as("user_id"), col("r").as("rank_e6"))
+  }
+
+  val graphPagerank = GQuery(
+    "graph_pagerank",
+    (s, d) => pagerank(Tables.events(s, d)),
+    oracle = Some(
+      """WITH iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
+        |                  user_id, min(ts) AS t0
+        |           FROM events GROUP BY 1, 2),
+        |ch AS (SELECT item, user_id AS src,
+        |              lead(user_id) OVER (PARTITION BY item
+        |                                  ORDER BY t0, user_id) AS dst
+        |       FROM iu),
+        |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL),
+        |nodes AS (SELECT src AS u FROM ed UNION SELECT dst FROM ed),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
+        |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT ed.dst AS u,
+        |              CAST(sum((r0.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
+        |       FROM ed JOIN od ON ed.src = od.src JOIN r0 ON r0.u = ed.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.u, 150000 + COALESCE(c1.c, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.u = n.u),
+        |c2 AS (SELECT ed.dst AS u,
+        |              CAST(sum((r1.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
+        |       FROM ed JOIN od ON ed.src = od.src JOIN r1 ON r1.u = ed.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.u, 150000 + COALESCE(c2.c, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.u = n.u),
+        |c3 AS (SELECT ed.dst AS u,
+        |              CAST(sum((r2.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
+        |       FROM ed JOIN od ON ed.src = od.src JOIN r2 ON r2.u = ed.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.u, 150000 + COALESCE(c3.c, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 ON c3.u = n.u)
+        |SELECT u AS user_id, r AS rank_e6 FROM r3
+        |ORDER BY r DESC, u LIMIT 10""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(graphPagerank)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximation operators: the bounded-memory summaries a
+  * 100 TB pipeline reaches for when exact answers would shuffle the whole
+  * key set — KMV distinct-count estimation and count-min-sketch heavy
+  * hitters. Both use the repo's explicit Knuth multiplicative hash
+  * (never an engine-private hash), so the ESTIMATES themselves are
+  * bit-identical in the DuckDB oracle — unlike approx_count_distinct /
+  * approx_percentile, whose sketches are engine-internal and
+  * uncheckable across engines.
+  *
+  * Reference anchor: the scoreboard family's exact aggregates
+  * (function-code/src/main/java/.../ScoreboardFunction.java:77-101) are
+  * the small-data members; these are their bounded-memory analogs for
+  * cardinalities where exact state no longer fits.
+  */
+object SketchOps {
+
+  /** KMV sketch size: kept values per group. With k=32 the estimator's
+    * relative stderr is ~1/√(k−2) ≈ 18% — coarse, but the point is the
+    * bounded-state plan shape; k scales the precision without changing it.
+    */
+  final val KmvK = 32
+
+  /** Knuth multiplicative hash of user_id onto [0, 2³²) — BIGINT-exact in
+    * both engines (the pre-mod keeps the product under 2⁶³).
+    */
+  private val UserHash =
+    "((user_id % 1000003) * 2654435761) % 4294967296"
+
+  /** Per-event-type distinct-user estimate via the graft_kmv aggregate.
+    * Scale shape: ONE hash aggregate — ≤ k longs per group cross the
+    * shuffle regardless of user cardinality. The exact branch (fewer than
+    * k kept ⇒ sketch saw every distinct hash) and the estimator branch
+    * are both integer arithmetic, mirrored by a rank window over distinct
+    * hashes in DuckDB.
+    */
+  val sketchDistinctKmv = GQuery(
+    "sketch_distinct_kmv",
+    (s, d) => {
+      graft.functions.KmvSketchAggregate.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"), expr(UserHash).as("h"))
+        .groupBy("event_type")
+        .agg(expr(s"graft_kmv(h, $KmvK)").as("mins"))
+        .select(
+          col("event_type"),
+          size(col("mins")).cast("long").as("n_kept"),
+          expr(s"""CASE WHEN size(mins) < $KmvK THEN CAST(size(mins) AS BIGINT)
+                  |ELSE (${KmvK - 1} * 4294967296) div element_at(mins, $KmvK)
+                  |END""".stripMargin).as("kmv_est"))
+    },
+    oracle = Some(
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |                  $UserHash AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |      FROM h),
+        |s AS (SELECT event_type,
+        |             CAST(least(count(*), $KmvK) AS BIGINT) AS n_kept,
+        |             max(CASE WHEN rk <= $KmvK THEN h END) AS kth
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_kept,
+        |       CASE WHEN n_kept < $KmvK THEN n_kept
+        |            ELSE (${KmvK - 1} * 4294967296) // kth END AS kmv_est
+        |FROM s""".stripMargin),
+    bench = true)
+
+  /** Count-min geometry: depth 3 (independent hash rows) × width 64
+    * buckets — 192 counters total, whatever the corpus size.
+    */
+  final val CmsDepth = 3
+  final val CmsWidth = 64
+
+  /** Row-j bucket of user_id: Knuth product under three different mod
+    * primes, HIGH bits (2³² div 2²⁶ = 64 buckets) per the repo's
+    * high-bits convention — the low bits of a multiplicative hash are a
+    * bijection of the input's low bits.
+    */
+  private val CmsPrimes = Seq(1000003L, 999983L, 999979L)
+  private def bucketSql(j: Int): String =
+    s"((user_id % ${CmsPrimes(j)}) * 2654435761) % 4294967296 div 67108864"
+
+  /** Count-min-sketch heavy hitters: per-user event-count estimates from
+    * a 3×64 counter matrix, reporting users whose estimate reaches
+    * total/128. Scale shape: the sketch is THREE map-side-combinable
+    * 64-row aggregates (the counter matrix is corpus-size-independent,
+    * broadcast by construction); the only key-cardinality shuffle is the
+    * candidate distinct — and CMS estimates are upper bounds
+    * (est ≥ true), so that distinct could itself be pre-filtered by the
+    * sketch at 100 TB. The total is a 1-row scalar broadcast.
+    */
+  val sketchHeavyHittersCms = GQuery(
+    "sketch_heavy_hitters_cms",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bk = ev.select(
+        col("user_id"),
+        expr(bucketSql(0)).as("b0"),
+        expr(bucketSql(1)).as("b1"),
+        expr(bucketSql(2)).as("b2"))
+      def counter(j: Int): DataFrame =
+        bk.groupBy(col(s"b$j").as("b")).agg(count(lit(1)).as(s"c$j"))
+      val cand = bk.distinct()
+      val total = ev.agg(count(lit(1)).as("n"))
+      cand
+        .join(broadcast(counter(0)), col("b0") === col("b"))
+        .drop("b")
+        .join(broadcast(counter(1)), col("b1") === col("b"))
+        .drop("b")
+        .join(broadcast(counter(2)), col("b2") === col("b"))
+        .drop("b")
+        .crossJoin(broadcast(total))
+        .filter(least(col("c0"), col("c1"), col("c2")) >= expr("n div 128"))
+        .select(col("user_id"),
+          least(col("c0"), col("c1"), col("c2")).as("est_count"))
+    },
+    oracle = Some(
+      s"""WITH bk AS (SELECT user_id,
+        |                  ${bucketSql(0).replace(" div ", " // ")} AS b0,
+        |                  ${bucketSql(1).replace(" div ", " // ")} AS b1,
+        |                  ${bucketSql(2).replace(" div ", " // ")} AS b2
+        |           FROM events),
+        |c0 AS (SELECT b0 AS b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+        |c1 AS (SELECT b1 AS b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+        |c2 AS (SELECT b2 AS b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+        |cand AS (SELECT DISTINCT user_id, b0, b1, b2 FROM bk),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+        |SELECT cand.user_id, least(c0.c, c1.c, c2.c) AS est_count
+        |FROM cand
+        |JOIN c0 ON cand.b0 = c0.b
+        |JOIN c1 ON cand.b1 = c1.b
+        |JOIN c2 ON cand.b2 = c2.b
+        |CROSS JOIN t
+        |WHERE least(c0.c, c1.c, c2.c) >= n // 128""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(sketchDistinctKmv, sketchHeavyHittersCms)
+}

@@ -157,4 +157,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(exact.except(bloom).count() === 0)
     assert(bloom.count() > 0)
   }
+
+  test("chunk_documents: chunks tile every doc with the declared geometry") {
+    val docs = Tables.documents(spark, smokeDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = CorpusOps.chunkDocuments.run(spark, smokeDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet, "every non-empty doc is chunked")
+    for ((doc, cs) <- byDoc) {
+      val n = docs(doc)
+      val sorted = cs.sortBy(_._3)
+      // starts advance by exactly the stride, from 0
+      assert(sorted.map(_._3).toList ===
+        sorted.indices.map(_ * CorpusOps.ChunkStride.toLong).toList)
+      // every token position is covered: chunk i reaches past chunk i+1's start
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(a._3 + a._4 > b._3, s"gap in doc $doc")
+      val last = sorted.last
+      assert(last._3 + last._4 === n, s"doc $doc tail not covered")
+      // length/text agreement, bounded chunk size
+      for ((_, _, _, len, text) <- cs) {
+        assert(len <= CorpusOps.ChunkSize)
+        assert(text.split(" ").count(_.nonEmpty) === len)
+      }
+      // no chunk fully contained in its predecessor (tail suppression)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(b._3 + b._4 > a._3 + a._4, s"doc $doc redundant tail chunk")
+    }
+  }
 }

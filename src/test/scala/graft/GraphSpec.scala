@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Temporal-adjacency edges + integer PageRank: a hand-built interaction
+  * log pins the edge derivation (first-touch ordering, chain direction,
+  * dedup) and the full three-iteration rank arithmetic against
+  * hand-computed values, so a both-engines-wrong oracle replay cannot
+  * pass silently.
+  */
+class GraphSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, Long, String)]) =
+    rows.map { case (u, k, at) => (u, s"""{"k": $k}""", ts(at)) }
+      .toDF("user_id", "props", "ts")
+
+  test("edges: per-item first-touch chains, directed, deduplicated") {
+    val e = eventsDf(Seq(
+      // item 1: u1 (twice — first touch wins), then u2, then u3
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (1L, 1L, "2024-01-01 12:00:00"),
+      (2L, 1L, "2024-01-01 10:30:00"),
+      (3L, 1L, "2024-01-01 11:00:00"),
+      // item 2: u2 first, then u1 → the reverse edge of item 1's 1→2
+      (2L, 2L, "2024-01-02 09:00:00"),
+      (1L, 2L, "2024-01-02 10:00:00"),
+      // item 3: repeats the 1→2 adjacency → must dedup
+      (1L, 3L, "2024-01-03 08:00:00"),
+      (2L, 3L, "2024-01-03 09:00:00")))
+    val got = GraphOps.temporalEdges(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 3L), (2L, 1L)))
+  }
+
+  test("pagerank: three iterations match hand-computed integer ranks") {
+    // Edges {1→2, 2→1, 2→3}: outdeg(1)=1, outdeg(2)=2, node 3 is a sink.
+    val e = eventsDf(Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-01 12:00:00"),
+      (2L, 2L, "2024-01-02 09:00:00"),
+      (1L, 2L, "2024-01-02 10:00:00")))
+    val got = GraphOps.pagerank(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // r1: u1=575000, u2=1000000, u3=575000
+    // r2: u1=575000, u2=638750,  u3=575000
+    // r3: u1=150000+271468=421468, u2=150000+488750=638750, u3=421468
+    // order: rank DESC then user_id ASC (u1/u3 tie)
+    assert(got === List((2L, 638750L), (1L, 421468L), (3L, 421468L)))
+  }
+
+  test("registry wiring: pagerank runs on the smoke testbed") {
+    val out = GraphOps.graphPagerank.run(spark, smokeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 10)
+    // ranks are emitted best-first with the deterministic tiebreak
+    val ranks = out.map(_._2)
+    assert(ranks === ranks.sorted(Ordering[Long].reverse))
+  }
+}

@@ -2,37 +2,84 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Sketch aggregates (§7 extension set): approx_count_distinct (HLL++).
-  * Not oracle-checkable (engine-specific sketches), so accuracy is asserted
-  * against the exact count here instead.
+import graft.operators.SketchOps
+
+/** KMV / count-min sketches: hand-built inputs pin the estimator
+  * arithmetic and the bounded-buffer semantics, and property checks pin
+  * the guarantees the sketches are used for (KMV partition invariance,
+  * CMS upper-bound), so a both-engines-wrong oracle mirror cannot pass
+  * silently.
   */
 class SketchSpec extends SparkSuite {
 
-  test("approx_count_distinct within 5% of exact on every key column") {
-    val e = Tables.events(spark, smokeDir)
-    val row = e.agg(
-      countDistinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("user_id")).as("approx_users"),
-      countDistinct(col("event_id")).as("exact_events"),
-      approx_count_distinct(col("event_id")).as("approx_events"))
-      .collect()(0)
-    val pairs = Seq((row.getLong(0), row.getLong(1)), (row.getLong(2), row.getLong(3)))
-    pairs.foreach { case (exact, approx) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx=$approx exact=$exact")
-    }
+  import spark.implicits._
+
+  test("graft_kmv keeps the k smallest DISTINCT hashes, ascending") {
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    val df = Seq(50L, 10L, 30L, 10L, 40L, 20L, 30L, 60L)
+      .toDF("h").agg(expr("graft_kmv(h, 4)").as("mins"))
+    val got = df.collect()(0).getSeq[Long](0)
+    assert(got === Seq(10L, 20L, 30L, 40L))
   }
 
-  test("per-room approx distinct victims tracks exact") {
-    val g = operators.EventOps.gameView(spark, smokeDir)
-    val both = g.groupBy("room").agg(
-      countDistinct(col("victim")).as("exact"),
-      approx_count_distinct(col("victim"), 0.02).as("approx"))
-      .collect()
-    both.foreach { r =>
-      val (exact, approx) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / math.max(exact, 1) < 0.1,
-        s"room=${r.getString(0)} approx=$approx exact=$exact")
+  test("graft_kmv exact branch: fewer distinct values than k") {
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    val df = Seq(7L, 7L, 3L).toDF("h").agg(expr("graft_kmv(h, 32)").as("mins"))
+    val got = df.collect()(0).getSeq[Long](0)
+    assert(got === Seq(3L, 7L)) // size 2 == exact distinct count
+  }
+
+  test("graft_kmv is partitioning-invariant (merge order does not matter)") {
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    val vals = (1 to 500).map(i => (i % 7).toString -> (i * 2654435761L % 104729))
+    val base = vals.toDF("g", "h")
+    def sketch(np: Int) = base.repartition(np)
+      .groupBy("g").agg(expr("graft_kmv(h, 16)").as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sketch(1) === sketch(13))
+  }
+
+  test("sketch_distinct_kmv estimator matches a driver-side replay") {
+    val out = SketchOps.sketchDistinctKmv.run(spark, smokeDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.nonEmpty)
+    // replay: exact distinct hashes per type, k smallest, same formula
+    val ev = Tables.events(spark, smokeDir)
+      .select(col("event_type"),
+        expr("((user_id % 1000003) * 2654435761) % 4294967296").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).map { case (t, rows) =>
+      val distinct = rows.map(_._2).distinct.sorted
+      val kept = distinct.take(SketchOps.KmvK)
+      val est =
+        if (kept.size < SketchOps.KmvK) kept.size.toLong
+        else (SketchOps.KmvK - 1).toLong * 4294967296L / kept.last
+      t -> ((kept.size.toLong, est))
     }
+    for ((t, nKept, est) <- out)
+      assert(byType(t) === ((nKept, est)), s"type $t")
+  }
+
+  test("CMS estimates are upper bounds on true per-user counts") {
+    val est = SketchOps.sketchHeavyHittersCms.run(spark, smokeDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    val truth = Tables.events(spark, smokeDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((u, e) <- est) assert(e >= truth(u), s"user $u: est $e < true ${truth(u)}")
+  }
+
+  test("CMS reports every user whose TRUE count reaches the threshold") {
+    // est >= true, so no user at/above threshold by true count can be missed
+    val total = Tables.events(spark, smokeDir).count()
+    val thresh = total / 128
+    val reported = SketchOps.sketchHeavyHittersCms.run(spark, smokeDir)
+      .collect().map(_.getLong(0)).toSet
+    val mustHave = Tables.events(spark, smokeDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thresh)
+      .collect().map(_.getLong(0)).toSet
+    assert(mustHave.subsetOf(reported))
   }
 }
