@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Arrival-time twin of the batch ordered funnel
+  * (operators/AnalyticsOps.funnel): a per-user stage machine in keyed
+  * state. The batch query computes each stage's earliest entry by joining
+  * min-aggregates; the stream folds the same gates incrementally —
+  * state per user is just the three stage-entry times (bounded,
+  * cardinality = users, exactly the scoreboard-state shape of
+  * function-code/src/main/java/.../ScoreboardFunction.java:77-101).
+  *
+  * Ordering contract: events are folded in `ts` order WITHIN each
+  * micro-batch (sorted before the fold), and batches are assumed
+  * time-ordered across the stream — the repo's replay-pacing assumption
+  * (ST8; same contract as the GameFold's presorted path). Under it the
+  * first qualifying event IS the earliest, so final stages equal the
+  * batch funnel's membership exactly (StreamingSpec asserts this).
+  */
+object StreamingFunnel {
+
+  case class FunnelEvent(user_id: Long, event_type: String, t: Long)
+
+  /** Stage-entry times (micros); None = stage not reached. */
+  case class FunnelState(
+      viewT: Option[Long], clickT: Option[Long], purchaseT: Option[Long]) {
+    def stage: Int =
+      if (purchaseT.isDefined) 3
+      else if (clickT.isDefined) 2
+      else if (viewT.isDefined) 1
+      else 0
+  }
+
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  private[graft] def fold(st: FunnelState, e: FunnelEvent): FunnelState =
+    e.event_type match {
+      case "view" if st.viewT.isEmpty =>
+        st.copy(viewT = Some(e.t))
+      case "click" if st.clickT.isEmpty &&
+          st.viewT.exists(e.t > _) =>
+        st.copy(clickT = Some(e.t))
+      case "purchase" if st.purchaseT.isEmpty &&
+          st.clickT.exists(e.t > _) =>
+        st.copy(purchaseT = Some(e.t))
+      case _ => st
+    }
+
+  /** Update-mode stream of each user's current funnel stage; the latest
+    * row per user is the live funnel membership.
+    */
+  def stages(events: DataFrame): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+        case (user, batch, state) =>
+          val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          val next = batch.toSeq.sortBy(_.t).foldLeft(st0)(fold)
+          state.update(next)
+          FunnelStage(user, next.stage)
+      }
+  }
+}

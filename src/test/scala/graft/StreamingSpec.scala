@@ -147,6 +147,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel stage machine == batch funnel membership") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingFunnel.stages(stream).toDF(),
+      "funnel_stream", OutputMode.Update)
+    // update mode emits a row per state change; last row per user wins
+    val streamed = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // batch membership: highest stage whose stageTimes frame contains the user
+    val stages = graft.operators.AnalyticsOps.stageTimes(
+      Tables.events(spark, smokeDir))
+    val batch = scala.collection.mutable.Map.empty[Long, Int]
+    for ((df, idx) <- stages.zipWithIndex; r <- df.collect())
+      batch(r.getLong(0)) = idx + 1
+    val streamedReached = streamed.filter(_._2 > 0)
+    assert(streamedReached === batch.toMap)
+    assert(streamedReached.nonEmpty)
+  }
+
+  test("streaming funnel carries stage state across micro-batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingFunnel
+      .stages(input.toDF().toDF("user_id", "event_type", "ts")).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_batches").start()
+    // batch 1: u1 views; u2 clicks BEFORE ever viewing (must not convert)
+    input.addData((1L, "view", t("2024-01-01 10:00:00")),
+      (2L, "click", t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: u1's click lands AFTER the batch-1 view (state carried);
+    // u2 now views — the earlier click stays unconverted
+    input.addData((1L, "click", t("2024-01-01 11:00:00")),
+      (2L, "view", t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: u1 purchases after the click; u2 purchases without a click
+    input.addData((1L, "purchase", t("2024-01-01 12:00:00")),
+      (2L, "purchase", t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_batches")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === Map(1L -> 3, 2L -> 1))
+  }
+
   test("keyed-state last-per-key == batch max_by compaction") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
