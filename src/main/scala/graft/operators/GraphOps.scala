@@ -56,12 +56,14 @@ object GraphOps {
   /** [[PrIters]] PageRank iterations over [[temporalEdges]]. Each
     * iteration is one user-keyed join (ranks onto edge sources) and one
     * map-side-combinable sum onto destinations; nodes with no in-edges
-    * keep the damping base via the left join. The edges/outdeg frames are
-    * recomputed per iteration here (cheap at testbed scale — at 100 TB
-    * you persist them once; the per-iteration shuffle shape is unchanged).
+    * keep the damping base via the left join. The edge frame is
+    * materialized ONCE (localCheckpoint — executor-local storage, no
+    * driver collect), exactly what a 100 TB run does: without it every
+    * iteration re-derives the first-touch aggregate and chain window,
+    * tripling the shuffle count of the unrolled plan.
     */
   def pagerank(events: DataFrame): DataFrame = {
-    val ed = temporalEdges(events)
+    val ed = temporalEdges(events).localCheckpoint()
     val nodes = ed.select(col("src").as("u"))
       .union(ed.select(col("dst").as("u"))).distinct()
     val od = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
