@@ -140,5 +140,55 @@ object SketchOps {
         |WHERE least(c0.c, c1.c, c2.c) >= n // 128""".stripMargin),
     bench = true)
 
-  val queries: Seq[GQuery] = Seq(sketchDistinctKmv, sketchHeavyHittersCms)
+  /** Histogram-based approximate quantiles: p50/p95/p99 of `value` per
+    * event type from a fixed unit-width bin histogram — the scale path
+    * that complements exact `agg_percentiles` the way KMV complements
+    * count(DISTINCT). An exact quantile sorts every group row; here ONE
+    * map-side-combinable (type, bin) count bounds the shuffle at the bin
+    * count (~500 per type at any corpus size), and the cumulative window
+    * runs over BINS, not rows. Error ≤ one bin width by construction
+    * (SketchSpec asserts it against the exact quantiles).
+    *
+    * Bin arithmetic: `floor(value·100) div 100` — both engines evaluate
+    * the same IEEE double product then integer-divide, so bins are
+    * bit-identical; the quantile pick `cum·100 ≥ p·n` is all-integer.
+    */
+  val quantileHistogram = GQuery(
+    "quantile_histogram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT) div 100").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy("event_type")
+      val cw = h
+        .withColumn("cum", sum("c").over(byType.orderBy("bin")))
+        .withColumn("n", sum("c").over(byType))
+      cw.groupBy("event_type")
+        .agg(
+          min(when(expr("cum * 100 >= 50 * n"), col("bin"))).as("p50_bin"),
+          min(when(expr("cum * 100 >= 95 * n"), col("bin"))).as("p95_bin"),
+          min(when(expr("cum * 100 >= 99 * n"), col("bin"))).as("p99_bin"))
+    },
+    oracle = Some(
+      """WITH h AS (SELECT event_type,
+        |                 CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
+        |                 CAST(count(*) AS BIGINT) AS c
+        |          FROM events GROUP BY 1, 2),
+        |cw AS (SELECT event_type, bin,
+        |              CAST(sum(c) OVER (PARTITION BY event_type
+        |                                ORDER BY bin) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |       FROM h)
+        |SELECT event_type,
+        |       min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS p50_bin,
+        |       min(CASE WHEN cum * 100 >= 95 * n THEN bin END) AS p95_bin,
+        |       min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS p99_bin
+        |FROM cw GROUP BY 1""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] =
+    Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram)
 }

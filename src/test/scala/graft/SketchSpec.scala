@@ -70,6 +70,29 @@ class SketchSpec extends SparkSuite {
     for ((u, e) <- est) assert(e >= truth(u), s"user $u: est $e < true ${truth(u)}")
   }
 
+  test("quantile_histogram bins equal the discrete quantiles' bins exactly") {
+    // the histogram computes the discrete inverse CDF: the crossing bin is
+    // the bin of the rank-⌈p·n/100⌉ value — assert that identity per type
+    val approx = SketchOps.quantileHistogram.run(spark, smokeDir)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(approx.nonEmpty)
+    val byType = Tables.events(spark, smokeDir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for ((t, bins) <- approx) {
+      val vals = byType(t)
+      val n = vals.length.toLong
+      for ((p, bin) <- Seq(50L, 95L, 99L).zip(bins)) {
+        val rank = ((p * n + 99) / 100).toInt // ceil(p·n/100)
+        val expected = math.floor(vals(rank - 1) * 100).toLong / 100
+        assert(bin === expected, s"type $t p$p: bin $bin vs discrete $expected")
+      }
+    }
+  }
+
   test("CMS reports every user whose TRUE count reaches the threshold") {
     // est >= true, so no user at/above threshold by true count can be missed
     val total = Tables.events(spark, smokeDir).count()
