@@ -45,7 +45,8 @@ object DumpPlans {
       "cohort_retention" -> "cohort matrix: (user, day) distinct → first-day agg → co-keyed join → plain count — the distinct turns count-distinct cells into count(*)",
       "sketch_distinct_kmv" -> "KMV sketch: ONE hash aggregate with partial_kmvsketchaggregate below the exchange — ≤ k longs per group cross the shuffle at any key cardinality",
       "chunk_documents" -> "chunking: scan → generate (sequence/explode) → project, ZERO exchanges — chunk geometry is fully row-local",
-      "graph_pagerank" -> "PageRank: per-iteration user-keyed join + map-side-combinable sum onto dst; final top-k is TakeOrderedAndProject, no global sort")
+      "graph_pagerank" -> "PageRank: per-iteration user-keyed join + map-side-combinable sum onto dst; final top-k is TakeOrderedAndProject, no global sort",
+      "quantile_histogram" -> "histogram quantiles: (type, bin) hash agg bounds the shuffle at the bin count; cumulative window runs over bins, not rows")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

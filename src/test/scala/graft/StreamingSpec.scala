@@ -147,6 +147,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming KMV sketch == batch distinct estimate bit-for-bit") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingSketch.distinctKmv(stream),
+      "kmv_stream", OutputMode.Complete)
+    val streamed = spark.table("kmv_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.SketchOps.sketchDistinctKmv
+      .run(spark, smokeDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming funnel stage machine == batch funnel membership") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
