@@ -109,5 +109,50 @@ object AnalyticsOps {
         |GROUP BY 1, 2""".stripMargin),
     bench = true)
 
-  val queries: Seq[GQuery] = Seq(funnelStages, cohortRetention)
+  /** Event-path analysis: the first-order Markov transition matrix of
+    * per-user event sequences — counts and scaled-integer probabilities
+    * for every (prev_type → next_type) step, the "what do users do next"
+    * readout that generalizes the funnel's fixed stage order.
+    *
+    * Scale shape: ONE user-keyed shuffle for the sequence window (each
+    * partition bounded by a user's own activity; a bot's mega-sequence is
+    * the same per-log assumption as the room windows, PLANS.md header),
+    * then a (prev, next) aggregate whose cardinality is the TYPE
+    * cross-product — schema-bounded, so the row-count total per prev_type
+    * rides a trivial window over that tiny frame. Ordering ties broken by
+    * event_id, so the matrix is deterministic.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(seqW))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    tr.withColumn("tot",
+        sum("n_trans").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        expr("n_trans * 10000 div tot").as("p_e4"))
+  }
+
+  val eventTransitions = GQuery(
+    "event_transitions",
+    (s, d) => transitions(Tables.events(s, d)),
+    oracle = Some(
+      """WITH tr AS (SELECT event_type AS prev_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n_trans,
+        |       c.n_trans * 10000 // t.tot AS p_e4
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(funnelStages, cohortRetention, eventTransitions)
 }

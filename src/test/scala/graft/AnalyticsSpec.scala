@@ -84,7 +84,38 @@ class AnalyticsSpec extends SparkSuite {
       ("2024-01-02", 1L) -> 1L))
   }
 
-  test("registry wiring: both queries run on the smoke testbed") {
+  test("transition matrix: counts and probabilities from a hand log") {
+    val e = Seq(
+      // u1: view → click → view ; u2: view → view
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:05:00"), 2L),
+      (1L, "view", ts("2024-01-01 10:10:00"), 3L),
+      (2L, "view", ts("2024-01-02 09:00:00"), 4L),
+      (2L, "view", ts("2024-01-02 09:30:00"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = AnalyticsOps.transitions(e)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // from view: 1× click, 1× view (5000 each); from click: 1× view (10000)
+    assert(got === Map(
+      ("view", "click") -> ((1L, 5000L)),
+      ("view", "view") -> ((1L, 5000L)),
+      ("click", "view") -> ((1L, 10000L))))
+  }
+
+  test("transition ordering ties break on event_id deterministically") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val e = Seq(
+      (1L, "view", t0, 2L),
+      (1L, "click", t0, 1L)) // same instant: event_id 1 comes first
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = AnalyticsOps.transitions(e)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(got === List(("click", "view")))
+  }
+
+  test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)
       assert(out.count() > 0, q.name)
