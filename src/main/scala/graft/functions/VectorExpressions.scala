@@ -579,5 +579,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.RewriteOverlapJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteApproxDistinct)
   }
 }
