@@ -62,8 +62,17 @@ object GraphOps {
     * iteration re-derives the first-touch aggregate and chain window,
     * tripling the shuffle count of the unrolled plan.
     */
-  def pagerank(events: DataFrame): DataFrame = {
-    val ed = temporalEdges(events).localCheckpoint()
+  def pagerank(events: DataFrame): DataFrame =
+    ranks(temporalEdges(events).localCheckpoint())
+      .orderBy(col("r").desc, col("u"))
+      .limit(10)
+      .select(col("u").as("user_id"), col("r").as("rank_e6"))
+
+  /** Full rank frame (u, r) after [[PrIters]] iterations over an edge
+    * frame (src, dst) — the distributed loop, separated from the edge
+    * derivation and the final top-k so properties can check it
+    * differentially on arbitrary graphs. */
+  private[graft] def ranks(ed: DataFrame): DataFrame = {
     val nodes = ed.select(col("src").as("u"))
       .union(ed.select(col("dst").as("u"))).distinct()
     val od = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -78,9 +87,7 @@ object GraphOps {
         .select(col("u"),
           (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
     }
-    r.orderBy(col("r").desc, col("u"))
-      .limit(10)
-      .select(col("u").as("user_id"), col("r").as("rank_e6"))
+    r
   }
 
   val graphPagerank = GQuery(

@@ -48,6 +48,43 @@ object StreamingFunnel {
       case _ => st
     }
 
+  case class LastEvent(event_type: String, t: Long, event_id: Long)
+  case class Transition(prev_type: String, next_type: String)
+
+  /** Arrival-time twin of the batch transition matrix
+    * (AnalyticsOps.transitions): per-user state is ONE row — the last
+    * event seen — and each micro-batch emits the (prev → next) steps it
+    * completes, in append mode. Within a batch events sort by (t,
+    * event_id) (the batch window's exact order); across batches the
+    * carried last-event row stitches the sequence. Aggregating the
+    * emitted steps reproduces the batch matrix counts row-for-row under
+    * the replay-pacing contract (StreamingSpec asserts it).
+    */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          val ordered = batch.toSeq.sortBy(e => (e._3, e._4))
+            .map(e => LastEvent(e._2, e._3, e._4))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val chain = state.getOption.toSeq ++ ordered
+            state.update(chain.last)
+            chain.sliding(2).collect {
+              case Seq(a, b) => Transition(a.event_type, b.event_type)
+            }
+          }
+      }
+  }
+
   /** Update-mode stream of each user's current funnel stage; the latest
     * row per user is the live funnel membership.
     */

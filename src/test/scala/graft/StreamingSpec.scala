@@ -181,6 +181,44 @@ class StreamingSpec extends SparkSuite {
     assert(streamedReached.nonEmpty)
   }
 
+  test("streaming transitions == batch Markov matrix counts") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingFunnel.transitions(stream).toDF(),
+      "trans_stream", OutputMode.Append)
+    val streamed = spark.table("trans_stream")
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.AnalyticsOps.transitions(
+      Tables.events(spark, smokeDir))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming transitions stitch the sequence across micro-batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Timestamp, Long)]
+    val q = graft.streaming.StreamingFunnel
+      .transitions(input.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("trans_batches").start()
+    input.addData((1L, "view", t("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // batch 2: the cross-batch step view→click must be emitted
+    input.addData((1L, "click", t("2024-01-01 11:00:00"), 2L),
+      (1L, "purchase", t("2024-01-01 12:00:00"), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_batches")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(got === List(("click", "purchase"), ("view", "click")))
+  }
+
   test("streaming funnel carries stage state across micro-batches") {
     import java.sql.Timestamp
     import spark.implicits._
