@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * per-user aggregates are map-side combinable, and each stage join puts
   * the aggregate side on the partitioning its own groupBy already
   * produced, so EnsureRequirements inserts no extra exchange for it. No
-  * window over an unbounded partition, no driver-side state; per-user
-  * skew (a bot firing millions of events) lands on AQE's skew-join
-  * handling like every other user-keyed join in the repo.
+  * window over an unbounded partition, no driver-side state. Per-user
+  * skew (a bot firing millions of events): AQE's skew split does NOT
+  * engage on these joins — they are aggregate-fed, the exact shape
+  * AqeSkewSpec's discovery case pins as unsplittable — so a mega-user's
+  * events land on one reducer, bounded by that user's own log size: the
+  * same per-log sequential assumption as the room windows (PLANS.md
+  * header). That bound is inherent to the semantics (every event must
+  * meet its user's gate time); a pipeline expecting adversarial bots
+  * rate-caps them upstream (`EventStream.admitLossy` is that operator).
   */
 object AnalyticsOps {
 

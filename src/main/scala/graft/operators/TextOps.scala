@@ -174,22 +174,14 @@ object TextOps {
     * domain count, which grows with the corpus — so the join is written
     * plain and Catalyst picks broadcast vs co-keyed from its size estimate
     * (at testbed scale it broadcasts; at 100 TB the aggregate's statistics
-    * exceed the threshold and the join runs co-keyed on `source`, with a
-    * mega-domain's skew left to AQE like every other keyed join here).
+    * exceed the threshold and the join runs co-keyed on `source`). A
+    * mega-domain under the co-keyed plan is NOT rescued by AQE — the
+    * mean side is aggregate-fed, the shape AqeSkewSpec's discovery case
+    * pins as unsplittable — which is why the salted twin
+    * [[qualitySourceFilterSalted]] exists: it is the shape to ship when
+    * one domain dominates the corpus.
     */
-  val qualitySourceFilter = GQuery(
-    "quality_source_filter",
-    (s, d) => {
-      val q = qualityStats(s, d)
-        .select(col("doc_id"), col("source"), qualityMilli.as("quality_milli"))
-      val srcMean = q.groupBy("source")
-        .agg(expr("sum(quality_milli) div count(1)").as("src_mean_milli"))
-        .filter(col("src_mean_milli") >= SourceMeanMin)
-      q.join(srcMean, "source")
-        .select(col("doc_id"), col("source"), col("quality_milli"),
-          col("src_mean_milli"))
-    },
-    oracle = Some(
+  private val SourceGateOracle =
       s"""WITH q AS (
         |  SELECT doc_id, source,
         |         (du * 500 // n) + ((n - ds) * 300 // n) +
@@ -208,7 +200,57 @@ object TextOps {
         |      FROM q GROUP BY 1)
         |SELECT q.doc_id, q.source, q.quality_milli, m.src_mean_milli
         |FROM q JOIN m ON q.source = m.source
-        |WHERE m.src_mean_milli >= $SourceMeanMin""".stripMargin),
+        |WHERE m.src_mean_milli >= $SourceMeanMin""".stripMargin
+  // shared verbatim by the salted twin: identical semantics, different plan
+
+  val qualitySourceFilter = GQuery(
+    "quality_source_filter",
+    (s, d) => sourceGatePlain(s, d),
+    oracle = Some(SourceGateOracle),
+    bench = true)
+
+  private def sourceGateFrames(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val q = qualityStats(s, d)
+      .select(col("doc_id"), col("source"), qualityMilli.as("quality_milli"))
+    val srcMean = q.groupBy("source")
+      .agg(expr("sum(quality_milli) div count(1)").as("src_mean_milli"))
+      .filter(col("src_mean_milli") >= SourceMeanMin)
+    (q, srcMean)
+  }
+
+  private def sourceGatePlain(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val (q, srcMean) = sourceGateFrames(s, d)
+    q.join(srcMean, "source")
+      .select(col("doc_id"), col("source"), col("quality_milli"),
+        col("src_mean_milli"))
+  }
+
+  /** Salt fan-out of the skew-proof gate join. */
+  final val SourceGateSalt = 16
+
+  /** The mega-domain-proof twin of [[qualitySourceFilter]]: the doc side
+    * salts its join key with `doc_id mod 16`, the per-source means
+    * replicate across the 16 salts, and the SHUFFLE_HASH hint pins the
+    * co-keyed path (the overlap-join lesson: a hand-salted join must not
+    * silently broadcast, or the salt is dead weight). A domain owning
+    * half the corpus now spreads over 16 reducers instead of one — the
+    * shape AQE cannot produce for this join (aggregate-fed build side,
+    * AqeSkewSpec discovery). Same oracle text as the plain gate: the
+    * driver proves the two plans row-identical.
+    */
+  val qualitySourceFilterSalted = GQuery(
+    "quality_source_filter_salted",
+    (s, d) => {
+      val (q, srcMean) = sourceGateFrames(s, d)
+      val salted = q.withColumn("salt",
+        pmod(col("doc_id"), lit(SourceGateSalt)).cast("int"))
+      val meanX = srcMean.withColumn("salt",
+        explode(sequence(lit(0), lit(SourceGateSalt - 1))))
+      salted.join(meanX.hint("shuffle_hash"), Seq("source", "salt"))
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          col("src_mean_milli"))
+    },
+    oracle = Some(SourceGateOracle),
     bench = true)
 
   /** The BPE merge table — a FIXED, ordered tokenizer artifact, exactly
@@ -646,5 +688,5 @@ object TextOps {
     aggWordCount, textTokenCount, textLangId, textQualityScore,
     textBpeTokenCount, textBpeExact, textFingerprint, textNormalize,
     textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq,
-    textUnigramEntropy, qualitySourceFilter)
+    textUnigramEntropy, qualitySourceFilter, qualitySourceFilterSalted)
 }
