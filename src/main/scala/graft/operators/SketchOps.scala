@@ -90,10 +90,11 @@ object SketchOps {
     * a 3×64 counter matrix, reporting users whose estimate reaches
     * total/128. Scale shape: the sketch is THREE map-side-combinable
     * 64-row aggregates (the counter matrix is corpus-size-independent,
-    * broadcast by construction); the only key-cardinality shuffle is the
-    * candidate distinct — and CMS estimates are upper bounds
-    * (est ≥ true), so that distinct could itself be pre-filtered by the
-    * sketch at 100 TB. The total is a 1-row scalar broadcast.
+    * broadcast by construction); a user's estimate is row-independent, so
+    * the threshold filter runs row-local BEFORE the candidate distinct —
+    * the only key-cardinality shuffle covers heavy-hitter CANDIDATES
+    * (sketch-bounded: ≤ d·w·cap-factor keys can pass), never the full
+    * user set. The total is a 1-row scalar broadcast.
     */
   val sketchHeavyHittersCms = GQuery(
     "sketch_heavy_hitters_cms",
@@ -106,9 +107,8 @@ object SketchOps {
         expr(bucketSql(2)).as("b2"))
       def counter(j: Int): DataFrame =
         bk.groupBy(col(s"b$j").as("b")).agg(count(lit(1)).as(s"c$j"))
-      val cand = bk.distinct()
       val total = ev.agg(count(lit(1)).as("n"))
-      cand
+      bk
         .join(broadcast(counter(0)), col("b0") === col("b"))
         .drop("b")
         .join(broadcast(counter(1)), col("b1") === col("b"))
@@ -119,6 +119,7 @@ object SketchOps {
         .filter(least(col("c0"), col("c1"), col("c2")) >= expr("n div 128"))
         .select(col("user_id"),
           least(col("c0"), col("c1"), col("c2")).as("est_count"))
+        .distinct()
     },
     oracle = Some(
       s"""WITH bk AS (SELECT user_id,

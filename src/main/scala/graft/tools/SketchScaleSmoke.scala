@@ -79,13 +79,16 @@ object SketchScaleSmoke {
       expr(bucket(999979L)).as("b2"))
     def counter(j: Int) =
       bk.groupBy(col(s"b$j").as("b")).agg(count(lit(1)).as(s"c$j"))
-    val hh = bk.distinct()
+    // estimate is row-independent: filter row-local FIRST, distinct only
+    // the passing candidates (the engine query's exact shape)
+    val hh = bk
       .join(broadcast(counter(0)), col("b0") === col("b")).drop("b")
       .join(broadcast(counter(1)), col("b1") === col("b")).drop("b")
       .join(broadcast(counter(2)), col("b2") === col("b")).drop("b")
       .select(col("user_id"),
         least(col("c0"), col("c1"), col("c2")).as("est"))
       .filter(col("est") >= n / 64)
+      .distinct()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cmsSec = (System.nanoTime() - t0) / 1e9
     val trueMega = ev.filter(col("user_id") === 42).count()
