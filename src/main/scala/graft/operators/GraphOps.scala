@@ -127,5 +127,52 @@ object GraphOps {
         |ORDER BY r DESC, u LIMIT 10""".stripMargin),
     bench = true)
 
-  val queries: Seq[GQuery] = Seq(graphPagerank)
+  /** Connected components over the SAME temporal-adjacency edges —
+    * [[DedupOps.starComponents]] (large-star/small-star, O(log n)
+    * rounds, digest-gated convergence) applied to the interaction graph
+    * instead of the near-dup pair graph: "which users belong to the same
+    * interaction community" next to PageRank's "who matters inside it".
+    * Direction is irrelevant to components, so the edge frame feeds the
+    * star loop as undirected pairs; the oracle is the same recursive
+    * closure CTE shape as `dedup_clusters`.
+    */
+  /** (user_id, rep, csize) component labels over [[temporalEdges]]. */
+  def components(events: DataFrame): DataFrame = {
+    val ed = temporalEdges(events)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val labels = DedupOps.starComponents(ed)
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("rep"))
+      .select(col("doc_id").as("user_id"), col("rep"), col("csize"))
+  }
+
+  val graphComponents = GQuery(
+    "graph_components",
+    (s, d) => components(Tables.events(s, d)),
+    oracle = Some(
+      """WITH iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
+        |                  user_id, min(ts) AS t0
+        |           FROM events GROUP BY 1, 2),
+        |ch AS (SELECT item, user_id AS src,
+        |              lead(user_id) OVER (PARTITION BY item
+        |                                  ORDER BY t0, user_id) AS dst
+        |       FROM iu),
+        |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL),
+        |edges AS (
+        |  SELECT src, dst FROM ed
+        |  UNION SELECT dst, src FROM ed),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS user_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |repsizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize
+        |             FROM comp GROUP BY rep)
+        |SELECT c.user_id, c.rep, s.csize
+        |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  val queries: Seq[GQuery] = Seq(graphPagerank, graphComponents)
 }

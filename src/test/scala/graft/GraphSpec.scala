@@ -57,6 +57,21 @@ class GraphSpec extends SparkSuite {
     assert(got === List((2L, 638750L), (1L, 421468L), (3L, 421468L)))
   }
 
+  test("components: two disjoint interaction chains label separately") {
+    // item 1 links u1→u2→u3; item 9 links u10→u11; no cross edges
+    val e = eventsDf(Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-01 12:00:00"),
+      (10L, 9L, "2024-01-02 10:00:00"),
+      (11L, 9L, "2024-01-02 11:00:00")))
+    val labels = GraphOps.components(e)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(labels === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
   test("registry wiring: pagerank runs on the smoke testbed") {
     val out = GraphOps.graphPagerank.run(spark, smokeDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
