@@ -14,10 +14,11 @@ class SqlParitySpec extends SparkSuite {
 
   private val AnsiSubset = Seq(
     "agg_above_type_avg", "agg_distinct_cells", "agg_priority_count",
-    "agg_salted_skew", "dedup_exact", "filter_event_type", "join_anti",
-    "join_broadcast", "join_hash_equi", "join_left_display", "join_semi",
-    "next_position", "obstacle_density", "q1_agg", "sample_hash_bernoulli",
-    "setop_intersect", "setop_obstacle_build")
+    "agg_salted_skew", "dedup_exact", "filter_event_type", "funnel_stages",
+    "join_anti", "join_broadcast", "join_hash_equi", "join_left_display",
+    "join_semi", "next_position", "obstacle_density", "q1_agg",
+    "sample_hash_bernoulli", "sample_stratified", "setop_intersect",
+    "setop_obstacle_build")
 
   test("every ANSI-subset oracle runs through spark.sql with identical results") {
     Tables.registerViews(spark, smokeDir)
