@@ -88,13 +88,16 @@ object SketchOps {
 
   /** Count-min-sketch heavy hitters: per-user event-count estimates from
     * a 3×64 counter matrix, reporting users whose estimate reaches
-    * total/128. Scale shape: the sketch is THREE map-side-combinable
-    * 64-row aggregates (the counter matrix is corpus-size-independent,
-    * broadcast by construction); a user's estimate is row-independent, so
-    * the threshold filter runs row-local BEFORE the candidate distinct —
-    * the only key-cardinality shuffle covers heavy-hitter CANDIDATES
-    * (sketch-bounded: ≤ d·w·cap-factor keys can pass), never the full
-    * user set. The total is a 1-row scalar broadcast.
+    * total/128. Scale shape: the WHOLE counter matrix builds in ONE
+    * corpus scan — the d bucket ids explode row-locally and a single
+    * map-side-combinable (row, bucket) aggregate yields the 192-row
+    * matrix, which is staged once and re-sliced per row (its broadcast is
+    * by construction: the matrix size is corpus-independent, and the
+    * total falls out of row 0 rather than a second scan). A user's
+    * estimate is row-independent, so the threshold filter runs row-local
+    * BEFORE the candidate distinct — the only key-cardinality shuffle
+    * covers heavy-hitter CANDIDATES, never the full user set. Two corpus
+    * scans total: matrix build + probe.
     */
   val sketchHeavyHittersCms = GQuery(
     "sketch_heavy_hitters_cms",
@@ -105,9 +108,16 @@ object SketchOps {
         expr(bucketSql(0)).as("b0"),
         expr(bucketSql(1)).as("b1"),
         expr(bucketSql(2)).as("b2"))
+      val sketch = graft.Materialize.stage(
+        bk.select(explode(array(
+            struct(lit(0).as("j"), col("b0").as("b")),
+            struct(lit(1).as("j"), col("b1").as("b")),
+            struct(lit(2).as("j"), col("b2").as("b")))).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+          .agg(count(lit(1)).as("c")))
       def counter(j: Int): DataFrame =
-        bk.groupBy(col(s"b$j").as("b")).agg(count(lit(1)).as(s"c$j"))
-      val total = ev.agg(count(lit(1)).as("n"))
+        sketch.filter(col("j") === j).select(col("b"), col("c").as(s"c$j"))
+      val total = sketch.filter(col("j") === 0).agg(sum("c").as("n"))
       bk
         .join(broadcast(counter(0)), col("b0") === col("b"))
         .drop("b")
