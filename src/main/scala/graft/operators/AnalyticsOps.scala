@@ -61,7 +61,7 @@ object AnalyticsOps {
     stageTimes(events).zip(FunnelStages).map { case (df, (idx, name)) =>
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
 
   val funnelStages = GQuery(
     "funnel_stages",
