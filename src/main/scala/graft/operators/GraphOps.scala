@@ -90,18 +90,24 @@ object GraphOps {
     r
   }
 
+  /** The temporal-adjacency edge derivation as a CTE prefix — shared
+    * VERBATIM by both graph oracles so they can never describe different
+    * edge sets. */
+  private val EdgeCte =
+    """iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
+      |                  user_id, min(ts) AS t0
+      |           FROM events GROUP BY 1, 2),
+      |ch AS (SELECT item, user_id AS src,
+      |              lead(user_id) OVER (PARTITION BY item
+      |                                  ORDER BY t0, user_id) AS dst
+      |       FROM iu),
+      |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL)""".stripMargin
+
   val graphPagerank = GQuery(
     "graph_pagerank",
     (s, d) => pagerank(Tables.events(s, d)),
     oracle = Some(
-      """WITH iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
-        |                  user_id, min(ts) AS t0
-        |           FROM events GROUP BY 1, 2),
-        |ch AS (SELECT item, user_id AS src,
-        |              lead(user_id) OVER (PARTITION BY item
-        |                                  ORDER BY t0, user_id) AS dst
-        |       FROM iu),
-        |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL),
+      s"""WITH $EdgeCte,
         |nodes AS (SELECT src AS u FROM ed UNION SELECT dst FROM ed),
         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
         |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes),
@@ -150,14 +156,7 @@ object GraphOps {
     "graph_components",
     (s, d) => components(Tables.events(s, d)),
     oracle = Some(
-      """WITH iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
-        |                  user_id, min(ts) AS t0
-        |           FROM events GROUP BY 1, 2),
-        |ch AS (SELECT item, user_id AS src,
-        |              lead(user_id) OVER (PARTITION BY item
-        |                                  ORDER BY t0, user_id) AS dst
-        |       FROM iu),
-        |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL),
+      s"""WITH RECURSIVE $EdgeCte,
         |edges AS (
         |  SELECT src, dst FROM ed
         |  UNION SELECT dst, src FROM ed),
@@ -171,8 +170,7 @@ object GraphOps {
         |repsizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize
         |             FROM comp GROUP BY rep)
         |SELECT c.user_id, c.rep, s.csize
-        |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+        |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin))
 
   val queries: Seq[GQuery] = Seq(graphPagerank, graphComponents)
 }

@@ -27,10 +27,19 @@ object SketchOps {
   final val KmvK = 32
 
   /** Knuth multiplicative hash of user_id onto [0, 2³²) — BIGINT-exact in
-    * both engines (the pre-mod keeps the product under 2⁶³).
+    * both engines (the pre-mod keeps the product under 2⁶³). Shared with
+    * the streaming twin so the two sketches cannot drift.
     */
-  private val UserHash =
+  private[graft] val UserHash =
     "((user_id % 1000003) * 2654435761) % 4294967296"
+
+  /** The KMV estimate SQL over a `mins` column named `c`: exact size
+    * below k, else (k−1)·2³² div kth-min. One definition for batch and
+    * streaming. */
+  private[graft] def kmvEstimateSql(c: String): String =
+    s"""CASE WHEN size($c) < $KmvK THEN CAST(size($c) AS BIGINT)
+       |ELSE (${KmvK - 1} * 4294967296) div element_at($c, $KmvK)
+       |END""".stripMargin
 
   /** Per-event-type distinct-user estimate via the graft_kmv aggregate.
     * Scale shape: ONE hash aggregate — ≤ k longs per group cross the
@@ -50,9 +59,7 @@ object SketchOps {
         .select(
           col("event_type"),
           size(col("mins")).cast("long").as("n_kept"),
-          expr(s"""CASE WHEN size(mins) < $KmvK THEN CAST(size(mins) AS BIGINT)
-                  |ELSE (${KmvK - 1} * 4294967296) div element_at(mins, $KmvK)
-                  |END""".stripMargin).as("kmv_est"))
+          expr(kmvEstimateSql("mins")).as("kmv_est"))
     },
     oracle = Some(
       s"""WITH h AS (SELECT DISTINCT event_type,

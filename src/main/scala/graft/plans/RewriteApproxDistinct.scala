@@ -25,13 +25,16 @@ import graft.functions.KmvSketchAggregate
   *
   * Scope (soundness before reach):
   *  - only `Count` with isDistinct, no FILTER clause, exactly one
-  *    argument of integral type (the explicit Knuth hash needs integer
-  *    input; string/decimal distincts are left exact);
+  *    argument of integral type (the hash needs integer input;
+  *    string/decimal distincts are left exact);
   *  - null semantics preserved: the hash of a null input is null and the
   *    sketch skips it, exactly as count(distinct) ignores nulls; an empty
   *    group yields an empty sketch → estimate 0 = the exact count;
   *  - estimates are exact below k distinct values (the sketch saw the
-  *    whole set), so small groups lose nothing;
+  *    whole set) up to 2⁻³²-probability hash collisions, so small groups
+  *    lose nothing;
+  *  - validity bound: the 2³² hash range means cardinalities approaching
+  *    2³² saturate — the estimator is for group cardinalities ≪ 4 B;
   *  - idempotent under the fixpoint: the rewritten tree contains no
   *    distinct Count for the rule to match again.
   */
@@ -45,15 +48,25 @@ object RewriteApproxDistinct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** ((x % 1000003) · 2654435761) pmod 2³² — non-negative (pmod, unlike
-    * the batch query's plain % over known-non-negative ids) and overflow-
-    * free (the pre-mod keeps the product < 2⁶³). */
-  private def knuthHash(x: Expression): Expression =
-    Pmod(
-      Multiply(
-        Pmod(Cast(x, LongType), Literal(1000003L)),
-        Literal(2654435761L)),
-      Literal(4294967296L))
+  /** xxhash64(x) pmod 2³² — a full 64-bit mix folded onto the
+    * estimator's range, so the image is NOT capped by a pre-mod prime
+    * (the batch query's Knuth form is fine for its oracle-mirrored
+    * testbed ids, but a rule rewriting ARBITRARY integral columns must
+    * not collide ids that differ by a modulus: under `% 1000003` the
+    * ids 5 and 1000008 hash identically and `count(DISTINCT)` of the
+    * pair would return 1). Residual collisions are birthday-level
+    * (~n²/2³³ — ~0.1% estimate bias at 100M distinct, far under the
+    * estimator's own ~18% stderr); cardinalities approaching 2³² need a
+    * wider range, which is the documented validity bound. */
+  private def knuthHash(x: Expression): Expression = {
+    val cast = Cast(x, LongType)
+    // XxHash64 SKIPS null children (returning the seed hash) rather than
+    // propagating null — wrap explicitly so null inputs stay null and the
+    // sketch ignores them like count(distinct) does
+    If(IsNull(cast),
+      Literal.create(null, LongType),
+      Pmod(XxHash64(Seq(cast), 42L), Literal(4294967296L)))
+  }
 
   /** size(mins) < k → exact size; else (k−1)·2³² div max(kth, 1). */
   private def estimate(kmv: Expression, k: Int): Expression = {

@@ -17,19 +17,15 @@ import org.apache.spark.sql.functions._
 object StreamingSketch {
 
   def distinctKmv(events: DataFrame): DataFrame = {
+    import graft.operators.SketchOps
     graft.functions.KmvSketchAggregate.ensureRegistered(events.sparkSession)
     events
-      .select(col("event_type"),
-        expr("((user_id % 1000003) * 2654435761) % 4294967296").as("h"))
+      .select(col("event_type"), expr(SketchOps.UserHash).as("h"))
       .groupBy("event_type")
-      .agg(expr(s"graft_kmv(h, ${graft.operators.SketchOps.KmvK})").as("mins"))
+      .agg(expr(s"graft_kmv(h, ${SketchOps.KmvK})").as("mins"))
       .select(
         col("event_type"),
         size(col("mins")).cast("long").as("n_kept"),
-        expr(s"""CASE WHEN size(mins) < ${graft.operators.SketchOps.KmvK}
-                |THEN CAST(size(mins) AS BIGINT)
-                |ELSE (${graft.operators.SketchOps.KmvK - 1} * 4294967296)
-                |     div element_at(mins, ${graft.operators.SketchOps.KmvK})
-                |END""".stripMargin).as("kmv_est"))
+        expr(SketchOps.kmvEstimateSql("mins")).as("kmv_est"))
   }
 }

@@ -77,6 +77,18 @@ class ApproxDistinctRuleSpec extends SparkSuite {
     }
   }
 
+  test("ids a modulus apart do not collide (the pre-mod-prime hazard)") {
+    withExtSession { s2 =>
+      import s2.implicits._
+      s2.conf.set(RewriteApproxDistinct.EnabledKey, "true")
+      // under a ((x % 1000003) * C) % 2^32 hash these two hash identically
+      // and count(DISTINCT) would return 1 — the full-mix hash must not
+      val got = Seq(5L, 1000008L).toDF("uid")
+        .agg(countDistinct("uid").as("nd")).collect()(0).getLong(0)
+      assert(got === 2L)
+    }
+  }
+
   test("nulls are ignored, matching exact count(distinct) semantics") {
     withExtSession { s2 =>
       import s2.implicits._
@@ -94,17 +106,17 @@ class ApproxDistinctRuleSpec extends SparkSuite {
     withExtSession { s2 =>
       import s2.implicits._
       s2.conf.set(RewriteApproxDistinct.EnabledKey, "true")
-      val df = (1 to 1000).map(i => (s"s${i % 300}", (i % 300).toLong))
+      val df = (1 to 1000).map(i => (s"s${i % 30}", (i % 30).toLong))
         .toDF("name", "uid")
       val q = df.agg(countDistinct("name").as("nd_str"))
       assert(!q.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("kmvsketch"))
-      assert(q.collect()(0).getLong(0) === 300L)
+      assert(q.collect()(0).getLong(0) === 30L)
       // mixed aggregate: the non-distinct sum is untouched alongside
       val mixed = df.agg(countDistinct("uid").as("nd"), sum("uid").as("s"))
         .collect()(0)
-      assert(mixed.getLong(0) === 300L) // 300 < k ⇒ exact even rewritten
-      assert(mixed.getLong(1) === (1 to 1000).map(_ % 300).sum.toLong)
+      assert(mixed.getLong(0) === 30L) // 30 < k ⇒ exact even rewritten
+      assert(mixed.getLong(1) === (1 to 1000).map(_ % 30).sum.toLong)
     }
   }
 }
