@@ -90,7 +90,7 @@ object SketchOps {
     * bijection of the input's low bits.
     */
   private val CmsPrimes = Seq(1000003L, 999983L, 999979L)
-  private def bucketSql(j: Int): String =
+  private[graft] def bucketSql(j: Int): String =
     s"((user_id % ${CmsPrimes(j)}) * 2654435761) % 4294967296 div 67108864"
 
   /** Count-min-sketch heavy hitters: per-user event-count estimates from

@@ -104,10 +104,9 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         filter_exprs(split(col("text"), " ")).as("t"),
-        length(col("text")).cast("double").as("nc"))
+        length(col("text")).cast("long").as("ncl"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") > 0)
-      .withColumn("ncl", col("nc").cast("long"))
       .withColumn("du", size(array_distinct(col("t"))).cast("long"))
       .withColumn("ds", size(filter(col("t"),
         w => w === "the" || w === "a" || w === "of")).cast("long"))
@@ -600,7 +599,14 @@ object TextOps {
       explode(transform(sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ", element_at(col("t"), i),
           element_at(col("t"), i + 1)))).as("bigram"))
-    val lm = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+    // staged: the LM aggregate is consumed by the driver probe AND the
+    // tail join — without staging, the full bigram shuffle recomputes
+    // for each (the keptSpans probe-then-join shape, CorpusOps). `bi`
+    // itself is deliberately NOT staged: it re-derives with a scan plus
+    // row-local explode (no shuffle), cheaper than materializing a
+    // corpus of exploded rows.
+    val lm = graft.Materialize.stage(
+      bi.groupBy("bigram").agg(count(lit(1)).as("n")))
     val hot = lm.filter(col("n") > HotBigramDf)
       .orderBy(col("n").desc, col("bigram")).limit(HotBigramMax)
       .collect().map(r => (r.getString(0), r.getLong(1)))

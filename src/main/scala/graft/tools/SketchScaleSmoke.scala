@@ -37,19 +37,21 @@ object SketchScaleSmoke {
     // 4 groups; key space ~n/8 per group so each group sees ~500k
     // distinct keys (with duplicates) at the default n.
     val keySpace = n / 8
+    // full-mix hash folded to the estimator range: the pre-mod-prime
+    // Knuth form caps its image at ~1M distinct values, which would make
+    // this smoke measure hash saturation instead of estimator error at
+    // exactly the large N it exists for (the RewriteApproxDistinct bug)
     val rows = spark.range(n).repartition(32)
       .select(pmod(col("id"), lit(4)).cast("string").as("g"),
         pmod(xxhash64(col("id")), lit(keySpace)).as("key"))
       .select(col("g"),
-        expr("((key % 1000003) * 2654435761) % 4294967296").as("h"),
+        pmod(xxhash64(col("key"), lit(42)), lit(4294967296L)).as("h"),
         col("key"))
     var t0 = System.nanoTime()
     val est = rows.groupBy("g")
-      .agg(expr("graft_kmv(h, 32)").as("mins"))
+      .agg(expr(s"graft_kmv(h, ${graft.operators.SketchOps.KmvK})").as("mins"))
       .select(col("g"),
-        expr("""CASE WHEN size(mins) < 32 THEN CAST(size(mins) AS BIGINT)
-                |ELSE (31 * 4294967296) div element_at(mins, 32) END""".stripMargin)
-          .as("est"))
+        expr(graft.operators.SketchOps.kmvEstimateSql("mins")).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val kmvSec = (System.nanoTime() - t0) / 1e9
     val truth = rows.groupBy("g").agg(countDistinct("key").as("nd"))
@@ -71,12 +73,10 @@ object SketchScaleSmoke {
         .otherwise(pmod(xxhash64(col("id")), lit(100000L)) + 1000)
         .as("user_id"))
     t0 = System.nanoTime()
-    def bucket(p: Long) =
-      s"((user_id % $p) * 2654435761) % 4294967296 div 67108864"
     val bk = ev.select(col("user_id"),
-      expr(bucket(1000003L)).as("b0"),
-      expr(bucket(999983L)).as("b1"),
-      expr(bucket(999979L)).as("b2"))
+      expr(graft.operators.SketchOps.bucketSql(0)).as("b0"),
+      expr(graft.operators.SketchOps.bucketSql(1)).as("b1"),
+      expr(graft.operators.SketchOps.bucketSql(2)).as("b2"))
     def counter(j: Int) =
       bk.groupBy(col(s"b$j").as("b")).agg(count(lit(1)).as(s"c$j"))
     // estimate is row-independent: filter row-local FIRST, distinct only
