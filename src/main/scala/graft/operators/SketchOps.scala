@@ -207,6 +207,65 @@ object SketchOps {
         |FROM cw GROUP BY 1""".stripMargin),
     bench = true)
 
+  /** The integral lineitem columns profiled by [[statsColumns]]. */
+  private val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  private def statHash(c: String): String =
+    s"(($c % 1000003) * 2654435761) % 4294967296"
+
+  /** ANALYZE-style column statistics in ONE pass: per-column min / max /
+    * null count / NDV estimate over the integral lineitem columns — the
+    * stats-collection job that feeds a cost-based optimizer at 100 TB,
+    * where a per-column `count(DISTINCT)` pass is exactly what you
+    * cannot afford. All 16 aggregates (4 per column, the NDV via the
+    * bounded graft_kmv buffer) ride ONE scan and one single-row
+    * aggregation; the melt to (col_name, …) rows is driver-free.
+    *
+    * The NDV hash is the oracle-mirrorable Knuth form — exact below k,
+    * estimator-accurate up to its ~10⁶ hash image (plenty for the
+    * testbed's key ranges; a production stats job on wider domains uses
+    * the rule's xxhash64 variant, which DuckDB cannot replay).
+    */
+  val statsColumns = GQuery(
+    "stats_columns",
+    (s, d) => {
+      graft.functions.KmvSketchAggregate.ensureRegistered(s)
+      val li = Tables.lineitem(s, d)
+      val aggs = StatCols.flatMap { c =>
+        Seq(
+          min(col(c)).cast("long").as(s"min_$c"),
+          max(col(c)).cast("long").as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          expr(s"graft_kmv(${statHash(c)}, $KmvK)").as(s"mins_$c"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = StatCols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"),
+          col(s"nn_$c").as("n_nulls"),
+          expr(kmvEstimateSql(s"mins_$c")).as("ndv_est"))
+      }
+      one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+    },
+    oracle = Some(
+      StatCols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(min($c) AS BIGINT) AS min_v,
+           |       CAST(max($c) AS BIGINT) AS max_v,
+           |       CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |       (SELECT CASE WHEN least(count(*), $KmvK) < $KmvK
+           |                    THEN CAST(count(*) AS BIGINT)
+           |                    ELSE (${KmvK - 1} * 4294967296) //
+           |                         max(CASE WHEN rk <= $KmvK THEN h END) END
+           |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+           |              FROM (SELECT DISTINCT ${statHash(c)} AS h
+           |                    FROM lineitem WHERE $c IS NOT NULL))) AS ndv_est
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+    bench = true)
+
   val queries: Seq[GQuery] =
-    Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram)
+    Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram, statsColumns)
 }

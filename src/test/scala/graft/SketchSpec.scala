@@ -60,6 +60,30 @@ class SketchSpec extends SparkSuite {
       assert(byType(t) === ((nKept, est)), s"type $t")
   }
 
+  test("stats_columns: min/max/nulls exact, ndv matches a driver replay") {
+    val out = SketchOps.statsColumns.run(spark, smokeDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    val li = Tables.lineitem(spark, smokeDir)
+    for ((c, (mn, mx, nn, ndv)) <- out) {
+      val vals = li.select(col(c).cast("long")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      val present = vals.flatten
+      assert(mn === present.min, s"$c min")
+      assert(mx === present.max, s"$c max")
+      assert(nn === vals.count(_.isEmpty).toLong, s"$c nulls")
+      val hashes = present.map(v =>
+        ((v % 1000003) * 2654435761L) % 4294967296L).distinct.sorted
+      val kept = hashes.take(SketchOps.KmvK)
+      val expect =
+        if (kept.size < SketchOps.KmvK) kept.size.toLong
+        else (SketchOps.KmvK - 1).toLong * 4294967296L / kept.last
+      assert(ndv === expect, s"$c ndv")
+    }
+  }
+
   test("CMS estimates are upper bounds on true per-user counts") {
     val est = SketchOps.sketchHeavyHittersCms.run(spark, smokeDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
