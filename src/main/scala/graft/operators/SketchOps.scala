@@ -28,7 +28,11 @@ object SketchOps {
 
   /** Knuth multiplicative hash of user_id onto [0, 2³²) — BIGINT-exact in
     * both engines (the pre-mod keeps the product under 2⁶³). Shared with
-    * the streaming twin so the two sketches cannot drift.
+    * the streaming twin so the two sketches cannot drift. The `% 1000003`
+    * pre-mod caps the hash image at ~10⁶ distinct values — fine for the
+    * oracle-mirrored testbed domains profiled here; estimation over wider
+    * domains uses RewriteApproxDistinct's full xxhash64 mix (which DuckDB
+    * cannot replay, hence the split).
     */
   private[graft] val UserHash =
     "((user_id % 1000003) * 2654435761) % 4294967296"
