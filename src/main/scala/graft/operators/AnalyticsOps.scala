@@ -115,6 +115,60 @@ object AnalyticsOps {
         |GROUP BY 1, 2""".stripMargin),
     bench = true)
 
+  /** Conversion window for [[funnelWindowed]]: a later-stage event
+    * converts only within this many days of the gating stage's entry —
+    * mid-range against the testbed's 30-day span so both converting and
+    * expiring users exist. */
+  final val FunnelWindowDays = 3
+
+  /** The windowed ordered funnel: stage k+1 must land STRICTLY after the
+    * stage-k entry AND within [[FunnelWindowDays]] — "clicked within 3
+    * days of the first view". Same per-stage min-aggregate/co-keyed-join
+    * shape (and scale posture) as [[funnel]]; only the gate predicate
+    * widens, so the two funnels are directly comparable.
+    */
+  def funnelWindowed(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val winExpr = expr(s"INTERVAL $FunnelWindowDays DAYS")
+    val stages = FunnelStages.foldLeft(Vector.empty[DataFrame]) {
+      case (acc, (_, etype)) =>
+        val entered = e.filter(col("event_type") === etype)
+        val gated = acc.lastOption match {
+          case None => entered
+          case Some(prev) =>
+            entered.join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .filter(col("ts") > col("t_prev") &&
+                col("ts") <= col("t_prev") + winExpr)
+        }
+        acc :+ gated.groupBy("user_id").agg(min("ts").as("t"))
+    }
+    stages.zip(FunnelStages).map { case (df, (idx, name)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  val funnelWindowedQ = GQuery(
+    "funnel_windowed",
+    (s, d) => funnelWindowed(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL $FunnelWindowDays DAY
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL $FunnelWindowDays DAY
+        |      GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin),
+    bench = true)
+
   /** Event-path analysis: the first-order Markov transition matrix of
     * per-user event sequences — counts and scaled-integer probabilities
     * for every (prev_type → next_type) step, the "what do users do next"
@@ -160,5 +214,6 @@ object AnalyticsOps {
         |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin),
     bench = true)
 
-  val queries: Seq[GQuery] = Seq(funnelStages, cohortRetention, eventTransitions)
+  val queries: Seq[GQuery] =
+    Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions)
 }

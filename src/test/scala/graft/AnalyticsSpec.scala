@@ -84,6 +84,22 @@ class AnalyticsSpec extends SparkSuite {
       ("2024-01-02", 1L) -> 1L))
   }
 
+  test("windowed funnel: a click after the window expires does not convert") {
+    val e = eventsDf(Seq(
+      // u1 clicks 1 day after the view: inside the 3-day window
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-02 10:00:00"),
+      // u2 clicks 5 days after the view: expired
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-06 10:00:00"),
+      // u3 clicks exactly AT the 3-day boundary: inclusive, converts
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-04 10:00:00")))
+    val got = AnalyticsOps.funnelWindowed(e)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("view" -> 3L, "click" -> 2L, "purchase" -> 0L))
+  }
+
   test("transition matrix: counts and probabilities from a hand log") {
     val e = Seq(
       // u1: view → click → view ; u2: view → view
