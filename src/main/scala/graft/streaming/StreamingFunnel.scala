@@ -85,6 +85,47 @@ object StreamingFunnel {
       }
   }
 
+  case class RetentionState(cohortDay: String, seenOffsets: Seq[Long])
+  case class RetentionCell(cohort_day: String, day_offset: Long)
+
+  /** Arrival-time twin of the batch cohort-retention matrix
+    * (AnalyticsOps.retention): per-user state is the cohort day plus the
+    * set of day offsets already emitted — bounded by the user's distinct
+    * ACTIVE DAYS (a few dozen), not their event count — and each
+    * micro-batch appends only the newly-seen (cohort_day, day_offset)
+    * cells, so `count(*)` over the emitted cells reproduces the batch
+    * matrix exactly (StreamingSpec asserts it). The cohort day is fixed
+    * by the user's first event under the replay-pacing in-order
+    * contract; a later batch can only add offsets, never move the
+    * cohort.
+    */
+  def retentionCells(events: DataFrame): Dataset[RetentionCell] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionCell](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          val days = batch.map(_._2).toSeq.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            val st0 = state.getOption.getOrElse(
+              RetentionState(days.head, Seq.empty))
+            val cohort = java.time.LocalDate.parse(st0.cohortDay)
+            val offsets = days.map(d =>
+              java.time.temporal.ChronoUnit.DAYS.between(
+                cohort, java.time.LocalDate.parse(d)))
+            val fresh = offsets.filterNot(st0.seenOffsets.contains).distinct
+            state.update(st0.copy(seenOffsets = st0.seenOffsets ++ fresh))
+            fresh.iterator.map(RetentionCell(st0.cohortDay, _))
+          }
+      }
+  }
+
   /** Update-mode stream of each user's current funnel stage; the latest
     * row per user is the live funnel membership.
     */

@@ -196,6 +196,21 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming retention cells == batch cohort matrix") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingFunnel.retentionCells(stream).toDF(),
+      "ret_stream", OutputMode.Append)
+    val streamed = spark.table("ret_stream")
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.AnalyticsOps.retention(
+      Tables.events(spark, smokeDir))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming transitions stitch the sequence across micro-batches") {
     import java.sql.Timestamp
     import spark.implicits._
