@@ -440,9 +440,55 @@ object RelationalOps {
         |GROUP BY a.key""".stripMargin),
     bench = true)
 
+  /** TPC-H Q5 shape: six-table star-snowflake join (region → nation →
+    * supplier/customer → orders → lineitem) with a region filter and a
+    * one-year date slice, revenue per nation. The point is the PLAN:
+    * Catalyst reorders the join chain, broadcasts every dimension
+    * (region/nation/supplier/customer), pushes the date filter to the
+    * orders scan — statistics-driven: at testbed scale every join
+    * broadcasts (one exchange, the final agg); at 100 TB orders exceeds
+    * the threshold and lineitem⋈orders becomes the one co-keyed
+    * shuffle. The canonical warehouse join the 3-way `join_broadcast`
+    * generalizes to depth 6.
+    * Revenue rounds at 2 (a messy continuous sum — a terminating digit-3
+    * representation is unreachable, the cross-engine-safe rounding case).
+    */
+  val q5RegionRevenue = GQuery(
+    "q5_region_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+          expr("o_orderdate < TIMESTAMP '1997-01-01'"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("revenue"))
+    },
+    oracle = Some(
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
-    joinIntervalOverlap)
+    joinIntervalOverlap, q5RegionRevenue)
 }

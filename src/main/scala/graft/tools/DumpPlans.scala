@@ -46,7 +46,8 @@ object DumpPlans {
       "sketch_distinct_kmv" -> "KMV sketch: ONE hash aggregate with partial_kmvsketchaggregate below the exchange — ≤ k longs per group cross the shuffle at any key cardinality",
       "chunk_documents" -> "chunking: scan → generate (sequence/explode) → project, ZERO exchanges — chunk geometry is fully row-local",
       "graph_pagerank" -> "PageRank: per-iteration user-keyed join + map-side-combinable sum onto dst; final top-k is TakeOrderedAndProject, no global sort",
-      "quantile_histogram" -> "histogram quantiles: (type, bin) hash agg bounds the shuffle at the bin count; cumulative window runs over bins, not rows")
+      "quantile_histogram" -> "histogram quantiles: (type, bin) hash agg bounds the shuffle at the bin count; cumulative window runs over bins, not rows",
+      "q5_region_revenue" -> "TPC-H Q5 shape: statistics-driven joins — at testbed scale ALL five joins broadcast (1 exchange = the final agg); at 100 TB orders exceeds the threshold and lineitem⋈orders becomes the one co-keyed shuffle")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
