@@ -413,16 +413,22 @@ object RelationalOps {
     * oracle computes the same count with the naive overlap join (fine at
     * oracle scale; the engine plan is the one that survives 100 TB).
     */
+  /** The lineitem interval frame (key, id, s, e) consumed by
+    * `join_interval_overlap` AND by tools/ExplainOverlap — one definition
+    * so the profiling probe can never drift from the registered query. */
+  private[graft] def lineitemIntervals(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d).select(
+      col("l_suppkey").as("key"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s"),
+      (datediff(col("l_shipdate"), lit("1970-01-01")) +
+        col("l_quantity").cast("int")).cast("long").as("e"))
+
   val joinIntervalOverlap = GQuery(
     "join_interval_overlap",
     (s, d) => {
-      val iv = Tables.lineitem(s, d).select(
-        col("l_suppkey").as("key"),
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
-        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s"),
-        (datediff(col("l_shipdate"), lit("1970-01-01")) +
-          col("l_quantity").cast("int")).cast("long").as("e"))
-      overlapPairsBucketed(iv)
+      overlapPairsBucketed(lineitemIntervals(s, d))
         .groupBy("key")
         .agg(count(lit(1)).as("n_overlap_pairs"))
         .select(col("key").as("s_suppkey"), col("n_overlap_pairs"))

@@ -43,6 +43,10 @@ object RewriteApproxDistinct extends Rule[LogicalPlan] {
   final val EnabledKey = "spark.graft.approx.distinct.enabled"
   final val KKey = "spark.graft.approx.distinct.k"
 
+  /** Default sketch size when [[KKey]] is unset — shared with the spec's
+    * error-bound and exactness assertions so they track the real default. */
+  final val DefaultK = 32
+
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -81,7 +85,7 @@ object RewriteApproxDistinct extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "false") != "true") return plan
-    val k = conf.getConfString(KKey, "32").toInt
+    val k = conf.getConfString(KKey, DefaultK.toString).toInt
     require(k > 1, s"$KKey must be > 1, got $k")
     plan.transformUp {
       case a: Aggregate if a.resolved &&

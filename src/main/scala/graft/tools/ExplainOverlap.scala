@@ -15,11 +15,7 @@ object ExplainOverlap {
         println(f"PROBE $tag run$i ${(System.nanoTime()-t0)/1e9}%7.2f s rows=$n")
       }
     }
-    val iv = graft.Tables.lineitem(spark, d).select(
-      col("l_suppkey").as("key"),
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
-      datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s"),
-      (datediff(col("l_shipdate"), lit("1970-01-01")) + col("l_quantity").cast("int")).cast("long").as("e"))
+    val iv = graft.operators.RelationalOps.lineitemIntervals(spark, d)
     val B = 50L
     val bkts = iv.select(col("key"), col("id"), col("s"), col("e"),
       explode(array_distinct(array(expr(s"s div $B"), expr(s"e div $B")))).as("bkt"))

@@ -60,8 +60,9 @@ class ApproxDistinctRuleSpec extends SparkSuite {
       assert(!opt.contains("distinct "), "distinct Count survived the rewrite")
       val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got("small") === 7L, "below-k group must be exact")
+      val k = RewriteApproxDistinct.DefaultK
       val relErr = math.abs(got("big") - 3750.0) / 3750.0
-      assert(relErr < 4.0 / math.sqrt(32 - 2), s"estimate ${got("big")} too far")
+      assert(relErr < 4.0 / math.sqrt(k - 2.0), s"estimate ${got("big")} too far")
     }
   }
 
@@ -115,7 +116,8 @@ class ApproxDistinctRuleSpec extends SparkSuite {
       // mixed aggregate: the non-distinct sum is untouched alongside
       val mixed = df.agg(countDistinct("uid").as("nd"), sum("uid").as("s"))
         .collect()(0)
-      assert(mixed.getLong(0) === 30L) // 30 < k ⇒ exact even rewritten
+      assert(30 < RewriteApproxDistinct.DefaultK, "fixture must stay below k")
+      assert(mixed.getLong(0) === 30L) // below k ⇒ exact even rewritten
       assert(mixed.getLong(1) === (1 to 1000).map(_ % 30).sum.toLong)
     }
   }

@@ -19,8 +19,9 @@ object KmvProperties extends Properties("kmvSketch") {
     p.withMinSuccessfulTests(8)
 
   private val inputGen: Gen[(List[Long], Int, Int)] = for {
-    vals <- Gen.listOfN(120, Gen.oneOf(
-      Gen.choose(-50L, 50L), // dense duplicates
+    n <- Gen.choose(1, 120) // small n => the under-filled (< k) exact regime
+    vals <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(-8L, 8L), // dense duplicates; n<=16 often has < k distinct
       Gen.choose(Long.MinValue, Long.MaxValue))) // extremes
     k <- Gen.choose(1, 20)
     parts <- Gen.choose(1, 7)
