@@ -80,4 +80,17 @@ class GraphSpec extends SparkSuite {
     val ranks = out.map(_._2)
     assert(ranks === ranks.sorted(Ordering[Long].reverse))
   }
+
+  test("registry wiring: components labels every interaction-graph user") {
+    val labels = GraphOps.graphComponents.run(spark, smokeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(labels.nonEmpty)
+    // every rep is itself a labeled node carrying its own component size,
+    // and csize actually counts the label's members
+    val byRep = labels.groupBy(_._2)
+    for ((rep, members) <- byRep) {
+      assert(members.exists(_._1 == rep), s"rep $rep not in its component")
+      assert(members.forall(_._3 == members.length.toLong), s"rep $rep csize")
+    }
+  }
 }
