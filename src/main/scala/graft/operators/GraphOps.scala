@@ -26,12 +26,20 @@ object GraphOps {
     * chain stays readable. */
   final val PrIters = 3
 
-  /** Scaled-integer PageRank constants: ranks carry 10⁶ units; the
-    * damping split is 0.15·10⁶ base + 0.85 of in-flow. Per-edge
-    * contribution `(r · 85) div (outdeg · 100)` floor-divides BEFORE the
+  /** Scaled-integer PageRank constants: ranks carry [[PrUnit]] units; the
+    * damping split is (1−d)·PrUnit base + d of in-flow with
+    * d = [[PrDampNum]]/[[PrDampDen]]. Per-edge contribution
+    * `(r · PrDampNum) div (outdeg · PrDampDen)` floor-divides BEFORE the
     * sum, so the total is a sum of integers — order-independent, hence
-    * reproducible across engines and partitionings. */
+    * reproducible across engines and partitionings. Everything downstream
+    * (the engine loop, the unrolled oracle, SketchScaleSmoke) derives from
+    * these three constants, so changing one cannot desynchronize them. */
   final val PrUnit = 1000000L
+  final val PrDampNum = 85L
+  final val PrDampDen = 100L
+
+  /** Damping base (1−d)·PrUnit, derived — 150000 at the defaults. */
+  final val PrBase = PrUnit * (PrDampDen - PrDampNum) / PrDampDen
 
   /** Directed temporal-adjacency edges (src, dst), deduplicated. The
     * first-touch aggregate is map-side combinable on (item, user); the
@@ -81,11 +89,11 @@ object GraphOps {
       val contrib = ed.join(od, "src")
         .join(r.withColumnRenamed("u", "src"), "src")
         .select(col("dst").as("u"),
-          expr("(r * 85) div (outdeg * 100)").as("c"))
+          expr(s"(r * $PrDampNum) div (outdeg * $PrDampDen)").as("c"))
         .groupBy("u").agg(sum("c").as("c"))
       r = nodes.join(contrib, Seq("u"), "left")
         .select(col("u"),
-          (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
+          (lit(PrBase) + coalesce(col("c"), lit(0L))).as("r"))
     }
     r
   }
@@ -103,6 +111,19 @@ object GraphOps {
       |       FROM iu),
       |ed AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL)""".stripMargin
 
+  /** The [[PrIters]] iterations unrolled as CTE pairs (cᵢ, rᵢ), generated
+    * from the SAME constants the engine loop uses — iteration count, the
+    * damping fraction, and the base can no longer drift between the two
+    * engines. */
+  private def iterCtes: String = (1 to PrIters).map { i =>
+    s"""c$i AS (SELECT ed.dst AS u,
+       |              CAST(sum((r${i - 1}.r * $PrDampNum) // (od.outdeg * $PrDampDen)) AS BIGINT) AS c
+       |       FROM ed JOIN od ON ed.src = od.src JOIN r${i - 1} ON r${i - 1}.u = ed.src
+       |       GROUP BY 1),
+       |r$i AS (SELECT n.u, $PrBase + COALESCE(c$i.c, 0) AS r
+       |       FROM nodes n LEFT JOIN c$i ON c$i.u = n.u)""".stripMargin
+  }.mkString(",\n")
+
   val graphPagerank = GQuery(
     "graph_pagerank",
     (s, d) => pagerank(Tables.events(s, d)),
@@ -110,26 +131,9 @@ object GraphOps {
       s"""WITH $EdgeCte,
         |nodes AS (SELECT src AS u FROM ed UNION SELECT dst FROM ed),
         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
-        |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (SELECT ed.dst AS u,
-        |              CAST(sum((r0.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
-        |       FROM ed JOIN od ON ed.src = od.src JOIN r0 ON r0.u = ed.src
-        |       GROUP BY 1),
-        |r1 AS (SELECT n.u, 150000 + COALESCE(c1.c, 0) AS r
-        |       FROM nodes n LEFT JOIN c1 ON c1.u = n.u),
-        |c2 AS (SELECT ed.dst AS u,
-        |              CAST(sum((r1.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
-        |       FROM ed JOIN od ON ed.src = od.src JOIN r1 ON r1.u = ed.src
-        |       GROUP BY 1),
-        |r2 AS (SELECT n.u, 150000 + COALESCE(c2.c, 0) AS r
-        |       FROM nodes n LEFT JOIN c2 ON c2.u = n.u),
-        |c3 AS (SELECT ed.dst AS u,
-        |              CAST(sum((r2.r * 85) // (od.outdeg * 100)) AS BIGINT) AS c
-        |       FROM ed JOIN od ON ed.src = od.src JOIN r2 ON r2.u = ed.src
-        |       GROUP BY 1),
-        |r3 AS (SELECT n.u, 150000 + COALESCE(c3.c, 0) AS r
-        |       FROM nodes n LEFT JOIN c3 ON c3.u = n.u)
-        |SELECT u AS user_id, r AS rank_e6 FROM r3
+        |r0 AS (SELECT u, CAST($PrUnit AS BIGINT) AS r FROM nodes),
+        |$iterCtes
+        |SELECT u AS user_id, r AS rank_e6 FROM r$PrIters
         |ORDER BY r DESC, u LIMIT 10""".stripMargin),
     bench = true)
 

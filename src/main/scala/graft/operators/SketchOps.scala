@@ -39,10 +39,15 @@ object SketchOps {
 
   /** The KMV estimate SQL over a `mins` column named `c`: exact size
     * below k, else (k−1)·2³² div kth-min. One definition for batch and
-    * streaming. */
+    * streaming. The `greatest(…, 1)` guard (same as
+    * RewriteApproxDistinct.estimate) makes a non-positive kth-min — which
+    * a NEGATIVE input id produces, since Spark's `%` keeps the dividend's
+    * sign — yield a saturated finite estimate instead of a divide-by-zero
+    * or a negative count; the testbed ids are non-negative so the guard
+    * is inert there, and both oracles mirror it. */
   private[graft] def kmvEstimateSql(c: String): String =
     s"""CASE WHEN size($c) < $KmvK THEN CAST(size($c) AS BIGINT)
-       |ELSE (${KmvK - 1} * 4294967296) div element_at($c, $KmvK)
+       |ELSE (${KmvK - 1} * 4294967296) div greatest(element_at($c, $KmvK), 1)
        |END""".stripMargin
 
   /** Per-event-type distinct-user estimate via the graft_kmv aggregate.
@@ -68,7 +73,8 @@ object SketchOps {
     oracle = Some(
       s"""WITH h AS (SELECT DISTINCT event_type,
         |                  $UserHash AS h
-        |           FROM events),
+        |           FROM events
+        |           WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h,
         |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
         |      FROM h),
@@ -78,7 +84,7 @@ object SketchOps {
         |      FROM r GROUP BY 1)
         |SELECT event_type, n_kept,
         |       CASE WHEN n_kept < $KmvK THEN n_kept
-        |            ELSE (${KmvK - 1} * 4294967296) // kth END AS kmv_est
+        |            ELSE (${KmvK - 1} * 4294967296) // greatest(kth, 1) END AS kmv_est
         |FROM s""".stripMargin),
     bench = true)
 
@@ -262,7 +268,7 @@ object SketchOps {
            |       (SELECT CASE WHEN least(count(*), $KmvK) < $KmvK
            |                    THEN CAST(count(*) AS BIGINT)
            |                    ELSE (${KmvK - 1} * 4294967296) //
-           |                         max(CASE WHEN rk <= $KmvK THEN h END) END
+           |                         greatest(max(CASE WHEN rk <= $KmvK THEN h END), 1) END
            |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
            |              FROM (SELECT DISTINCT ${statHash(c)} AS h
            |                    FROM lineitem WHERE $c IS NOT NULL))) AS ndv_est

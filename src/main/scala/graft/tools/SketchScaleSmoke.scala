@@ -60,8 +60,9 @@ object SketchScaleSmoke {
     for ((g, tr) <- truth) {
       val e = est(g)
       val relErr = math.abs(e - tr).toDouble / tr
-      // 4 standard errors of the k=32 estimator
-      val bound = 4.0 / math.sqrt(32 - 2)
+      // 4 standard errors of the k-minimum-values estimator, derived from
+      // the SAME k the sketch was built with
+      val bound = 4.0 / math.sqrt(graft.operators.SketchOps.KmvK - 2)
       println(f"[smoke] KMV g=$g true=$tr est=$e relErr=$relErr%.3f (bound $bound%.3f)")
       assert(relErr < bound, s"group $g: estimate $e vs true $tr out of bounds")
     }
@@ -113,21 +114,10 @@ object SketchScaleSmoke {
       .select(col("id").as("src"), lit(0L).as("dst"))
     val ed = chain.union(toHub)
     t0 = System.nanoTime()
-    val nodes = ed.select(col("src").as("u"))
-      .union(ed.select(col("dst").as("u"))).distinct()
-    val od = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to 3) {
-      val contrib = ed.join(od, "src")
-        .join(r.withColumnRenamed("u", "src"), "src")
-        .select(col("dst").as("u"),
-          expr("(r * 85) div (outdeg * 100)").as("c"))
-        .groupBy("u").agg(sum("c").as("c"))
-      r = nodes.join(contrib, Seq("u"), "left")
-        .select(col("u"),
-          (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
-    }
-    val top = r.orderBy(col("r").desc, col("u")).limit(3)
+    // the PRODUCTION rank loop — not a re-implementation, so the smoke
+    // can never drift from the engine's constants
+    val top = graft.operators.GraphOps.ranks(ed.localCheckpoint())
+      .orderBy(col("r").desc, col("u")).limit(3)
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     val prSec = (System.nanoTime() - t0) / 1e9
     println(f"[smoke] PageRank: $prSec%.1f s for ~${nEdges / 1000000}M edges; top=${top.toList}")

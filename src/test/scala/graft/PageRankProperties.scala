@@ -8,8 +8,11 @@ import graft.SparkSuite
 /** Differential property for [[GraphOps.ranks]]: on arbitrary random
   * directed graphs the distributed three-iteration loop must equal a
   * driver-side fold implementing the identical scaled-integer recurrence
-  * — per-edge floor division BEFORE the sum, damping base 150000,
-  * dangling mass dropped. Covers multi-edges (deduplicated by the edge
+  * — per-edge floor division BEFORE the sum, the GraphOps damping
+  * constants, dangling mass dropped. The independence the property buys
+  * is STRUCTURAL (a sequential fold vs the distributed join loop); the
+  * constants are shared so a deliberate retune cannot desynchronize the
+  * reference. Covers multi-edges (deduplicated by the edge
   * frame's producer, so the generator dedups too), self-loops, sinks,
   * sources, and non-contiguous ids.
   */
@@ -23,12 +26,14 @@ object PageRankProperties extends Properties("pagerank") {
     val ed = edges.distinct
     val nodes = ed.flatMap(e => Seq(e._1, e._2)).distinct
     val outdeg = ed.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r = nodes.map(_ -> 1000000L).toMap
+    var r = nodes.map(_ -> GraphOps.PrUnit).toMap
     for (_ <- 1 to GraphOps.PrIters) {
       val in = ed.groupBy(_._2).map { case (d, es) =>
-        d -> es.map { case (s, _) => r(s) * 85 / (outdeg(s) * 100) }.sum
+        d -> es.map { case (s, _) =>
+          r(s) * GraphOps.PrDampNum / (outdeg(s) * GraphOps.PrDampDen)
+        }.sum
       }
-      r = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+      r = nodes.map(n => n -> (GraphOps.PrBase + in.getOrElse(n, 0L))).toMap
     }
     r
   }
