@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over the `events` stream table: the staged
@@ -214,6 +215,59 @@ object AnalyticsOps {
         |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin),
     bench = true)
 
+  /** Q:anomaly_burst — per-user activity-burst detection: hour buckets
+    * whose event count sits more than 3 standard deviations ABOVE that
+    * user's own mean hourly rate (over their active hours). The z-test is
+    * done in ALL-INTEGER algebra — z > 3 with x̄ = s/n and σ² = q/n −
+    * (s/n)² is equivalent to
+    *   n·x − s > 0  AND  (n·x − s)² > 9·(n·q − s²)
+    * (multiply through by n²) — so there is no floating-point mean or
+    * stddev anywhere and the flagged set hash-matches exactly. n = 1
+    * self-excludes (n·x = s). Scale shape: one map-side-combinable
+    * (user, hour) count, then the per-user moment sums ride a window over
+    * the COUNT frame (≤ 720 rows per user-month, never raw events), same
+    * two-shuffle posture as the funnel family. Overflow bound: the
+    * squares stay under 2⁶³ while a user's per-hour count × their hour
+    * count stays under ~3·10⁹ — beyond any real per-user log; a global
+    * (not per-user) variant would widen to DECIMAL first.
+    */
+  def anomalyBurst(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy("user_id")
+    hourly
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s", sum("cnt").over(byUser))
+      .withColumn("q", sum(expr("cnt * cnt")).over(byUser))
+      .filter(expr(
+        "n * cnt - s > 0 AND " +
+          "(n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)"))
+      .select(col("user_id"), col("hr"), col("cnt"))
+  }
+
+  val anomalyBurstQ = GQuery(
+    "anomaly_burst",
+    (s, d) => anomalyBurst(Tables.events(s, d)),
+    oracle = Some(
+      """WITH h AS (SELECT user_id,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |          FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, hr, cnt,
+        |              CAST(count(*) OVER w AS BIGINT) AS n,
+        |              CAST(sum(cnt) OVER w AS BIGINT) AS s,
+        |              CAST(sum(cnt * cnt) OVER w AS BIGINT) AS q
+        |       FROM h WINDOW w AS (PARTITION BY user_id))
+        |SELECT user_id, hr, cnt
+        |FROM st
+        |WHERE n * cnt - s > 0
+        |  AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
-    Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions)
+    Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
+      anomalyBurstQ)
 }

@@ -176,5 +176,137 @@ object GraphOps {
         |SELECT c.user_id, c.rep, s.csize
         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin))
 
-  val queries: Seq[GQuery] = Seq(graphPagerank, graphComponents)
+  /** Distinct-user cap for the co-occurrence projection feeding
+    * [[graphTriangles]]: items touched by more than this many distinct
+    * users are dropped before the pair join — the [[DedupOps.LshBucketCap]]
+    * idea on the interaction graph. An item with n users emits n²/2
+    * edges into one reducer; a hub item (the corpus's "front page") is
+    * degree structure, not community structure, and is exactly what makes
+    * a naive co-occurrence projection quadratic at 100 TB. With the cap,
+    * per-item pair generation is bounded at cap²/2. */
+  final val TriItemCap = 64L
+
+  /** Undirected co-occurrence edges {u, v} (u < v, deduplicated): users
+    * sharing a non-hub item. Unlike [[temporalEdges]]' linear chain —
+    * which is triangle-free by construction within an item — the
+    * co-occurrence projection is the graph whose closed wedges MEAN
+    * something ("my neighbors also know each other"). The hub cap is a
+    * broadcast anti-join on the (tiny, ≤ n/cap keys) hot-item set,
+    * mirrored by the oracle's HAVING. */
+  private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame = {
+    val iu = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("user_id"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val hot = iu.groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") > TriItemCap)
+      .select("item")
+    val kept = iu.join(broadcast(hot), Seq("item"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.item") === col("b.item") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+  }
+
+  /** Q:graph_triangles — triangle count + global clustering coefficient
+    * over the co-occurrence graph, via DEGREE-ORDERED orientation (the
+    * classic distributed-triangle trick): orient every edge from its
+    * lower-(degree, id) endpoint, enumerate wedges from each node's
+    * out-neighborhood, close them against the oriented edge set. The
+    * orientation bounds every out-degree at O(√m) on any graph, so the
+    * wedge join — the quadratic step — generates O(m^1.5) candidates
+    * TOTAL regardless of skew, where an unoriented wedge join is
+    * Σdeg² (quadratic on hubs). Both the wedge and closing joins are
+    * co-keyed shuffles; everything is integer, so the coefficient
+    * (triangles-per-wedge, ppm) hash-matches exactly.
+    */
+  def triangles(events: DataFrame): DataFrame = {
+    val und = cooccurrenceEdges(events).localCheckpoint()
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val wd = und
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), "v")
+    // orient: src = lexicographically smaller (deg, id) endpoint
+    val oriented = wd.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+        .otherwise(col("du")).as("ddg"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddg") < col("e2.ddg") ||
+            (col("e1.ddg") === col("e2.ddg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val nTri = wedges.join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = und.agg(count(lit(1)).as("n_edges"))
+    val wedgeTotal = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    wedgeTotal.crossJoin(broadcast(totals)).crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("n_triangles * 3 * 1000000 div greatest(n_wedges, 1)")
+          .as("gcc_ppm"))
+  }
+
+  /** The co-occurrence edge derivation as a CTE prefix (the oracle twin
+    * of [[cooccurrenceEdges]]). */
+  private val CoocCte =
+    s"""iu AS (SELECT DISTINCT
+      |              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item,
+      |              user_id
+      |       FROM events
+      |       WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+      |keep AS (SELECT item FROM iu GROUP BY item
+      |         HAVING count(*) <= $TriItemCap),
+      |ki AS (SELECT iu.item, iu.user_id FROM iu JOIN keep ON iu.item = keep.item),
+      |und AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |        FROM ki a JOIN ki b
+      |          ON a.item = b.item AND a.user_id < b.user_id)""".stripMargin
+
+  val graphTriangles = GQuery(
+    "graph_triangles",
+    (s, d) => triangles(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH $CoocCte,
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN e.u ELSE e.v END AS src,
+        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN e.v ELSE e.u END AS dst,
+        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN dv.dg ELSE du.dg END AS ddg
+        |        FROM und e
+        |        JOIN deg du ON e.u = du.x
+        |        JOIN deg dv ON e.v = dv.x),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM ori e1
+        |        JOIN ori e2 ON e1.src = e2.src
+        |                   AND (e1.ddg, e1.dst) < (e2.ddg, e2.dst)
+        |        JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |wt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg)
+        |SELECT wt.n_nodes, tot.n_edges, wt.n_wedges, tri.n_triangles,
+        |       tri.n_triangles * 3 * 1000000 // greatest(wt.n_wedges, 1) AS gcc_ppm
+        |FROM wt, tot, tri""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] = Seq(graphPagerank, graphComponents, graphTriangles)
 }

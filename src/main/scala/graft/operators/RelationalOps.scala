@@ -492,9 +492,57 @@ object RelationalOps {
         |GROUP BY n_name""".stripMargin),
     bench = true)
 
+  /** Q:q3_shipping_priority — TPC-H Q3 over the testbed star schema:
+    * unshipped-revenue top-10 for one market segment at a date cutoff.
+    * Plan shape: the segment filter prunes customer BEFORE its join (a
+    * quarter of the table, still broadcast-sized against orders), the
+    * date predicates push into the orders/lineitem scans, the big join is
+    * the l_orderkey ⋈ o_orderkey co-keyed shuffle, and the top-10 is
+    * TakeOrderedAndProject — no global sort. Revenue is emitted as a
+    * scaled integer (floor(sum·10⁴ + 0.5)): the summands
+    * l_extendedprice·(1−l_discount) terminate at 4 decimals, exactly the
+    * regime where round(…, 2) is cross-engine-unsafe (HALF_UP vs
+    * nearbyint on a terminating digit-5), while +0.5-then-floor absorbs
+    * the float error of either engine's summation order. The sort key is
+    * the SAME scaled integer, so the top-10 row set cannot disagree.
+    */
+  val q3ShippingPriority = GQuery(
+    "q3_shipping_priority",
+    (s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(expr("o_orderdate < TIMESTAMP '1998-06-15'"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(expr("l_shipdate > TIMESTAMP '1998-06-15'"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(expr(
+          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          .as("revenue_e4"))
+        .orderBy(desc("revenue_e4"), asc("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue_e4"),
+          expr("unix_timestamp(o_orderdate)").as("o_date_epoch"),
+          col("o_orderpriority"))
+    },
+    oracle = Some(
+      """SELECT l_orderkey,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_e4 DESC, l_orderkey
+        |LIMIT 10""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
-    joinIntervalOverlap, q5RegionRevenue)
+    joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority)
 }

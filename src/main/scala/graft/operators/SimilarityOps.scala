@@ -244,6 +244,50 @@ object SimilarityOps {
          |WHERE rank <= 3""".stripMargin
     })
 
+  /** Q:ann_quantized_topk — top-10 neighbors of vec_id=0 scored on int8
+    * scalar-quantized codes (graft_q8: c[i] = floor(v[i]·127/max|v|)).
+    * The memory-bandwidth tier UNDER the IVF/LSH paths: at 100 TB the
+    * index answers "which vectors to look at" and quantization answers
+    * "how cheaply can we score them" — codes are 4 bytes/dim here only
+    * because DotProduct scores doubles; a production sink packs them to 1
+    * byte/dim, an 8× scan-bandwidth cut with the SAME plan shape. Every
+    * arithmetic step (floor-quantize, integer-valued code dot) is exact
+    * in both engines, so unlike the rounded-cosine queries this one
+    * hash-matches on raw scores; ties in the integer dot are broken by
+    * vec_id. Plan shape = ann_cosine_topk: broadcast 1-row query,
+    * one corpus scan, TakeOrderedAndProject.
+    */
+  val annQuantizedTopk = GQuery(
+    "ann_quantized_topk",
+    (s, d) => {
+      val e = vecs(s, d).withColumn("c", expr("graft_q8(v)"))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("c").as("qc")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("qdot", expr("CAST(graft_dot(c, qc) AS BIGINT)"))
+        .orderBy(desc("qdot"), asc("vec_id"))
+        .limit(TopK)
+        .select(col("vec_id"), col("qdot"))
+    },
+    oracle = Some(
+      s"""$VecCte,
+         |q AS (SELECT vec_id, v,
+         |             list_max(list_transform(v, x -> abs(x))) AS s
+         |      FROM e),
+         |c AS (SELECT vec_id,
+         |             list_transform(v, x -> CASE WHEN s > 0
+         |               THEN floor(x * 127 / s) ELSE 0.0 END) AS c
+         |      FROM q)
+         |SELECT b.vec_id,
+         |       CAST(list_sum(list_transform(generate_series(1, len(a.c)),
+         |            i -> a.c[i] * b.c[i])) AS BIGINT) AS qdot
+         |FROM c a JOIN c b ON a.vec_id = 0 AND b.vec_id <> 0
+         |ORDER BY qdot DESC, b.vec_id
+         |LIMIT $TopK""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
-    annCosineTopk, annTopkPerQuery, annIvfLabelTopk, annLshBucket)
+    annCosineTopk, annTopkPerQuery, annIvfLabelTopk, annLshBucket,
+    annQuantizedTopk)
 }

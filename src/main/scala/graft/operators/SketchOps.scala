@@ -276,6 +276,127 @@ object SketchOps {
       }.mkString("\nUNION ALL\n")),
     bench = true)
 
+  /** Per-event-type KMV sketches (event_type, mins) — the shared first
+    * stage of the set-algebra queries. */
+  private def perTypeSketch(s: org.apache.spark.sql.SparkSession,
+                            d: String): DataFrame = {
+    graft.functions.KmvSketchAggregate.ensureRegistered(s)
+    Tables.events(s, d)
+      .select(col("event_type"), expr(UserHash).as("h"))
+      .groupBy("event_type")
+      .agg(expr(s"graft_kmv(h, $KmvK)").as("mins"))
+  }
+
+  /** Q:sketch_kmv_union — the MERGEABILITY story: per-group sketches
+    * re-aggregated into a global distinct-user estimate WITHOUT rescanning
+    * the input. The global k smallest distinct hashes are all inside the
+    * union of the per-group k-smallest sets (any hash among the global k
+    * smallest is ≤ the global kth, hence ≤ its own group's kth), so
+    * re-sketching the exploded per-group mins is EXACTLY the sketch of the
+    * whole corpus — the identity SketchSpec asserts, and the reason a
+    * 100 TB deployment stores per-partition sketches (k longs each) and
+    * answers union cardinality from metadata. The merge input is
+    * n_groups·k longs, corpus-size-independent.
+    */
+  val sketchKmvUnion = GQuery(
+    "sketch_kmv_union",
+    (s, d) =>
+      perTypeSketch(s, d)
+        .select(col("event_type"), explode(col("mins")).as("h"))
+        .agg(
+          expr("CAST(count(DISTINCT event_type) AS BIGINT)").as("n_groups"),
+          expr(s"graft_kmv(h, $KmvK)").as("mins"))
+        .select(
+          col("n_groups"),
+          size(col("mins")).cast("long").as("n_kept"),
+          expr(kmvEstimateSql("mins")).as("union_est")),
+    oracle = Some(
+      s"""WITH h AS (SELECT DISTINCT event_type, $UserHash AS h
+        |           FROM events
+        |           WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |      FROM h),
+        |u AS (SELECT DISTINCT h FROM r WHERE rk <= $KmvK),
+        |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM u),
+        |s AS (SELECT CAST(least(count(*), $KmvK) AS BIGINT) AS n_kept,
+        |             max(CASE WHEN rk <= $KmvK THEN h END) AS kth
+        |      FROM ur)
+        |SELECT (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+        |        FROM events WHERE user_id IS NOT NULL) AS n_groups,
+        |       n_kept,
+        |       CASE WHEN n_kept < $KmvK THEN n_kept
+        |            ELSE (${KmvK - 1} * 4294967296) // greatest(kth, 1) END AS union_est
+        |FROM s""".stripMargin),
+    bench = true)
+
+  /** Q:sketch_kmv_jaccard — pairwise set overlap between event types from
+    * their KMV sketches alone (Beyer et al.'s k-minimum-values set
+    * operations): merge the two sketches, keep the k smallest distinct
+    * hashes of the union, and count how many of those appear in BOTH
+    * input sketches — jaccard ≈ that fraction, intersection ≈ jaccard ×
+    * union estimate. Everything after the per-type aggregate is row-local
+    * integer arithmetic over ≤ 2k-element arrays on a handful of rows
+    * (one per type pair — the n_types² "join" is a broadcast of k longs
+    * per side, never a data shuffle), so the estimates hash-match the
+    * oracle's relational replay exactly.
+    */
+  val sketchKmvJaccard = GQuery(
+    "sketch_kmv_jaccard",
+    (s, d) => {
+      val sk = perTypeSketch(s, d)
+      sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(
+          col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          expr(s"slice(array_sort(array_distinct(concat(a.mins, b.mins))), 1, $KmvK)")
+            .as("merged"),
+          col("a.mins").as("ma"), col("b.mins").as("mb"))
+        .select(
+          col("type_a"), col("type_b"),
+          expr(kmvEstimateSql("merged")).as("union_est"),
+          expr("CAST(size(filter(merged, h -> array_contains(ma, h) AND array_contains(mb, h))) AS BIGINT) * 1000000 div greatest(size(merged), 1)")
+            .as("jaccard_ppm"))
+        .withColumn("inter_est",
+          expr("jaccard_ppm * union_est div 1000000"))
+    },
+    oracle = Some(
+      s"""WITH h AS (SELECT DISTINCT event_type, $UserHash AS h
+        |           FROM events
+        |           WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |      FROM h),
+        |kept AS (SELECT event_type, h FROM r WHERE rk <= $KmvK),
+        |ty AS (SELECT DISTINCT event_type FROM kept),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |ph AS (SELECT pr.ta, pr.tb, k.h,
+        |              max(CASE WHEN k.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+        |              max(CASE WHEN k.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+        |       FROM pr JOIN kept k
+        |         ON k.event_type = pr.ta OR k.event_type = pr.tb
+        |       GROUP BY 1, 2, 3),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS urk
+        |      FROM ph),
+        |st AS (SELECT ta, tb,
+        |              CAST(count(*) FILTER (WHERE urk <= $KmvK) AS BIGINT) AS n_merged,
+        |              CAST(count(*) FILTER (WHERE urk <= $KmvK
+        |                    AND in_a = 1 AND in_b = 1) AS BIGINT) AS inter_k,
+        |              max(CASE WHEN urk = $KmvK THEN h END) AS kth
+        |       FROM m GROUP BY 1, 2),
+        |est AS (SELECT ta, tb,
+        |               CASE WHEN n_merged < $KmvK THEN n_merged
+        |                    ELSE (${KmvK - 1} * 4294967296) // greatest(kth, 1) END AS union_est,
+        |               inter_k * 1000000 // greatest(n_merged, 1) AS jaccard_ppm
+        |        FROM st)
+        |SELECT ta AS type_a, tb AS type_b, union_est, jaccard_ppm,
+        |       jaccard_ppm * union_est // 1000000 AS inter_est
+        |FROM est""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
-    Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram, statsColumns)
+    Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram,
+      statsColumns, sketchKmvUnion, sketchKmvJaccard)
 }
