@@ -223,16 +223,24 @@ object GraphOps {
     * co-keyed shuffles; everything is integer, so the coefficient
     * (triangles-per-wedge, ppm) hash-matches exactly.
     */
-  def triangles(events: DataFrame): DataFrame = {
-    val und = cooccurrenceEdges(events).localCheckpoint()
+  def triangles(events: DataFrame): DataFrame =
+    triangleStats(cooccurrenceEdges(events).localCheckpoint())
+
+  /** The orientation/wedge/close pipeline over an undirected edge frame
+    * (u, v) with u < v, deduplicated — separated from the edge derivation
+    * so GraphSpec can check it against hand-counted fixtures. */
+  private[graft] def triangleStats(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
     val wd = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), "v")
-    // orient: src = lexicographically smaller (deg, id) endpoint
-    val oriented = wd.select(
+    // orient: src = lexicographically smaller (deg, id) endpoint. STAGED:
+    // three consumers walk this frame (both wedge sides + the closing
+    // semi-join) — unstaged, each re-runs the und⋈deg⋈deg derivation and
+    // the plan balloons to ~20 exchanges.
+    val oriented = graft.Materialize.stage(wd.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
@@ -241,7 +249,7 @@ object GraphOps {
         .otherwise(col("u")).as("dst"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("dv"))
-        .otherwise(col("du")).as("ddg"))
+        .otherwise(col("du")).as("ddg")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&

@@ -47,7 +47,12 @@ object DumpPlans {
       "chunk_documents" -> "chunking: scan → generate (sequence/explode) → project, ZERO exchanges — chunk geometry is fully row-local",
       "graph_pagerank" -> "PageRank: per-iteration user-keyed join + map-side-combinable sum onto dst; final top-k is TakeOrderedAndProject, no global sort",
       "quantile_histogram" -> "histogram quantiles: (type, bin) hash agg bounds the shuffle at the bin count; cumulative window runs over bins, not rows",
-      "q5_region_revenue" -> "TPC-H Q5 shape: statistics-driven joins — at testbed scale ALL five joins broadcast (1 exchange = the final agg); at 100 TB orders exceeds the threshold and lineitem⋈orders becomes the one co-keyed shuffle")
+      "q5_region_revenue" -> "TPC-H Q5 shape: statistics-driven joins — at testbed scale ALL five joins broadcast (1 exchange = the final agg); at 100 TB orders exceeds the threshold and lineitem⋈orders becomes the one co-keyed shuffle",
+      "sketch_kmv_union" -> "KMV merge: per-type partial_kmvsketchaggregate → explode of n_groups·k longs → ONE re-sketch aggregate — union cardinality from sketch metadata, the input is never rescanned",
+      "graph_triangles" -> "triangles: capped co-occurrence pair join co-keyed on item, degree-orientation projection, wedge self-join + left-semi close both co-keyed — no broadcast of corpus-derived frames except the tiny hot-item/scalar sets",
+      "anomaly_burst" -> "burst detection: ONE map-side-combinable (user, hour) count, then the per-user moment window runs over the count frame — raw events never enter a window partition",
+      "ann_quantized_topk" -> "quantized ANN: graft_q8 + graft_dot both in whole-stage codegen over one corpus scan, broadcast 1-row query side, TakeOrderedAndProject",
+      "q3_shipping_priority" -> "TPC-H Q3 shape: segment-pruned customer broadcasts, date filters pushed into both scans, lineitem⋈orders co-keyed, top-10 via TakeOrderedAndProject — no global sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

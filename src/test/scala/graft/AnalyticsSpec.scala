@@ -131,6 +131,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(got === List(("click", "view")))
   }
 
+  test("anomaly burst: only >3σ-above-own-mean hours flag; flat and singleton users never do") {
+    def at(day: Int, hour: Int, m: Int) =
+      f"2024-01-$day%02d $hour%02d:$m%02d:00"
+    val rows =
+      // u1: ten 1-event hours + one 10-event hour.
+      // n=11, s=20, q=110; x=10: (110−20)² = 8100 > 9·(1210−400) = 7290 ✓
+      (0 until 10).map(h => (1L, "view", at(1, h, 0))) ++
+        (0 until 10).map(m => (1L, "view", at(1, 12, m))) ++
+        // u2: perfectly flat rate → zero variance, nothing flags
+        (0 until 5).flatMap(h => Seq(
+          (2L, "view", at(2, h, 0)), (2L, "view", at(2, h, 30)))) ++
+        // u3: a single active hour → n=1 self-excludes
+        Seq((3L, "view", at(3, 9, 0))) ++
+        // u4: mild outlier below 3σ: hours [1,1,1,3] → 6² = 36 ≤ 9·12
+        (0 until 3).map(h => (4L, "view", at(4, h, 0))) ++
+        (0 until 3).map(m => (4L, "view", at(4, 6, m)))
+    val got = AnalyticsOps.anomalyBurst(eventsDf(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toList === List((1L, 10L)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)

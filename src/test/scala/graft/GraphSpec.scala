@@ -81,6 +81,52 @@ class GraphSpec extends SparkSuite {
     assert(ranks === ranks.sorted(Ordering[Long].reverse))
   }
 
+  test("triangles: hand-counted K4 plus a pendant node") {
+    // K4 on {1,2,3,4} (4 triangles, every wedge closed) + pendant 5—1.
+    // Degrees: 1→4, 2/3/4→3, 5→1; wedges = C(4,2) + 3·C(3,2) = 15;
+    // gcc = 3·4·10⁶ div 15 = 800000.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("u", "v")
+    val got = GraphOps.triangleStats(und).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) === ((5L, 7L, 15L, 4L, 800000L)))
+  }
+
+  test("triangles: triangle-free graph reports zero with nonzero wedges") {
+    // a star: wedges exist, no closures
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val got = GraphOps.triangleStats(und).collect().head
+    assert((got.getLong(3), got.getLong(4)) === ((0L, 0L)))
+    assert(got.getLong(2) === 3L) // C(3,2) wedges at the hub
+  }
+
+  test("co-occurrence edges: shared items pair users; hub items are capped out") {
+    val hubUsers = (100L until 100L + GraphOps.TriItemCap + 1).toSeq
+    val e = eventsDf(
+      // item 1: three users → the full C(3,2) pair set
+      Seq((1L, 1L, "2024-01-01 10:00:00"),
+        (2L, 1L, "2024-01-01 11:00:00"),
+        (3L, 1L, "2024-01-01 12:00:00")) ++
+        // hub item 99: cap+1 users → contributes NOTHING
+        hubUsers.map(u => (u, 99L, "2024-01-02 10:00:00")))
+    val got = GraphOps.cooccurrenceEdges(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("registry wiring: triangle stats are internally consistent") {
+    val got = GraphOps.graphTriangles.run(spark, smokeDir).collect().head
+    val (nodes, edges, wedges, tri, gcc) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4))
+    assert(nodes > 0 && edges > 0 && wedges > 0)
+    // every triangle closes three wedges; the coefficient is the declared
+    // integer formula
+    assert(tri * 3 <= wedges)
+    assert(gcc === tri * 3 * 1000000L / math.max(wedges, 1L))
+  }
+
   test("registry wiring: components labels every interaction-graph user") {
     val labels = GraphOps.graphComponents.run(spark, smokeDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -117,6 +117,67 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("KMV mergeability: re-sketching per-group sketches equals the direct global sketch") {
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    // 3 groups with overlapping hash sets, cardinalities well above k
+    val rows = (1 to 900).map { i =>
+      (s"g${i % 3}", (i % 400) * 2654435761L % 104729)
+    }
+    val base = rows.toDF("g", "h")
+    val merged = base
+      .groupBy("g").agg(expr("graft_kmv(h, 16)").as("mins"))
+      .select(explode(col("mins")).as("h"))
+      .agg(expr("graft_kmv(h, 16)").as("mins"))
+      .collect()(0).getSeq[Long](0)
+    val direct = base.agg(expr("graft_kmv(h, 16)").as("mins"))
+      .collect()(0).getSeq[Long](0)
+    assert(merged === direct)
+  }
+
+  test("KMV jaccard estimator: disjoint sets score 0, identical sets score 1") {
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    // types a/b identical, type c disjoint — cardinality above k so the
+    // estimator (not the exact branch) is exercised
+    val rows =
+      (1 to 200).flatMap(i => Seq("a" -> i.toLong, "b" -> i.toLong)) ++
+        (1001 to 1200).map(i => "c" -> i.toLong)
+    val hashed = rows.toDF("event_type", "u")
+      .select(col("event_type"),
+        expr("((u % 1000003) * 2654435761) % 4294967296").as("h"))
+    graft.functions.KmvSketchAggregate.ensureRegistered(spark)
+    val sk = hashed.groupBy("event_type")
+      .agg(expr(s"graft_kmv(h, ${SketchOps.KmvK})").as("mins"))
+    val out = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        expr(s"slice(array_sort(array_distinct(concat(a.mins, b.mins))), 1, ${SketchOps.KmvK})")
+          .as("merged"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"))
+      .select(col("ta"), col("tb"),
+        expr("CAST(size(filter(merged, h -> array_contains(ma, h) AND array_contains(mb, h))) AS BIGINT) * 1000000 div greatest(size(merged), 1)")
+          .as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) === 1000000L) // identical sketches, full overlap
+    assert(out(("a", "c")) === 0L) // disjoint hash sets, zero overlap
+    assert(out(("b", "c")) === 0L)
+  }
+
+  test("registry wiring: kmv union estimate tracks the true union cardinality") {
+    val got = SketchOps.sketchKmvUnion.run(spark, smokeDir).collect().head
+    val (nGroups, nKept, est) =
+      (got.getLong(0), got.getLong(1), got.getLong(2))
+    val truth = Tables.events(spark, smokeDir)
+      .select("user_id").distinct().count()
+    assert(nGroups > 0 && nKept > 0)
+    if (nKept < SketchOps.KmvK) assert(est === truth) // exact regime
+    else { // 4 standard errors of the KMV estimator
+      val bound = 4.0 / math.sqrt(SketchOps.KmvK - 2)
+      assert(math.abs(est - truth).toDouble / truth < bound,
+        s"union est $est vs true $truth")
+    }
+  }
+
   test("CMS reports every user whose TRUE count reaches the threshold") {
     // est >= true, so no user at/above threshold by true count can be missed
     val total = Tables.events(spark, smokeDir).count()
