@@ -267,7 +267,72 @@ object AnalyticsOps {
         |  AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)""".stripMargin),
     bench = true)
 
+  /** Q:assoc_lift_daily — market-basket association between event types
+    * over (user, day) baskets: lift(A,B) = P(A∧B) / (P(A)·P(B)), the
+    * exact-set complement of `sketch_kmv_jaccard`'s sketch estimates
+    * (daily baskets rather than all-time presence, so the testbed's
+    * everyone-does-everything degeneracy disappears). Scale shape: the
+    * basket distinct is ONE map-side-combinable shuffle; the pair
+    * self-join is co-keyed on basket, bounded per basket by the type
+    * VOCABULARY (not basket size — the distinct ran first), so Σ|types|²
+    * per basket can never go quadratic in the corpus; per-type counts
+    * broadcast (vocabulary-sized). Lift is emitted as a staged integer
+    * floor division (n_ab·10⁶ div n_a, then ·N div n_b) — each stage
+    * keeps every intermediate below n_baskets·10⁶, so there is no
+    * overflow at any corpus size; the staging's floor error is < 1 ppm
+    * of a confidence step and both engines replay it verbatim.
+    */
+  def assocLiftDaily(events: DataFrame): DataFrame = {
+    val b = events
+      .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"),
+        col("event_type"))
+      .distinct()
+    val nb = b.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val na = b.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(na.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(na.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nb))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("(n_ab * 1000000 div n_a) * n_baskets div n_b").as("lift_ppm"))
+  }
+
+  val assocLiftDailyQ = GQuery(
+    "assoc_lift_daily",
+    (s, d) => assocLiftDaily(Tables.events(s, d)),
+    oracle = Some(
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |                 event_type
+        |          FROM events),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, day FROM b)),
+        |na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM b GROUP BY 1),
+        |p AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM b l JOIN b r ON l.user_id = r.user_id AND l.day = r.day
+        |                       AND l.event_type < r.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |       (p.n_ab * 1000000 // x.n) * nb.n_baskets // y.n AS lift_ppm
+        |FROM p
+        |JOIN na x ON p.type_a = x.event_type
+        |JOIN na y ON p.type_b = y.event_type
+        |CROSS JOIN nb""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
-      anomalyBurstQ)
+      anomalyBurstQ, assocLiftDailyQ)
 }

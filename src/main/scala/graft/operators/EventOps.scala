@@ -652,11 +652,61 @@ object EventOps {
          |      FROM game)
          |GROUP BY room""".stripMargin))
 
+  /** As-of cutoff for [[scd2AsofSnapshot]] — mid-range of the testbed's
+    * 30-day event span so both superseded and open-ended versions exist. */
+  final val AsofCutoff = "2024-01-15 12:00:00"
+
+  /** Q:scd2_asof_snapshot — the changelog as a slowly-changing dimension:
+    * reconstruct every user's `value` AS OF [[AsofCutoff]], with the
+    * version's validity interval [valid_from, valid_to) derived from the
+    * next change (SCD-2 semantics; open-ended versions emit NULL
+    * valid_to). The generalization of S5's last-per-key compaction
+    * ([[tableviewLastPerKey]]) to "last per key AT TIME T" — what a
+    * warehouse reads to join facts against dimension state as of the
+    * fact's day. ONE user-keyed window shuffle (event_id tie-break ⇒
+    * same-instant rewrites supersede deterministically), then a
+    * row-local interval test picks exactly one version per user active
+    * at T; users whose first event is after T have no version and drop
+    * out, matching the dimension-not-yet-born semantics.
+    */
+  /** The as-of reconstruction over any (user_id, event_id, ts, value)
+    * changelog frame — separated from the table load so the spec can
+    * feed hand-built version histories. */
+  def scd2Snapshot(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("ts") <= lit(AsofCutoff).cast("timestamp") &&
+        (col("next_ts").isNull ||
+          col("next_ts") > lit(AsofCutoff).cast("timestamp")))
+      .select(col("user_id"), col("value"),
+        expr("unix_timestamp(ts)").as("valid_from_epoch"),
+        expr("unix_timestamp(next_ts)").as("valid_to_epoch"))
+  }
+
+  val scd2AsofSnapshot = GQuery(
+    "scd2_asof_snapshot",
+    (s, d) => scd2Snapshot(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH v AS (SELECT user_id, value, ts,
+        |                 lead(ts) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_ts
+        |          FROM events)
+        |SELECT user_id, value,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+        |       CAST(floor(epoch(next_ts)) AS BIGINT) AS valid_to_epoch
+        |FROM v
+        |WHERE ts <= TIMESTAMP '$AsofCutoff'
+        |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
     topkRecentScores, replayScan, offsetTailRead, jsonExtract, parseRoomName,
     timeAdd, schemaEnforce, schemaEvolution, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
-    joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission)
+    joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission,
+    scd2AsofSnapshot)
 }

@@ -52,7 +52,9 @@ object DumpPlans {
       "graph_triangles" -> "triangles: capped co-occurrence pair join co-keyed on item, degree-orientation projection, wedge self-join + left-semi close both co-keyed — no broadcast of corpus-derived frames except the tiny hot-item/scalar sets",
       "anomaly_burst" -> "burst detection: ONE map-side-combinable (user, hour) count, then the per-user moment window runs over the count frame — raw events never enter a window partition",
       "ann_quantized_topk" -> "quantized ANN: graft_q8 + graft_dot both in whole-stage codegen over one corpus scan, broadcast 1-row query side, TakeOrderedAndProject",
-      "q3_shipping_priority" -> "TPC-H Q3 shape: segment-pruned customer broadcasts, date filters pushed into both scans, lineitem⋈orders co-keyed, top-10 via TakeOrderedAndProject — no global sort")
+      "q3_shipping_priority" -> "TPC-H Q3 shape: segment-pruned customer broadcasts, date filters pushed into both scans, lineitem⋈orders co-keyed, top-10 via TakeOrderedAndProject — no global sort",
+      "assoc_lift_daily" -> "basket lift: ONE basket distinct shuffle, pair join co-keyed on (user, day) and bounded by the type vocabulary, per-type counts broadcast — no corpus-sized non-basket shuffle",
+      "scd2_asof_snapshot" -> "SCD2 as-of: one user-keyed window shuffle (lead over (ts, event_id)), row-local interval test — the cutoff filter never rescans")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

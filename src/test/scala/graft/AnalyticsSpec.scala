@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.AnalyticsOps
+import graft.operators.{AnalyticsOps, EventOps}
 
 /** funnel_stages / cohort_retention: hand-built event logs pin the ordered
   * semantics (a later-stage event BEFORE the earlier stage's first entry
@@ -150,6 +150,53 @@ class AnalyticsSpec extends SparkSuite {
     val got = AnalyticsOps.anomalyBurst(eventsDf(rows))
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(got.toList === List((1L, 10L)))
+  }
+
+  test("assoc lift: hand-computed staged-integer lift; never-co-occurring pairs are absent") {
+    // baskets: {a,b}, {a,b}, {a}, {c} → N=4, n_a=3, n_b=2, n_c=1, n_ab=2
+    // lift(a,b) = (2·10⁶ div 3)·4 div 2 = 1333332 (true 4/3, floor-staged)
+    val e = eventsDf(Seq(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 11:00:00"),
+      (1L, "a", "2024-01-01 12:00:00"), // duplicate membership — distinct'd
+      (2L, "a", "2024-01-01 10:00:00"), (2L, "b", "2024-01-01 10:30:00"),
+      (3L, "a", "2024-01-01 09:00:00"),
+      (4L, "c", "2024-01-01 08:00:00"),
+      // user 1 again on ANOTHER day: a separate basket, a-only
+      (1L, "a", "2024-01-02 10:00:00")))
+    // the extra day-2 basket shifts N to 5 and n_a to 4:
+    // lift(a,b) = (2·10⁶ div 4)·5 div 2 = 1250000
+    val got = AnalyticsOps.assocLiftDaily(e)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(("a", "b") -> ((2L, 1250000L))))
+  }
+
+  test("scd2 snapshot: picks the version straddling the cutoff; ties supersede by event_id") {
+    val rows = Seq(
+      // u1: three versions; the 01-14 one is active at the cutoff
+      (1L, 1L, "2024-01-10 00:00:00", 1.0),
+      (1L, 2L, "2024-01-14 00:00:00", 2.0),
+      (1L, 3L, "2024-01-20 00:00:00", 3.0),
+      // u2: single open-ended version
+      (2L, 4L, "2024-01-01 00:00:00", 5.0),
+      // u3: born after the cutoff → no version
+      (3L, 5L, "2024-01-16 00:00:00", 6.0),
+      // u4: two writes at the SAME instant — higher event_id supersedes;
+      // the superseded write's validity interval is EMPTY so it never
+      // matches any cutoff
+      (4L, 7L, "2024-01-12 10:00:00", 7.0),
+      (4L, 8L, "2024-01-12 10:00:00", 8.0))
+    val e = rows.map { case (u, id, at, v) => (u, id, ts(at), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    def ep(at: String): Long = ts(at).getTime / 1000
+    val got = EventOps.scd2Snapshot(e)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2.0, ep("2024-01-14 00:00:00"), ep("2024-01-20 00:00:00"))),
+      2L -> ((5.0, ep("2024-01-01 00:00:00"), -1L)),
+      4L -> ((8.0, ep("2024-01-12 10:00:00"), -1L))))
   }
 
   test("registry wiring: all queries run on the smoke testbed") {
