@@ -229,18 +229,21 @@ object GraphOps {
   /** The orientation/wedge/close pipeline over an undirected edge frame
     * (u, v) with u < v, deduplicated — separated from the edge derivation
     * so GraphSpec can check it against hand-counted fixtures. */
-  private[graft] def triangleStats(und: DataFrame): DataFrame = {
-    val deg = und.select(col("u").as("x"))
+  /** Degree frame (x, dg) over an undirected edge frame. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
+
+  /** The degree-ordered orientation (src, dst, ddg) of an undirected
+    * edge frame, STAGED: several consumers walk this frame (both wedge
+    * sides + the closing joins) — unstaged, each re-runs the und⋈deg⋈deg
+    * derivation and the plan balloons to ~20 exchanges. */
+  private def orientedEdges(und: DataFrame, deg: DataFrame): DataFrame = {
     val wd = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), "v")
-    // orient: src = lexicographically smaller (deg, id) endpoint. STAGED:
-    // three consumers walk this frame (both wedge sides + the closing
-    // semi-join) — unstaged, each re-runs the und⋈deg⋈deg derivation and
-    // the plan balloons to ~20 exchanges.
-    val oriented = graft.Materialize.stage(wd.select(
+    graft.Materialize.stage(wd.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
@@ -250,15 +253,26 @@ object GraphOps {
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("dv"))
         .otherwise(col("du")).as("ddg")))
-    val wedges = oriented.as("e1")
+  }
+
+  /** Closed wedges (src, a, b) — one row per triangle, the minimum-
+    * (deg, id) corner as src. The inner join (not semi) keeps the corner
+    * columns so per-node counts can explode them. */
+  private def closedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.ddg") < col("e2.ddg") ||
             (col("e1.ddg") === col("e2.ddg") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    val nTri = wedges.join(oriented.select(col("src").as("a"), col("dst").as("b")),
+      .select(col("e1.src").as("w"), col("e1.dst").as("a"),
+        col("e2.dst").as("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+
+  private[graft] def triangleStats(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
+    val oriented = orientedEdges(und, deg)
+    val nTri = closedWedges(oriented).agg(count(lit(1)).as("n_triangles"))
     val totals = und.agg(count(lit(1)).as("n_edges"))
     val wedgeTotal = deg.agg(
       count(lit(1)).as("n_nodes"),
@@ -316,5 +330,70 @@ object GraphOps {
         |FROM wt, tot, tri""".stripMargin),
     bench = true)
 
-  val queries: Seq[GQuery] = Seq(graphPagerank, graphComponents, graphTriangles)
+  /** Q:graph_lcc_topk — top-10 users by LOCAL clustering coefficient
+    * ("how much of a clique is my neighborhood"): lcc(x) = 2·tri(x) /
+    * (deg(x)·(deg(x)−1)), integer ppm. Per-node triangle counts fall out
+    * of the SAME oriented/closed-wedge pipeline as [[graphTriangles]] —
+    * the closing join keeps the corner columns and one row-local explode
+    * + count gives tri(x); nodes of degree ≥ 2 with no triangles keep
+    * lcc 0 via the left join, so the top-k is total-ordered
+    * (lcc DESC, tri DESC, user) and deterministic on clique-heavy graphs
+    * where many nodes tie at 10⁶.
+    */
+  def lccTopk(events: DataFrame): DataFrame =
+    lccFromEdges(cooccurrenceEdges(events).localCheckpoint())
+
+  /** The lcc ranking over an explicit undirected edge frame — the seam
+    * GraphSpec pins against hand-computed K4 coefficients. */
+  private[graft] def lccFromEdges(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
+    val tri = closedWedges(orientedEdges(und, deg))
+      .select(explode(array(col("w"), col("a"), col("b"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nt"))
+    deg.filter(col("dg") >= 2)
+      .join(tri, Seq("x"), "left")
+      .select(col("x").as("user_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"), col("dg"),
+        expr("coalesce(nt, 0) * 2 * 1000000 div (dg * (dg - 1))")
+          .as("lcc_ppm"))
+      .orderBy(desc("lcc_ppm"), desc("n_tri"), asc("user_id"))
+      .limit(10)
+  }
+
+  val graphLccTopk = GQuery(
+    "graph_lcc_topk",
+    (s, d) => lccTopk(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH $CoocCte,
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN e.u ELSE e.v END AS src,
+        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN e.v ELSE e.u END AS dst,
+        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |                    THEN dv.dg ELSE du.dg END AS ddg
+        |        FROM und e
+        |        JOIN deg du ON e.u = du.x
+        |        JOIN deg dv ON e.v = dv.x),
+        |tri3 AS (SELECT e1.src AS w, e1.dst AS a, e2.dst AS b
+        |         FROM ori e1
+        |         JOIN ori e2 ON e1.src = e2.src
+        |                    AND (e1.ddg, e1.dst) < (e2.ddg, e2.dst)
+        |         JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |tc AS (SELECT w AS x FROM tri3 UNION ALL SELECT a FROM tri3
+        |       UNION ALL SELECT b FROM tri3),
+        |nt AS (SELECT x, CAST(count(*) AS BIGINT) AS nt FROM tc GROUP BY 1)
+        |SELECT deg.x AS user_id,
+        |       COALESCE(nt.nt, 0) AS n_tri, deg.dg,
+        |       COALESCE(nt.nt, 0) * 2 * 1000000 // (deg.dg * (deg.dg - 1)) AS lcc_ppm
+        |FROM deg LEFT JOIN nt ON deg.x = nt.x
+        |WHERE deg.dg >= 2
+        |ORDER BY lcc_ppm DESC, n_tri DESC, user_id
+        |LIMIT 10""".stripMargin),
+    bench = true)
+
+  val queries: Seq[GQuery] =
+    Seq(graphPagerank, graphComponents, graphTriangles, graphLccTopk)
 }

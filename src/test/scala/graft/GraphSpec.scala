@@ -93,6 +93,29 @@ class GraphSpec extends SparkSuite {
       got.getLong(3), got.getLong(4)) === ((5L, 7L, 15L, 4L, 800000L)))
   }
 
+  test("lcc: K4 members are perfect cliques, the pendant-edge hub is half") {
+    // Same K4 + pendant 5—1 fixture. tri(1)=3 of C(4,2)=6 possible pairs
+    // among its 4 neighbors → lcc 500000 ppm; tri(2/3/4)=3 of C(3,2)=3 →
+    // 10⁶; node 5 (degree 1) is excluded. Ties break by user_id.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("u", "v")
+    val got = GraphOps.lccFromEdges(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got === List(
+      (2L, 3L, 3L, 1000000L), (3L, 3L, 3L, 1000000L),
+      (4L, 3L, 3L, 1000000L), (1L, 3L, 4L, 500000L)))
+  }
+
+  test("lcc: degree-2 node with no closure ranks with lcc 0") {
+    // path 1—2—3: node 2 has a wedge but no triangle → present at 0
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = GraphOps.lccFromEdges(und).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(got === List((2L, 0L)))
+  }
+
   test("triangles: triangle-free graph reports zero with nonzero wedges") {
     // a star: wedges exist, no closures
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")

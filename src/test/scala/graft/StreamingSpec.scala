@@ -147,6 +147,61 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming burst changelog folds to the batch flag set") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingAnomaly.bursts(stream).toDF(),
+      "burst_stream", OutputMode.Append)
+    // fold the changelog: latest emission per (user, hr) by seq
+    val folded = spark.table("burst_stream")
+      .groupBy("user_id", "hr")
+      .agg(max_by(col("flagged"), col("seq")).as("fl"),
+        max_by(col("cnt"), col("seq")).as("cnt"))
+      .filter(col("fl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = graft.operators.AnalyticsOps.anomalyBurst(
+        Tables.events(spark, smokeDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded === batch)
+    assert(folded.nonEmpty)
+  }
+
+  test("streaming burst flags clear when later hours raise the baseline") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamingAnomaly
+      .bursts(input.toDF().toDF("user_id", "ts")).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("burst_batches").start()
+    // batch 1: ten 1-event hours + one 21-event hour → n=11, s=31, q=451;
+    // d = 11·21−31 = 200, d² = 40000 > 9·(11·451−31²) = 36000 ✓ flagged.
+    // (The spike inflates its own variance: at 9 baseline hours the test
+    // lands exactly ON the integer boundary and strict > rejects — the
+    // 3σ bar is genuinely hard to clear with few baseline hours.)
+    (0 until 10).foreach(h => input.addData((1L, t(f"2024-01-01 $h%02d:00:00"))))
+    (0 until 21).foreach(m => input.addData((1L, t(f"2024-01-01 12:$m%02d:00"))))
+    q.processAllAvailable()
+    val afterSpike = spark.table("burst_batches")
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(1), r.getBoolean(3))).toList
+    assert(afterSpike.exists { case (_, fl) => fl }, "spike hour must flag")
+    // batch 2: eleven more hours at 21 events each — the spike becomes
+    // the NEW NORMAL and the flag must clear
+    (13 until 24).foreach { h =>
+      (0 until 21).foreach(m => input.addData((1L, t(f"2024-01-01 $h%02d:$m%02d:00"))))
+    }
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("burst_batches")
+      .groupBy("user_id", "hr")
+      .agg(max_by(col("flagged"), col("seq")).as("fl"))
+      .filter(col("fl")).count()
+    assert(last === 0L, "baseline shift must clear every flag")
+  }
+
   test("streaming KMV sketch == batch distinct estimate bit-for-bit") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
