@@ -338,7 +338,73 @@ object PipelineOps {
          |      FROM documents)
          |WHERE rn <= $StratumSampleK""".stripMargin))
 
+  /** Q:mixture_balance — domain-mixture balancing for a training corpus:
+    * downsample every source to a UNIFORM token share without upsampling
+    * any of them. The largest corpus satisfying the target mix is bounded
+    * by the smallest source, so rate(s) = min_s'(tokens(s')) / tokens(s)
+    * as integer ppm, and each doc is admitted by the same driver-free
+    * Knuth multiplicative hash as `sample_hash_bernoulli`
+    * (hash(doc_id) mod 10⁶ < rate_ppm) — reproducible across engines and
+    * runs, no rand(), no global sort.
+    *
+    * Plan shape: ONE scan derives the narrow per-doc frame (source,
+    * doc_id, ntok, h) — staged via [[graft.Materialize.stage]] because
+    * two consumers walk it (the per-source totals and the post-rate
+    * admission counts; unstaged, the text scan + tokenize runs twice);
+    * both aggregates group by the low-cardinality source key
+    * (map-side-combinable two-stage shuffles), the min is a scalar
+    * cross-joined back, and the 20-row rate table broadcasts into the
+    * admission pass. Integer bound: rate_ppm's numerator min_tok·10⁶
+    * stays in Long up to ~9·10¹² tokens in the SMALLEST source (~36 TB of
+    * text per source) — beyond that, drop the scale to per-10⁴.
+    */
+  val mixtureBalance = GQuery(
+    "mixture_balance",
+    (s, d) => {
+      val perDoc = graft.Materialize.stage(
+        Tables.documents(s, d).select(
+          col("source"),
+          size(tokArr(col("text"))).cast("long").as("ntok"),
+          ((col("doc_id") % 1000003L) * 2654435761L % 1000000L).as("h")))
+      val per = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      val rates = per
+        .crossJoin(broadcast(per.agg(min("n_tokens").as("min_tok"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("min_tok * 1000000 div n_tokens").as("rate_ppm"))
+      perDoc.join(broadcast(rates), Seq("source"))
+        .groupBy("source")
+        .agg(
+          first("n_docs").as("n_docs"),
+          first("n_tokens").as("n_tokens"),
+          first("rate_ppm").as("rate_ppm"),
+          sum(when(col("h") < col("rate_ppm"), 1L).otherwise(0L))
+            .as("n_docs_kept"),
+          sum(when(col("h") < col("rate_ppm"), col("ntok")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      """WITH mb_dt AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ntok,
+        |         ((doc_id % 1000003) * 2654435761) % 1000000 AS h
+        |  FROM documents),
+        |mb_per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |           FROM mb_dt GROUP BY 1),
+        |mb_rates AS (SELECT source, n_docs, n_tokens,
+        |                    (SELECT min(n_tokens) FROM mb_per) * 1000000 // n_tokens AS rate_ppm
+        |             FROM mb_per)
+        |SELECT r.source, r.n_docs, r.n_tokens, r.rate_ppm,
+        |       CAST(count(*) FILTER (d.h < r.rate_ppm) AS BIGINT) AS n_docs_kept,
+        |       CAST(COALESCE(sum(d.ntok) FILTER (d.h < r.rate_ppm), 0) AS BIGINT) AS n_tokens_kept
+        |FROM mb_rates r JOIN mb_dt d USING (source)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY source""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     textRepetition, textLengthHistogram, piiRedact, sampleWeights,
-    packSequences, packSequencesBpe, sampleStratified)
+    packSequences, packSequencesBpe, sampleStratified, mixtureBalance)
 }

@@ -540,9 +540,55 @@ object RelationalOps {
         |LIMIT 10""".stripMargin),
     bench = true)
 
+  /** Q:q18_large_orders — TPC-H Q18 (large-volume customers): orders
+    * whose total lineitem quantity exceeds 300, with their customer.
+    * The textbook formulation is an IN-subquery with HAVING; the Spark
+    * plan replaces it with a single self-aggregate of the fact table —
+    * groupBy(l_orderkey) with map-side partial sums, the HAVING as a
+    * post-agg filter, and the filtered (tiny: the >300 tail) aggregate
+    * joined back to orders on the SAME key the aggregate just shuffled
+    * on, so AQE broadcasts the survivors and lineitem is scanned ONCE
+    * (the naive plan scans it twice: once for the subquery, once for the
+    * outer sum). customer joins last, against the already-tiny result.
+    * sum(l_quantity) is a sum of integer-valued doubles (≤ 458 here,
+    * ≤ ~10⁶ at any plausible order size) — exact in double on both
+    * engines, emitted CAST AS BIGINT; o_totalprice is a pass-through
+    * stored column (no arithmetic), so the double hash-compares
+    * bit-for-bit. Top-100 by (o_totalprice DESC, o_date_epoch,
+    * o_orderkey) — the trailing key makes the row set deterministic —
+    * via TakeOrderedAndProject, no global sort.
+    */
+  val q18LargeOrders = GQuery(
+    "q18_large_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("unix_timestamp(o_orderdate)").as("o_date_epoch"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_date_epoch"), asc("o_orderkey"))
+        .limit(100)
+    },
+    oracle = Some(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch,
+        |       o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING total_qty > 300) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_date_epoch, o_orderkey
+        |LIMIT 100""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
-    joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority)
+    joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders)
 }

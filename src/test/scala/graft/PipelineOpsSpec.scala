@@ -50,6 +50,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(shareSum > 1000000L - out.length && shareSum <= 1000000L)
   }
 
+  test("mixture_balance: smallest source keeps everything-rate, kept within totals") {
+    val out = PipelineOps.mixtureBalance.run(spark, smokeDir).collect()
+    assert(out.nonEmpty)
+    // the binding source (min tokens) gets rate exactly 10⁶; nobody exceeds it
+    assert(out.exists(_.getAs[Long]("rate_ppm") === 1000000L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") <= 1000000L)
+      assert(r.getAs[Long]("rate_ppm") >= 1L) // no source downsampled to zero
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens"))
+    }
+    // admission is the declared hash test, not an approximation: replay it
+    val perDoc = Tables.documents(spark, smokeDir).select(
+      col("source"),
+      expr("(doc_id % 1000003) * 2654435761 % 1000000").as("h"))
+    val rates = out.map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_ppm")).toMap
+    val expectKept = perDoc.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.count(_.getLong(1) < rates(s)).toLong }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs_kept") === expectKept(r.getAs[String]("source")))
+    }
+  }
+
   test("text_length_histogram partitions the corpus exactly") {
     val hist = PipelineOps.textLengthHistogram.run(spark, smokeDir)
     val nDocs = hist.agg(sum("n_docs")).head.getLong(0)

@@ -77,4 +77,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin LeftAnti"),
       s"boiler set must broadcast, not shuffle the corpus spans:\n$p")
   }
+
+  test("q18_large_orders scans lineitem once and takes the top-100 sorted") {
+    // the HAVING self-aggregate must replace the textbook IN-subquery:
+    // one lineitem scan feeding one groupBy, not a scan per reference
+    val p = plan(RelationalOps.q18LargeOrders)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not pushed:\n$p")
+  }
 }
