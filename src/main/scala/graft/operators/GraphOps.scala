@@ -394,6 +394,64 @@ object GraphOps {
         |LIMIT 10""".stripMargin),
     bench = true)
 
+  /** Hop bound for [[bfsHops]] — deep enough to cross the testbed's
+    * communities, small enough that the recursive oracle stays cheap. */
+  final val BfsMaxHops = 4L
+
+  /** Q:graph_bfs_hops — single-source BFS hop distance over the
+    * co-occurrence graph, frontier-style: each iteration joins ONLY the
+    * newly-reached frontier against the (staged, both-direction) edge
+    * frame, anti-joins the visited set, and appends — so total join work
+    * is O(Σ frontier-adjacent edges) ≤ O(m·hops) and each node is
+    * settled exactly once at its minimum hop (no min-aggregate needed:
+    * level-synchronous BFS discovers in hop order by construction). The
+    * seed is the graph's smallest node id, derived IN the plan (u < v
+    * invariant ⇒ min(u)), so there is no driver-side collect. Unreached
+    * nodes are absent (not NULL-hop), keeping the output total-ordered
+    * by user_id.
+    */
+  def bfsHops(events: DataFrame): DataFrame =
+    bfsFromEdges(cooccurrenceEdges(events).localCheckpoint())
+
+  /** The frontier loop over an explicit undirected edge frame — the seam
+    * GraphSpec pins against hand-traced hop distances. */
+  private[graft] def bfsFromEdges(und: DataFrame): DataFrame = {
+    val edges = graft.Materialize.stage(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst"))))
+    var dist = graft.Materialize.stage(
+      und.agg(min("u").as("x")).select(col("x"), lit(0L).as("hops")))
+    var frontier = dist
+    for (i <- 1L to BfsMaxHops) {
+      frontier = graft.Materialize.stage(
+        frontier.join(edges, col("x") === col("src"))
+          .select(col("dst").as("x"), lit(i).as("hops"))
+          .distinct()
+          .join(dist, Seq("x"), "left_anti"))
+      dist = graft.Materialize.stage(dist.union(frontier))
+    }
+    dist.orderBy("x").select(col("x").as("user_id"), col("hops"))
+  }
+
+  val graphBfsHops = GQuery(
+    "graph_bfs_hops",
+    (s, d) => bfsHops(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH RECURSIVE $CoocCte,
+        |bedges AS (SELECT u AS src, v AS dst FROM und
+        |           UNION ALL SELECT v, u FROM und),
+        |bfs AS (
+        |  SELECT (SELECT min(u) FROM und) AS x, 0 AS hops
+        |  UNION
+        |  SELECT e.dst AS x, b.hops + 1
+        |  FROM bfs b JOIN bedges e ON e.src = b.x
+        |  WHERE b.hops < $BfsMaxHops)
+        |SELECT x AS user_id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM bfs GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
-    Seq(graphPagerank, graphComponents, graphTriangles, graphLccTopk)
+    Seq(graphPagerank, graphComponents, graphTriangles, graphLccTopk,
+      graphBfsHops)
 }

@@ -116,6 +116,25 @@ class GraphSpec extends SparkSuite {
     assert(got === List((2L, 0L)))
   }
 
+  test("bfs: shortest path wins on a cycle, beyond-horizon nodes are absent") {
+    // square 1-2-4-3-1 with a tail 4—5—6—7—8: hops(1)=0, 2/3=1, 4=2,
+    // 5=3, 6=4; 7 and 8 are past BfsMaxHops=4 → absent
+    val und = Seq(
+      (1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val got = GraphOps.bfsFromEdges(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got === List(
+      (1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L), (6L, 4L)))
+  }
+
+  test("bfs: disconnected component is never reached") {
+    val und = Seq((1L, 2L), (5L, 6L)).toDF("u", "v")
+    val got = GraphOps.bfsFromEdges(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got === List((1L, 0L), (2L, 1L)))
+  }
+
   test("triangles: triangle-free graph reports zero with nonzero wedges") {
     // a star: wedges exist, no closures
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
