@@ -32,15 +32,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table is written with nanosecond parquet timestamps, which
-    * Spark's vectorized reader rejects. Read `ts` as a nanos long (legacy
-    * conf) and rebuild a microsecond TimestampType column — the generator's
-    * values are µs-aligned so this is lossless and matches the DuckDB view.
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations: nanosecond parquet timestamps (which Spark's
+    * vectorized reader rejects — read as a nanos long via the legacy conf
+    * and rebuild), or plain µs timestamps (NTZ under the modern writer).
+    * Normalize BY INSPECTING the resolved schema so either generation
+    * yields the same µs TimestampType column (session tz is pinned UTC, so
+    * the NTZ→LTZ cast is value-preserving).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", nanosColToMicrosTs("ts"))
+    val raw = table(s, d, "events")
+    normalizeTs(raw)
   }
+
+  /** ts normalization shared with the streaming reader (same two physical
+    * encodings arrive through readStream). */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", nanosColToMicrosTs("ts"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
 
   /** Nanos-long column → µs TimestampType via INTEGER division: epoch nanos
     * (~1.7e18) exceed double's 53-bit mantissa, so `/ 1000` through double

@@ -132,8 +132,18 @@ object EventStream {
     val readerFormat =
       if (cfg.format == "pulsar" && cfg.path.isDefined) "parquet"
       else cfg.format
+    // the file source needs a declared schema, but the testbed's physical
+    // ts type varies by generation (nanos long vs µs timestamp) — resolve
+    // declared fields against the actual footer so either generation loads
+    val resolvedSchema = cfg.schema.map { sch =>
+      if (readerFormat == "parquet" && cfg.path.isDefined) {
+        val actual = spark.read.parquet(cfg.path.get).schema
+        StructType(sch.map(f =>
+          actual.find(_.name == f.name).getOrElse(f)))
+      } else sch
+    }
     var reader = spark.readStream.format(readerFormat)
-    cfg.schema.foreach(s => reader = reader.schema(s))
+    resolvedSchema.foreach(s => reader = reader.schema(s))
     reader = reader.options(cfg.options)
     val raw = cfg.path.map(reader.load).getOrElse(reader.load())
     normalize(cfg, raw)
@@ -159,8 +169,9 @@ object EventStream {
           .select(col("room"), col("event_id"), col("ts"), col("e.user_id"),
             col("e.event_type"), col("e.value"), col("e.props"))
       case _ =>
-        // testbed parquet: ts is a nanos long on disk (see Tables.events)
-        raw.withColumn("ts", graft.Tables.nanosColToMicrosTs("ts"))
+        // testbed parquet: ts arrives as a nanos long or a µs timestamp
+        // depending on the testdata generation (see Tables.events)
+        graft.Tables.normalizeTs(raw)
     }
 
   /** Back-compat entry: the testbed file source for `dir`. */
