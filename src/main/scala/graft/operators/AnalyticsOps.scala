@@ -332,7 +332,54 @@ object AnalyticsOps {
         |CROSS JOIN nb""".stripMargin),
     bench = true)
 
+  /** Q:dau_cumulative — daily active users + cumulative distinct users to
+    * date, the growth-dashboard pair. Exact DAU is the easy half (groupBy
+    * day with a distinct on (day, user) — both map-side combinable). The
+    * cumulative half is the interesting one at scale: the naive
+    * "count(DISTINCT user) over days ≤ d" recomputes an O(users) distinct
+    * per day (O(days · users) total). The linear trick: cumulative
+    * distinct-to-date ≡ running SUM of first-seen counts — aggregate each
+    * user to their min(day) (ONE pass over the per-(day,user) frame the
+    * DAU leg already built), count first-sightings per day, and a running
+    * sum over the tiny day-grain frame (≤ #days rows — a single-partition
+    * window on purpose) finishes it. Days where every active user is
+    * returning get new_users = 0 via the left join from the DAU frame
+    * (dau ≥ 1 on every present day, so no day is lost).
+    */
+  def dauCumulative(events: DataFrame): DataFrame = {
+    val dayUser = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val firstSeen = dayUser.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum("new_users").over(wCum))
+      .select(expr("unix_timestamp(day)").as("day_epoch"),
+        col("dau"), col("new_users"), col("cum_users"))
+  }
+
+  val dauCumulativeQ = GQuery(
+    "dau_cumulative",
+    (s, d) => dauCumulative(Tables.events(s, d)),
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |fs AS (SELECT min(day) AS day FROM du GROUP BY user_id),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+        |SELECT CAST(floor(epoch(dau.day)) AS BIGINT) AS day_epoch, dau,
+        |       coalesce(new_users, 0) AS new_users,
+        |       CAST(sum(coalesce(new_users, 0))
+        |            OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN nu ON dau.day = nu.day""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
-      anomalyBurstQ, assocLiftDailyQ)
+      anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ)
 }

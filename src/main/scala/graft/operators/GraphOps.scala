@@ -193,7 +193,10 @@ object GraphOps {
     * something ("my neighbors also know each other"). The hub cap is a
     * broadcast anti-join on the (tiny, ≤ n/cap keys) hot-item set,
     * mirrored by the oracle's HAVING. */
-  private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame = {
+  /** The hub-capped (item, user) incidence frame both edge builders
+    * project — the cap is a broadcast anti-join on the (tiny, ≤ n/cap
+    * keys) hot-item set, mirrored by the oracle's HAVING. */
+  private def keptItemUsers(events: DataFrame): DataFrame = {
     val iu = events
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
         col("user_id"))
@@ -202,13 +205,32 @@ object GraphOps {
     val hot = iu.groupBy("item").agg(count(lit(1)).as("n"))
       .filter(col("n") > TriItemCap)
       .select("item")
-    val kept = iu.join(broadcast(hot), Seq("item"), "left_anti")
+    iu.join(broadcast(hot), Seq("item"), "left_anti")
+  }
+
+  private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame = {
+    val kept = keptItemUsers(events)
     kept.as("a")
       .join(kept.as("b"),
         col("a.item") === col("b.item") &&
           col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
+  }
+
+  /** Weighted co-occurrence edges (u, v, cnt): same pair projection as
+    * [[cooccurrenceEdges]] but keeping the shared-item count — the
+    * distinct becomes a groupBy-count on the SAME key, so the shuffle
+    * shape (and the hub-cap bound on per-item pair generation) is
+    * unchanged. */
+  private[graft] def weightedCoocEdges(events: DataFrame): DataFrame = {
+    val kept = keptItemUsers(events)
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.item") === col("b.item") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Q:graph_triangles — triangle count + global clustering coefficient
@@ -451,7 +473,100 @@ object GraphOps {
         |ORDER BY 1""".stripMargin),
     bench = true)
 
+  /** Relaxation rounds for [[ssspWeighted]] — the semantics are
+    * "minimum-cost path within ≤ this many hops", which makes a FIXED
+    * round count part of the query definition (and lets the oracle unroll
+    * it exactly). Matches [[BfsMaxHops]] so the two traversals cover the
+    * same horizon. */
+  final val SsspMaxRounds: Int = BfsMaxHops.toInt
+
+  /** Edge cost from a co-occurrence count: stronger ties are cheaper,
+    * everything integer so path costs hash-match. Shared between the
+    * engine and the oracle via string interpolation of [[TriItemCap]]. */
+  private def costExpr(cnt: String): String = s"1 + ($TriItemCap div $cnt)"
+
+  /** Q:graph_sssp_weighted — single-source weighted shortest path
+    * (min-plus Bellman-Ford) over the weighted co-occurrence graph, with
+    * DELTA propagation: each round relaxes only the frontier — the nodes
+    * whose distance improved last round — because a non-improved node's
+    * outgoing relaxations were already generated the round it last
+    * improved. Per-round work is one co-keyed join (frontier ⋈ edges) +
+    * one min-aggregate merge, so the total is O(m·rounds) worst-case and
+    * typically far less as frontiers shrink; distances stay on the nodes
+    * (no path enumeration anywhere — the oracle's unrolled min-plus
+    * algebra is the same fixpoint). Costs are integers
+    * (1 + cap div shared-items: stronger ties cheaper), so min() is
+    * exact and the result hash-matches. Seed = min node id, derived
+    * in-plan like BFS.
+    */
+  def ssspWeighted(events: DataFrame): DataFrame =
+    ssspFromEdges(weightedCoocEdges(events).localCheckpoint())
+
+  /** The delta-relaxation loop over an explicit weighted edge frame
+    * (u, v, cnt) — the seam GraphSpec pins against hand-traced costs. */
+  private[graft] def ssspFromEdges(wund: DataFrame): DataFrame = {
+    val w = wund.withColumn("w", expr(costExpr("cnt")))
+    val edges = graft.Materialize.stage(
+      w.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .union(w.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+    var dist = graft.Materialize.stage(
+      wund.agg(min("u").as("x")).select(col("x"), lit(0L).as("cost")))
+    var frontier = dist
+    for (_ <- 1 to SsspMaxRounds) {
+      val cand = frontier.join(edges, col("x") === col("src"))
+        .select(col("dst").as("x"), (col("cost") + col("w")).as("cost"))
+      val merged = graft.Materialize.stage(
+        dist.union(cand).groupBy("x").agg(min("cost").as("cost")))
+      frontier = graft.Materialize.stage(
+        merged.join(dist.select(col("x"), col("cost").as("old")),
+            Seq("x"), "left")
+          .filter(col("old").isNull || col("cost") < col("old"))
+          .select("x", "cost"))
+      dist = merged
+    }
+    dist.orderBy("x").select(col("x").as("user_id"), col("cost"))
+  }
+
+  /** The weighted-edge derivation as a CTE prefix (oracle twin of
+    * [[weightedCoocEdges]]). */
+  private val CoocWCte =
+    s"""iu AS (SELECT DISTINCT
+      |              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item,
+      |              user_id
+      |       FROM events
+      |       WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+      |keep AS (SELECT item FROM iu GROUP BY item
+      |         HAVING count(*) <= $TriItemCap),
+      |ki AS (SELECT iu.item, iu.user_id FROM iu JOIN keep ON iu.item = keep.item),
+      |wund AS (SELECT a.user_id AS u, b.user_id AS v, count(*) AS cnt
+      |         FROM ki a JOIN ki b
+      |           ON a.item = b.item AND a.user_id < b.user_id
+      |         GROUP BY 1, 2)""".stripMargin
+
+  val graphSsspWeighted: GQuery = {
+    val duckCost = s"1 + ($TriItemCap // cnt)"
+    val rounds = (1 to SsspMaxRounds).map { i =>
+      s"""d$i AS (SELECT x, min(cost) AS cost FROM (
+         |  SELECT x, cost FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d.cost + e.w FROM d${i - 1} d
+         |  JOIN bedges e ON e.src = d.x) GROUP BY x)""".stripMargin
+    }.mkString(",\n")
+    GQuery(
+      "graph_sssp_weighted",
+      (s, d) => ssspWeighted(Tables.events(s, d)),
+      oracle = Some(
+        s"""WITH $CoocWCte,
+          |bedges AS (SELECT u AS src, v AS dst, $duckCost AS w FROM wund
+          |           UNION ALL SELECT v, u, $duckCost FROM wund),
+          |d0 AS (SELECT (SELECT min(u) FROM wund) AS x,
+          |              CAST(0 AS BIGINT) AS cost),
+          |$rounds
+          |SELECT x AS user_id, cost FROM d$SsspMaxRounds ORDER BY 1""".stripMargin),
+      bench = true)
+  }
+
   val queries: Seq[GQuery] =
     Seq(graphPagerank, graphComponents, graphTriangles, graphLccTopk,
-      graphBfsHops)
+      graphBfsHops, graphSsspWeighted)
 }

@@ -586,9 +586,133 @@ object RelationalOps {
         |LIMIT 100""".stripMargin),
     bench = true)
 
+  /** Q:q10_returned_items — TPC-H Q10 (returned-item reporting): top-20
+    * customers by revenue lost to returns in one quarter. Plan shape: the
+    * quarter predicate pushes into the orders scan and the returnflag
+    * predicate into lineitem BEFORE their co-keyed l_orderkey ⋈ o_orderkey
+    * shuffle (both scans read only their join/agg columns); the revenue
+    * aggregate groups by o_custkey — at most one row per buying customer —
+    * and only THAT reduced frame joins customer and nation (nation
+    * broadcast; customer⋈agg co-keyed on custkey). Revenue uses the same
+    * scaled-integer emission as Q3 (floor(sum·10⁴ + 0.5): 4-decimal-
+    * terminating summands are the round()-unsafe regime), and the top-20
+    * sorts on (revenue_e4 DESC, c_custkey) so the row set is deterministic
+    * — TakeOrderedAndProject, no global sort. c_acctbal is a pass-through
+    * stored double (no arithmetic), bit-identical across engines.
+    */
+  val q10ReturnedItems = GQuery(
+    "q10_returned_items",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(
+          Tables.orders(s, d).filter(expr(
+            "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(expr(
+          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          .as("revenue_e4"))
+      rev
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .orderBy(desc("revenue_e4"), asc("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue_e4"),
+          col("c_acctbal"), col("n_name"))
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+        |       c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+    bench = true)
+
+  /** Price-bucket width for [[skylinePareto]]: testbed retail prices span
+    * [900, 1000), so width 10 gives ~10 buckets; at scale the width is a
+    * tuning knob — per-bucket row count is what must stay reducer-sized.
+    */
+  final val SkylinePriceBucket = 10.0
+
+  /** Q:skyline_pareto — 2-D skyline (Pareto frontier) over `part`: the
+    * parts no other part beats on BOTH axes (lower-or-equal price AND
+    * larger-or-equal size, strict on at least one). The naive formulation
+    * is a quadratic dominance anti-join; the distributed plan exploits
+    * that 2-D dominance decomposes along a price sort:
+    *
+    *   1. group by price → per-price max size (one co-keyed shuffle; the
+    *      frame has one row per distinct price),
+    *   2. bucket prices into fixed-width ranges; per-bucket running max of
+    *      size over strictly-lower prices (a window PER BUCKET — bounded
+    *      partitions, not one global sort),
+    *   3. cross-bucket prefix max over the tiny bucket-stats frame
+    *      (#buckets rows — a driver-free broadcast join), strictly-earlier
+    *      buckets ⇒ strictly lower prices by construction.
+    *
+    * A part is dominated iff a same-price part has strictly larger size,
+    * OR any strictly-lower-price part (same bucket via the running max,
+    * earlier bucket via the prefix) has size ≥ its own. Equal (price,
+    * size) duplicates are mutually non-dominating and all survive —
+    * matching the NOT EXISTS oracle's strictness exactly. Total cost: two
+    * keyed shuffles + one broadcast; no O(n²) pair join anywhere.
+    */
+  def skyline(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val pts = parts
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .withColumn("bkt",
+          floor(col("p_retailprice") / lit(SkylinePriceBucket)).cast("long"))
+      // one row per distinct price: its max size, bucketed
+      val byPrice = pts.groupBy("bkt", "p_retailprice")
+        .agg(max("p_size").as("price_max_size"))
+      // within-bucket: max size over strictly-lower prices (rows preceding
+      // on the one-row-per-price frame = strictly lower prices)
+      val wInBkt = Window.partitionBy("bkt").orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPrev = byPrice.withColumn("prev_max_in_bkt",
+        max("price_max_size").over(wInBkt))
+      // cross-bucket: prefix max over the tiny bucket-stats frame
+      val wBkts = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bktPrefix = byPrice.groupBy("bkt")
+        .agg(max("price_max_size").as("bmax"))
+        .withColumn("prefix_max", max("bmax").over(wBkts))
+        .select("bkt", "prefix_max")
+      pts
+        .join(withPrev, Seq("bkt", "p_retailprice"))
+        .join(broadcast(bktPrefix), Seq("bkt"))
+        .filter(
+          col("p_size") === col("price_max_size") && // same price, none larger
+            (col("prev_max_in_bkt").isNull ||
+              col("prev_max_in_bkt") < col("p_size")) &&
+            (col("prefix_max").isNull || col("prefix_max") < col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
+  val skylinePareto = GQuery(
+    "skyline_pareto",
+    (s, d) => skyline(Tables.part(s, d)),
+    oracle = Some(
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
-    joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders)
+    joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
+    q10ReturnedItems, skylinePareto)
 }

@@ -690,9 +690,58 @@ object TextOps {
         |       count(*) AS n_distinct_tokens
         |FROM ue_tf GROUP BY doc_id""".stripMargin))
 
+  /** Posting-list cap for [[textInvertedIndex]]: real engines truncate or
+    * skip-list stop-word postings; here the first-K doc ids stand in. */
+  final val PostingCap = 8
+
+  /** Q:text_inverted_index — the search-engine build step: per term, its
+    * document frequency and the first-[[PostingCap]] posting doc ids
+    * (ascending, comma-joined). The scale hazard is the stop-word term: a
+    * collect_list/sort/slice materializes the FULL posting list (millions
+    * of ids for "the" at 100 TB) on one reducer before truncating. Here
+    * the truncation is the aggregate itself: graft_topk keeps a bounded
+    * K-element heap per term (score = −doc_id ⇒ K smallest ids), merges
+    * heaps map-side, and ships only K entries per term across the
+    * shuffle — the same bounded-state pattern as the scoreboard top-k.
+    * The df count rides the same aggregate; the preceding (doc, word)
+    * distinct is the posting dedup every indexer does.
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.TopKAggregate.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("df"),
+        expr(s"graft_topk(-doc_id, CAST(doc_id AS STRING), $PostingCap)")
+          .as("top"))
+      .select(col("word"), col("df"),
+        array_join(expr("transform(top, t -> t.key)"), ",").as("postings"))
+  }
+
+  val textInvertedIndex = GQuery(
+    "text_inverted_index",
+    (s, d) => invertedIndex(Tables.documents(s, d)),
+    oracle = Some(
+      s"""WITH dw AS (SELECT DISTINCT doc_id, word FROM (
+        |              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents)
+        |            WHERE word <> ''),
+        |rk AS (SELECT doc_id, word,
+        |              row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |       FROM dw)
+        |SELECT word, count(*) AS df,
+        |       string_agg(CASE WHEN rn <= $PostingCap
+        |                       THEN CAST(doc_id AS VARCHAR) END, ','
+        |                  ORDER BY rn) AS postings
+        |FROM rk GROUP BY word""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     aggWordCount, textTokenCount, textLangId, textQualityScore,
     textBpeTokenCount, textBpeExact, textFingerprint, textNormalize,
     textTopBigrams, textTfidfTopk, textBm25Topk, textBigramLogfreq,
-    textUnigramEntropy, qualitySourceFilter, qualitySourceFilterSalted)
+    textUnigramEntropy, qualitySourceFilter, qualitySourceFilterSalted,
+    textInvertedIndex)
 }

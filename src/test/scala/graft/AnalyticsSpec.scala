@@ -199,6 +199,25 @@ class AnalyticsSpec extends SparkSuite {
       4L -> ((8.0, ep("2024-01-12 10:00:00"), -1L))))
   }
 
+  test("dau: returning users do not re-count as new; cumulative is first-touch") {
+    // day 1: u1, u2 (both new).  day 2: u1 returns + u3 new → dau 2,
+    // new 1, cum 3.  day 3: only returning users → new 0, cum stays 3.
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-01 12:00:00")), // same-day repeat: dau counts once
+      (1L, ts("2024-01-02 09:00:00")), (3L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-03 08:00:00")), (3L, ts("2024-01-03 09:00:00")))
+      .toDF("user_id", "ts")
+    def ep(d: String): Long = ts(d + " 00:00:00").getTime / 1000
+    val got = AnalyticsOps.dauCumulative(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(got === List(
+      (ep("2024-01-01"), 2L, 2L, 2L),
+      (ep("2024-01-02"), 2L, 1L, 3L),
+      (ep("2024-01-03"), 2L, 0L, 3L)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)

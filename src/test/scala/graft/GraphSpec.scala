@@ -169,6 +169,36 @@ class GraphSpec extends SparkSuite {
     assert(gcc === tri * 3 * 1000000L / math.max(wedges, 1L))
   }
 
+  test("sssp: min-plus beats the direct edge; horizon and islands hold") {
+    // w = 1 + 64 div cnt: cnt 64 → w 2, cnt 32 → w 3, cnt 1 → w 65.
+    // 1—2 (2), 2—3 (2), 1—3 (3), 3—4 (2), 1—4 (65): d(4) improves from
+    // the 65-cost direct edge (round 1) to the 5-cost 1→3→4 path
+    // (round 2) — the delta update. Tail 4—5—6—7 (w 2): 6 settles on the
+    // cheap 4-edge path (cost 9) in the LAST round, while 7 at 4 edges is
+    // stuck with the expensive 1→4→5→6→7 = 71 (its cheap path needs 5
+    // edges — past the horizon, exactly the ≤-H-hops semantics).
+    // Island 10—11: never reached, absent.
+    val wund = Seq(
+      (1L, 2L, 64L), (2L, 3L, 64L), (1L, 3L, 32L), (3L, 4L, 64L),
+      (1L, 4L, 1L), (4L, 5L, 64L), (5L, 6L, 64L), (6L, 7L, 64L),
+      (10L, 11L, 64L)).toDF("u", "v", "cnt")
+    val got = GraphOps.ssspFromEdges(wund).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got === List(
+      (1L, 0L), (2L, 2L), (3L, 3L), (4L, 5L), (5L, 7L), (6L, 9L),
+      (7L, 71L)))
+  }
+
+  test("weighted co-occurrence: shared-item counts become edge weights") {
+    val e = eventsDf(Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-01 12:00:00"),
+      (1L, 2L, "2024-01-02 10:00:00"), (2L, 2L, "2024-01-02 11:00:00")))
+    val got = GraphOps.weightedCoocEdges(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("registry wiring: components labels every interaction-graph user") {
     val labels = GraphOps.graphComponents.run(spark, smokeDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
