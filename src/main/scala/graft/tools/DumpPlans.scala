@@ -54,7 +54,12 @@ object DumpPlans {
       "ann_quantized_topk" -> "quantized ANN: graft_q8 + graft_dot both in whole-stage codegen over one corpus scan, broadcast 1-row query side, TakeOrderedAndProject",
       "q3_shipping_priority" -> "TPC-H Q3 shape: segment-pruned customer broadcasts, date filters pushed into both scans, lineitem⋈orders co-keyed, top-10 via TakeOrderedAndProject — no global sort",
       "assoc_lift_daily" -> "basket lift: ONE basket distinct shuffle, pair join co-keyed on (user, day) and bounded by the type vocabulary, per-type counts broadcast — no corpus-sized non-basket shuffle",
-      "scd2_asof_snapshot" -> "SCD2 as-of: one user-keyed window shuffle (lead over (ts, event_id)), row-local interval test — the cutoff filter never rescans")
+      "scd2_asof_snapshot" -> "SCD2 as-of: one user-keyed window shuffle (lead over (ts, event_id)), row-local interval test — the cutoff filter never rescans",
+      "q10_returned_items" -> "TPC-H Q10 shape: quarter + returnflag predicates pushed into both scans, lineitem⋈orders co-keyed, only the per-custkey aggregate joins customer/nation, top-20 via TakeOrderedAndProject",
+      "skyline_pareto" -> "skyline: per-price hash agg → per-bucket bounded window → broadcast bucket-prefix join — the quadratic dominance join never appears",
+      "dau_cumulative" -> "DAU growth: (day, user) distinct feeds both legs; cumulative distinct-to-date is a running sum over the day-grain frame, never an O(days·users) re-distinct",
+      "graph_sssp_weighted" -> "weighted SSSP: per-round frontier⋈edges co-keyed join + min-aggregate merge, frontiers staged — no path enumeration, no driver collect",
+      "text_inverted_index" -> "inverted index: (doc, word) distinct → ONE word-keyed aggregate with partial_topkaggregate below the exchange — K postings per term cross the shuffle, a stop-word's full list never materializes")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
