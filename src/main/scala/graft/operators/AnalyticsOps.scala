@@ -379,7 +379,99 @@ object AnalyticsOps {
         |FROM dau LEFT JOIN nu ON dau.day = nu.day""".stripMargin),
     bench = true)
 
+  /** Q:ohlc_daily — per-(day, event_type) OHLC candlestick bars, the
+    * metrics-engine downsampling primitive: open/close by min_by/max_by
+    * over the UNIQUE event_id order (deterministic — no first()/last()
+    * nondeterminism), high/low as plain min/max, and the day's traded
+    * value as a scaled integer (2-decimal inputs are the round()-unsafe
+    * regime). ONE map-side-combinable hash aggregate: min_by/max_by
+    * partials carry a single (value, id) pair each, so a day's millions
+    * of ticks reduce locally and only per-(day,type) candles cross the
+    * shuffle — no window, no sort.
+    */
+  def ohlcDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        expr("min_by(value, event_id)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, event_id)").as("close"),
+        count(lit(1)).as("volume"),
+        expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("traded_e2"))
+      .select(expr("unix_timestamp(day)").as("day_epoch"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("traded_e2"))
+
+  val ohlcDailyQ = GQuery(
+    "ohlc_daily",
+    (s, d) => ohlcDaily(Tables.events(s, d)),
+    oracle = Some(
+      """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+        |       event_type,
+        |       arg_min(value, event_id) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       arg_max(value, event_id) AS close,
+        |       count(*) AS volume,
+        |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS traded_e2
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin),
+    bench = true)
+
+  /** Q:trend_slope_moments — per-series OLS trend (value vs day) via the
+    * SUFFICIENT-STATISTICS decomposition that makes regression a
+    * one-pass distributed aggregate (what regr_slope computes
+    * internally): n, Σx, Σy, Σxy, Σx² reduce map-side and combine
+    * associatively; the slope is num/den with num = n·Σxy − Σx·Σy and
+    * den = n·Σx² − (Σx)². Everything is INTEGER — x is the epoch day, y
+    * the 2-decimal value scaled ×100 — so the moments are exact and the
+    * numerator/denominator hash-match (the division is left to the
+    * consumer: signed integer division TRUNCATES in Spark but FLOORS in
+    * DuckDB, so a quotient column would be the one cross-engine-unsafe
+    * step). Magnitudes: n·Σxy ≲ n²·x·y — fine in long through ~10⁹ rows
+    * per group; beyond that the same aggregate runs on decimal(38,0).
+    */
+  def trendMoments(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+        sum("y").as("sum_y_e2"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sum_x"), col("sum_y_e2"),
+        (col("n") * col("sxy") - col("sum_x") * col("sum_y_e2"))
+          .as("slope_num_e2"),
+        (col("n") * col("sxx") - col("sum_x") * col("sum_x"))
+          .as("slope_den"))
+
+  val trendMomentsQ = GQuery(
+    "trend_slope_moments",
+    (s, d) => trendMoments(Tables.events(s, d)),
+    oracle = Some(
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sum_x,
+        |         CAST(sum(y) AS BIGINT) AS sum_y_e2,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM (SELECT event_type,
+        |               CAST(datediff('day', DATE '1970-01-01',
+        |                             CAST(ts AS DATE)) AS BIGINT) AS x,
+        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |        FROM events)
+        |  GROUP BY event_type)
+        |SELECT event_type, n, sum_x, sum_y_e2,
+        |       n * sxy - sum_x * sum_y_e2 AS slope_num_e2,
+        |       n * sxx - sum_x * sum_x AS slope_den
+        |FROM m""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
-      anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ)
+      anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
+      trendMomentsQ)
 }

@@ -637,6 +637,63 @@ object RelationalOps {
         |LIMIT 20""".stripMargin),
     bench = true)
 
+  /** Q:q7_volume_shipping — TPC-H Q7 (volume shipping): trade revenue
+    * between two nations by direction and ship year. Plan shape: the
+    * nation predicate applies to the 2-row nation dim FIRST, and the
+    * nation-filtered supplier/customer sides (1/|nations| of each table)
+    * join the facts already reduced — supplier broadcastable at any scale
+    * that matters, customer joined co-keyed on o_custkey AFTER the
+    * lineitem⋈orders shuffle so only the date-windowed fact rows reach
+    * it. The asymmetric-direction filter (supp ≠ cust nation) runs on the
+    * tiny post-join frame. Revenue is the Q3/Q10 scaled-integer emission;
+    * the year is emitted BIGINT on both engines.
+    */
+  val q7VolumeShipping = GQuery(
+    "q7_volume_shipping",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = Tables.customer(s, d)
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(expr(
+          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          .as("revenue_e4"))
+    },
+    oracle = Some(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin),
+    bench = true)
+
   /** Price-bucket width for [[skylinePareto]]: testbed retail prices span
     * [900, 1000), so width 10 gives ~10 buckets; at scale the width is a
     * tuning knob — per-bucket row count is what must stay reducer-sized.
@@ -714,5 +771,5 @@ object RelationalOps {
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
-    q10ReturnedItems, skylinePareto)
+    q10ReturnedItems, skylinePareto, q7VolumeShipping)
 }

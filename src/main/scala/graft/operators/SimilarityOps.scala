@@ -287,7 +287,47 @@ object SimilarityOps {
          |LIMIT $TopK""".stripMargin),
     bench = true)
 
+  /** Q:fuzzy_name_pairs — edit-distance-1 record linkage over customer
+    * names via the DELETION-NEIGHBORHOOD join (the spell-checker /
+    * entity-resolution trick): each name emits itself plus its |name|
+    * single-character deletions as join keys — two names within one
+    * edit (insert, delete, OR substitute: same-position deletions
+    * collide) share a key, so candidates come from a co-keyed equi-join
+    * instead of the O(n²) all-pairs levenshtein the oracle replays.
+    * Exact levenshtein then verifies candidates (few per name). Scale
+    * posture: keys per name = |name|+1 (linear blowup); a key's bucket
+    * is bounded by the alphabet size at the deleted position (≤ ~10
+    * sibling digits here), so no hot key exists by construction — the
+    * candidate join stays co-keyed and skew-free at any corpus size.
+    */
+  def fuzzyPairs(names: DataFrame): DataFrame = {
+    val keys = names
+      .select(col("name"), explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substring(name, 1, i - 1),
+          |                substring(name, i + 1, length(name)))))"""
+          .stripMargin)).as("key"))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(expr("levenshtein(name_a, name_b) <= 1"))
+  }
+
+  val fuzzyNamePairs = GQuery(
+    "fuzzy_name_pairs",
+    (s, d) =>
+      fuzzyPairs(Tables.customer(s, d).select(col("c_name").as("name")).distinct()),
+    oracle = Some(
+      """WITH w AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b
+        |FROM w a JOIN w b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     annCosineTopk, annTopkPerQuery, annIvfLabelTopk, annLshBucket,
-    annQuantizedTopk)
+    annQuantizedTopk, fuzzyNamePairs)
 }

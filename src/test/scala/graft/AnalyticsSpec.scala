@@ -218,6 +218,38 @@ class AnalyticsSpec extends SparkSuite {
       (ep("2024-01-03"), 2L, 0L, 3L)))
   }
 
+  test("ohlc: open/close follow event_id order, not row order") {
+    // rows arrive shuffled; event_id 1 holds the open, 4 the close
+    val e = Seq(
+      (3L, ts("2024-01-01 12:00:00"), "click", 30.0),
+      (1L, ts("2024-01-01 09:00:00"), "click", 10.5),
+      (4L, ts("2024-01-01 16:00:00"), "click", 20.0),
+      (2L, ts("2024-01-01 10:00:00"), "click", 45.25),
+      (5L, ts("2024-01-02 09:00:00"), "click", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = AnalyticsOps.ohlcDaily(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1).toList
+    def ep(d: String): Long = ts(d).getTime / 1000
+    assert(got === List(
+      (ep("2024-01-01 00:00:00"), 10.5, 45.25, 10.5, 20.0, 4L, 10575L),
+      (ep("2024-01-02 00:00:00"), 7.0, 7.0, 7.0, 7.0, 1L, 700L)))
+  }
+
+  test("trend moments: hand-computed sufficient statistics") {
+    // click: (x=0, y=100), (x=1, y=300) → n=2, Σx=1, Σy=400, Σxy=300,
+    // Σx²=1; num = 2·300 − 1·400 = 200 (slope 2.00/day), den = 2·1 − 1 = 1
+    val e = Seq(
+      (ts("1970-01-01 08:00:00"), "click", 1.0),
+      (ts("1970-01-02 20:00:00"), "click", 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = AnalyticsOps.trendMoments(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(got === List(("click", 2L, 1L, 400L, 200L, 1L)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)
