@@ -470,8 +470,106 @@ object AnalyticsOps {
         |       n * sxx - sum_x * sum_x AS slope_den
         |FROM m""".stripMargin))
 
+  /** Q:window_drawdown — maximum drawdown per series (the risk metric:
+    * deepest drop from a running peak), in event_id order. One window
+    * shuffle keyed on the series builds the running peak; peak − value
+    * is row-local and the final max is map-side-combinable. Integer
+    * throughout (2-decimal values ×100), so the result hash-matches.
+    * Scale: the per-series window is the per-log sequential bound the
+    * PLANS.md header documents — parallel across series, sequential
+    * within one, inherent to running-peak semantics.
+    */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .withColumn("peak", max("v").over(w))
+      .groupBy("event_type")
+      .agg(max(col("peak") - col("v")).as("max_drawdown_e2"))
+  }
+
+  val maxDrawdownQ = GQuery(
+    "window_drawdown",
+    (s, d) => maxDrawdown(Tables.events(s, d)),
+    oracle = Some(
+      """WITH y AS (SELECT event_type, event_id,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |           FROM events),
+        |p AS (SELECT event_type, v,
+        |             max(v) OVER (PARTITION BY event_type ORDER BY event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS peak
+        |      FROM y)
+        |SELECT event_type, max(peak - v) AS max_drawdown_e2
+        |FROM p GROUP BY 1""".stripMargin))
+
+  /** Session gap for [[sessionPathTopk]], minutes — matches the
+    * `window_session` gap so the two sessionizations agree. */
+  final val PathSessionGapMin = 30L
+
+  /** Q:session_path_topk — sequence mining: the 10 most common 3-step
+    * event-type paths WITHIN a session (30-min-gap sessionization, the
+    * same rule as `window_session`). Two windows share one user-keyed
+    * shuffle: the gap-flag/running-sum pair assigns session ids, then
+    * lead×2 within (user, session) forms trigrams — all subsequent work
+    * is a path-keyed count whose partials combine map-side, and the
+    * top-10 is TakeOrderedAndProject with a (n DESC, path) total order.
+    * Gap arithmetic runs on exact epoch MICROseconds (unix_micros /
+    * epoch_us) so the two engines compare identical integers.
+    */
+  def sessionPathTopk(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(wOrd) >=
+          PathSessionGapMin * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wRun))
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    marked
+      .withColumn("t2", lead("event_type", 1).over(wSess))
+      .withColumn("t3", lead("event_type", 2).over(wSess))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws("->", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(10)
+  }
+
+  val sessionPathTopkQ = GQuery(
+    "session_path_topk",
+    (s, d) => sessionPathTopk(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |                  epoch_us(ts) AS us
+        |           FROM events),
+        |m AS (SELECT user_id, event_type, ts, event_id,
+        |             CASE WHEN us - lag(us) OVER
+        |                    (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  >= ${PathSessionGapMin * 60L * 1000000L}
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, event_type, ts, event_id,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |t AS (SELECT event_type,
+        |             lead(event_type, 1) OVER
+        |               (PARTITION BY user_id, sid ORDER BY ts, event_id) AS t2,
+        |             lead(event_type, 2) OVER
+        |               (PARTITION BY user_id, sid ORDER BY ts, event_id) AS t3
+        |      FROM s)
+        |SELECT event_type || '->' || t2 || '->' || t3 AS path,
+        |       count(*) AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
-      trendMomentsQ)
+      trendMomentsQ, maxDrawdownQ, sessionPathTopkQ)
 }

@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming OHLC candles == batch ohlc_daily") {
+    // the SAME declarative aggregate runs incrementally: min_by/max_by
+    // partials are order-insensitive state, so the streamed candles
+    // converge to the batch result whatever the micro-batch boundaries
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.operators.AnalyticsOps.ohlcDaily(stream),
+      "ohlc_stream", OutputMode.Complete)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))
+    val streamed = spark.table("ohlc_stream").collect().map(key).toSet
+    val batch = graft.operators.AnalyticsOps
+      .ohlcDaily(Tables.events(spark, smokeDir)).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session_window per victim == batch window_session") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
