@@ -53,9 +53,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", nanosColToMicrosTs("ts"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ
+      case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case other =>
+        // fail LOUDLY at the single choke point built to absorb encoding
+        // changes — a silent cast would turn the next generation flip into
+        // a hash-mismatch hunt across every events query
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — " +
+            "extend Tables.normalizeTs for this testdata generation")
     }
 
   /** Nanos-long column → µs TimestampType via INTEGER division: epoch nanos

@@ -186,13 +186,6 @@ object GraphOps {
     * per-item pair generation is bounded at cap²/2. */
   final val TriItemCap = 64L
 
-  /** Undirected co-occurrence edges {u, v} (u < v, deduplicated): users
-    * sharing a non-hub item. Unlike [[temporalEdges]]' linear chain —
-    * which is triangle-free by construction within an item — the
-    * co-occurrence projection is the graph whose closed wedges MEAN
-    * something ("my neighbors also know each other"). The hub cap is a
-    * broadcast anti-join on the (tiny, ≤ n/cap keys) hot-item set,
-    * mirrored by the oracle's HAVING. */
   /** The hub-capped (item, user) incidence frame both edge builders
     * project — the cap is a broadcast anti-join on the (tiny, ≤ n/cap
     * keys) hot-item set, mirrored by the oracle's HAVING. */
@@ -208,6 +201,11 @@ object GraphOps {
     iu.join(broadcast(hot), Seq("item"), "left_anti")
   }
 
+  /** Undirected co-occurrence edges {u, v} (u < v, deduplicated): users
+    * sharing a non-hub item. Unlike [[temporalEdges]]' linear chain —
+    * which is triangle-free by construction within an item — the
+    * co-occurrence projection is the graph whose closed wedges MEAN
+    * something ("my neighbors also know each other"). */
   private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame = {
     val kept = keptItemUsers(events)
     kept.as("a")
@@ -512,32 +510,29 @@ object GraphOps {
     var dist = graft.Materialize.stage(
       wund.agg(min("u").as("x")).select(col("x"), lit(0L).as("cost")))
     var frontier = dist
-    for (_ <- 1 to SsspMaxRounds) {
+    for (round <- 1 to SsspMaxRounds) {
       val cand = frontier.join(edges, col("x") === col("src"))
         .select(col("dst").as("x"), (col("cost") + col("w")).as("cost"))
       val merged = graft.Materialize.stage(
         dist.union(cand).groupBy("x").agg(min("cost").as("cost")))
-      frontier = graft.Materialize.stage(
-        merged.join(dist.select(col("x"), col("cost").as("old")),
-            Seq("x"), "left")
-          .filter(col("old").isNull || col("cost") < col("old"))
-          .select("x", "cost"))
+      // the last round's frontier has no consumer — don't run its job
+      if (round < SsspMaxRounds)
+        frontier = graft.Materialize.stage(
+          merged.join(dist.select(col("x"), col("cost").as("old")),
+              Seq("x"), "left")
+            .filter(col("old").isNull || col("cost") < col("old"))
+            .select("x", "cost"))
       dist = merged
     }
     dist.orderBy("x").select(col("x").as("user_id"), col("cost"))
   }
 
-  /** The weighted-edge derivation as a CTE prefix (oracle twin of
-    * [[weightedCoocEdges]]). */
+  /** The weighted-edge derivation as a CTE prefix — [[CoocCte]]'s shared
+    * iu/keep/ki stanza (one source of truth for the hub-capped incidence)
+    * plus the count-keeping pair projection; the unreferenced `und` CTE
+    * costs nothing. Oracle twin of [[weightedCoocEdges]]. */
   private val CoocWCte =
-    s"""iu AS (SELECT DISTINCT
-      |              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item,
-      |              user_id
-      |       FROM events
-      |       WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
-      |keep AS (SELECT item FROM iu GROUP BY item
-      |         HAVING count(*) <= $TriItemCap),
-      |ki AS (SELECT iu.item, iu.user_id FROM iu JOIN keep ON iu.item = keep.item),
+    s"""$CoocCte,
       |wund AS (SELECT a.user_id AS u, b.user_id AS v, count(*) AS cnt
       |         FROM ki a JOIN ki b
       |           ON a.item = b.item AND a.user_id < b.user_id

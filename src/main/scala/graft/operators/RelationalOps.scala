@@ -637,10 +637,16 @@ object RelationalOps {
         |LIMIT 20""".stripMargin),
     bench = true)
 
+  /** Nation set for [[q7VolumeShipping]] — three nations (the textbook
+    * query's two give an empty result on the sf0.001 smoke testbed, which
+    * would make every in-repo check vacuous; the N-nation trade matrix is
+    * the same plan shape with 6 directions instead of 2). */
+  final val Q7Nations: Seq[String] = Seq("NATION_1", "NATION_2", "NATION_3")
+
   /** Q:q7_volume_shipping — TPC-H Q7 (volume shipping): trade revenue
-    * between two nations by direction and ship year. Plan shape: the
-    * nation predicate applies to the 2-row nation dim FIRST, and the
-    * nation-filtered supplier/customer sides (1/|nations| of each table)
+    * between [[Q7Nations]] by direction and ship year. Plan shape: the
+    * nation predicate applies to the |nations|-row dim FIRST, and the
+    * nation-filtered supplier/customer sides (|nations|/25 of each table)
     * join the facts already reduced — supplier broadcastable at any scale
     * that matters, customer joined co-keyed on o_custkey AFTER the
     * lineitem⋈orders shuffle so only the date-windowed fact rows reach
@@ -652,7 +658,7 @@ object RelationalOps {
     "q7_volume_shipping",
     (s, d) => {
       val nat = Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin(Q7Nations: _*))
       val sup = Tables.supplier(s, d)
         .join(broadcast(nat.select(col("n_nationkey").as("snk"),
           col("n_name").as("supp_nation"))),
@@ -665,7 +671,7 @@ object RelationalOps {
         .select("c_custkey", "cust_nation")
       Tables.lineitem(s, d)
         .filter(expr(
-          "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"))
+          "l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(cus, col("o_custkey") === col("c_custkey"))
@@ -686,11 +692,11 @@ object RelationalOps {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
         |  AND sn.n_name <> cn.n_name
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1, 2, 3""".stripMargin),
     bench = true)
 

@@ -25,7 +25,9 @@ object EventStream {
     */
   val EventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds since epoch on disk
+    StructField("ts", LongType), // nanos-long generation default; readEvents
+                                 // re-resolves this field from the footer
+                                 // (µs-timestamp generations override it)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -122,9 +124,9 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, cfg: EventSourceConfig): DataFrame = {
     if (cfg.format == "parquet")
-      // the testbed's events.parquet stores ts as nanos; the file branch
-      // owns this conf so callers of the seam never hit the
-      // Illegal-Parquet-TIMESTAMP(NANOS) footgun
+      // nanos-timestamp testdata generations need this conf or the reader
+      // rejects the column (Illegal-Parquet-TIMESTAMP(NANOS)); harmless on
+      // µs generations — the file branch owns it so seam callers never care
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // frame replay: broker frames arrive via the parquet file source but
     // flow through the `pulsar` normalization branch below — the replay
@@ -134,12 +136,18 @@ object EventStream {
       else cfg.format
     // the file source needs a declared schema, but the testbed's physical
     // ts type varies by generation (nanos long vs µs timestamp) — resolve
-    // declared fields against the actual footer so either generation loads
+    // ONLY the ts field against the actual footer (other declared types
+    // are contracts, not guesses), and keep the declared schema when the
+    // path has no files yet (a stream may start before its producer)
     val resolvedSchema = cfg.schema.map { sch =>
-      if (readerFormat == "parquet" && cfg.path.isDefined) {
-        val actual = spark.read.parquet(cfg.path.get).schema
-        StructType(sch.map(f =>
-          actual.find(_.name == f.name).getOrElse(f)))
+      if (readerFormat == "parquet" && cfg.path.isDefined &&
+          sch.fieldNames.contains("ts")) {
+        scala.util.Try(spark.read.parquet(cfg.path.get).schema)
+          .toOption
+          .flatMap(_.find(_.name == "ts"))
+          .map(tsField => StructType(sch.map(f =>
+            if (f.name == "ts") tsField else f)))
+          .getOrElse(sch)
       } else sch
     }
     var reader = spark.readStream.format(readerFormat)

@@ -17,6 +17,7 @@ class SqlParitySpec extends SparkSuite {
     "agg_salted_skew", "dedup_exact", "filter_event_type", "funnel_stages",
     "join_anti", "join_broadcast", "join_hash_equi", "join_left_display",
     "join_semi", "next_position", "obstacle_density", "q1_agg",
+    "q7_volume_shipping", "q10_returned_items",
     "sample_hash_bernoulli", "sample_stratified", "setop_intersect",
     "setop_obstacle_build")
 
