@@ -568,8 +568,49 @@ object AnalyticsOps {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin),
     bench = true)
 
+  /** Q:stickiness_ratio — DAU/MAU stickiness, the engagement headline:
+    * what share of a month's users show up on a given day. Reuses the
+    * (day, user) distinct frame shape of [[dauCumulative]]; the MAU frame
+    * is one more distinct+count at month grain (tiny — #months rows) and
+    * broadcasts into the day frame. The ratio is emitted ppm via integer
+    * division, which is cross-engine-safe HERE because both operands are
+    * strictly positive (every month with a day row has mau ≥ dau ≥ 1 —
+    * truncation and floor agree on non-negatives; contrast
+    * `trend_slope_moments` where signed operands forbid the quotient).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dayUser = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = dayUser
+      .select(trunc(col("day"), "month").as("month"), col("user_id"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau
+      .withColumn("month", trunc(col("day"), "month"))
+      .join(broadcast(mau), Seq("month"))
+      .select(expr("unix_timestamp(day)").as("day_epoch"),
+        col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
+  val stickinessQ = GQuery(
+    "stickiness_ratio",
+    (s, d) => stickiness(Tables.events(s, d)),
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |mu AS (SELECT DISTINCT date_trunc('month', day) AS month, user_id
+        |       FROM du),
+        |mau AS (SELECT month, count(*) AS mau FROM mu GROUP BY 1)
+        |SELECT CAST(floor(epoch(dau.day)) AS BIGINT) AS day_epoch, dau, mau,
+        |       dau * 1000000 // mau AS stickiness_ppm
+        |FROM dau JOIN mau ON date_trunc('month', dau.day) = mau.month""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
-      trendMomentsQ, maxDrawdownQ, sessionPathTopkQ)
+      trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ)
 }

@@ -701,6 +701,60 @@ object EventOps {
         |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),
     bench = true)
 
+  /** Snapshot cutoffs for [[cdcSnapshotDiff]] — a third and two-thirds of
+    * the testbed's 30-day span, so added AND changed users both exist. */
+  final val CdcT1 = "2024-01-10 00:00:00"
+  final val CdcT2 = "2024-01-20 00:00:00"
+
+  /** Q:cdc_snapshot_diff — the CDC readout: which keys' latest value
+    * changed between two points in time, and how. Two last-per-key
+    * states ([[tableviewLastPerKey]]'s compaction with a time predicate;
+    * max_by over the (ts, event_id) struct keeps same-instant rewrites
+    * deterministic) are joined on the key: absent-at-T1 ⇒ `added`,
+    * different value ⇒ `changed`, equal rows drop out. The append-only
+    * log makes `removed` impossible, so a left join suffices. Scale
+    * posture: each state scan pushes its own ts predicate into the scan
+    * (the T1 pass reads a PREFIX of the log, not all of it — cheaper
+    * than one full scan feeding two conditional aggregates whose
+    * null-ordering-key semantics would also be engine-specific); both
+    * groupBys and the join share the user_id key, so the join adds no
+    * exchange.
+    */
+  def cdcSnapshotDiff(events: DataFrame): DataFrame = {
+    def stateAt(t: String, as: String) = events
+      .filter(col("ts") <= lit(t).cast("timestamp"))
+      .groupBy("user_id")
+      .agg(expr("max_by(value, struct(ts, event_id))").as(as))
+    stateAt(CdcT2, "new_value")
+      .join(stateAt(CdcT1, "old_value"), Seq("user_id"), "left")
+      .filter(col("old_value").isNull || col("old_value") =!= col("new_value"))
+      .select(col("user_id"),
+        when(col("old_value").isNull, lit("added"))
+          .otherwise(lit("changed")).as("change"),
+        col("old_value"), col("new_value"))
+  }
+
+  val cdcSnapshotDiffQ = GQuery(
+    "cdc_snapshot_diff",
+    (s, d) => cdcSnapshotDiff(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH r1 AS (SELECT user_id, value,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE ts <= TIMESTAMP '$CdcT1'),
+        |s1 AS (SELECT user_id, value AS old_value FROM r1 WHERE rn = 1),
+        |r2 AS (SELECT user_id, value,
+        |              row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events WHERE ts <= TIMESTAMP '$CdcT2'),
+        |s2 AS (SELECT user_id, value AS new_value FROM r2 WHERE rn = 1)
+        |SELECT s2.user_id,
+        |       CASE WHEN s1.user_id IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change,
+        |       s1.old_value, s2.new_value
+        |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s1.old_value <> s2.new_value""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     aggKillCount, aggGlobalScoreboard, topkGlobalRank, tableviewLastPerKey,
     latestEventPerRoom, windowLatestPerKey, filterEventType, filterSelfKill,
@@ -708,5 +762,5 @@ object EventOps {
     timeAdd, schemaEnforce, schemaEvolution, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
     joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission,
-    scd2AsofSnapshot)
+    scd2AsofSnapshot, cdcSnapshotDiffQ)
 }

@@ -772,10 +772,61 @@ object RelationalOps {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin))
 
+  /** Q:dq_referential — the warehouse data-quality audit: for each
+    * foreign-key relationship, child/parent cardinalities, orphaned
+    * children (FK without a parent — 0 on a consistent feed; the alert
+    * column), and childless parents (dimension rows no fact references —
+    * legitimately nonzero, the "dead inventory" readout). Each
+    * relationship costs two co-keyed anti-joins plus 1-row count
+    * aggregates that broadcast into the output row; relationships union
+    * into one audit frame. At 100 TB this is the same plan per
+    * relationship — anti-joins shuffle on the FK both sides already
+    * group on, nothing quadratic, nothing driver-side.
+    */
+  val dqReferential: GQuery = {
+    def auditDf(name: String,
+        child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) = {
+      val c = child.select(col(ck).as("k"))
+      val p = parent.select(col(pk).as("k"))
+      val totals = c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent")))
+      totals
+        .crossJoin(broadcast(c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))))
+        .crossJoin(broadcast(p.join(c, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_childless"))))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("n_parent"), col("n_childless"))
+    }
+    def duckAudit(name: String, c: String, ck: String,
+        p: String, pk: String) =
+      s"""SELECT '$name' AS relationship,
+         |  (SELECT count(*) FROM $c) AS n_child,
+         |  (SELECT count(*) FROM $c WHERE NOT EXISTS
+         |     (SELECT 1 FROM $p WHERE $pk = $ck)) AS n_orphans,
+         |  (SELECT count(*) FROM $p) AS n_parent,
+         |  (SELECT count(*) FROM $p WHERE NOT EXISTS
+         |     (SELECT 1 FROM $c WHERE $ck = $pk)) AS n_childless""".stripMargin
+    val rels = Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+    GQuery(
+      "dq_referential",
+      (s, d) => rels.map { case (name, c, ck, p, pk) =>
+        auditDf(name, Tables.table(s, d, c), ck, Tables.table(s, d, p), pk)
+      }.reduce(_ union _),
+      oracle = Some(rels.map { case (name, c, ck, p, pk) =>
+        duckAudit(name, c, ck, p, pk)
+      }.mkString("", "\nUNION ALL\n", "")))
+  }
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
-    q10ReturnedItems, skylinePareto, q7VolumeShipping)
+    q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential)
 }

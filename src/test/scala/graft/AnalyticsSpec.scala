@@ -250,6 +250,50 @@ class AnalyticsSpec extends SparkSuite {
     assert(got === List(("click", 2L, 1L, 400L, 200L, 1L)))
   }
 
+  test("cdc diff: added and changed emit, unchanged drops, ties supersede") {
+    val rows = Seq(
+      // u1 changes between the cutoffs
+      (1L, 1L, "2024-01-05 00:00:00", 1.0),
+      (1L, 2L, "2024-01-15 00:00:00", 2.0),
+      // u2 exists only after T1 → added
+      (2L, 3L, "2024-01-12 00:00:00", 5.0),
+      // u3 unchanged (writes only before T1) → absent
+      (3L, 4L, "2024-01-02 00:00:00", 7.0),
+      // u4 same-instant rewrite at T1-side: higher event_id wins both
+      // snapshots → unchanged → absent
+      (4L, 5L, "2024-01-09 00:00:00", 8.0),
+      (4L, 6L, "2024-01-09 00:00:00", 9.0),
+      // u5 rewritten to the SAME value → unchanged → absent
+      (5L, 7L, "2024-01-05 00:00:00", 3.0),
+      (5L, 8L, "2024-01-15 00:00:00", 3.0))
+    val e = rows.map { case (u, id, at, v) => (u, id, ts(at), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventOps.cdcSnapshotDiff(e).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (1L, "changed", 1.0, 2.0),
+      (2L, "added", -1.0, 5.0)))
+  }
+
+  test("stickiness: dau over the month's distinct users, ppm truncated") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-20 10:00:00")),
+      (1L, ts("2024-02-01 10:00:00"))) // second month: mau resets
+      .toDF("user_id", "ts")
+    def ep(d: String): Long = ts(d + " 00:00:00").getTime / 1000
+    val got = AnalyticsOps.stickiness(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(got === List(
+      (ep("2024-01-01"), 2L, 3L, 666666L),
+      (ep("2024-01-02"), 1L, 3L, 333333L),
+      (ep("2024-01-20"), 1L, 3L, 333333L),
+      (ep("2024-02-01"), 1L, 1L, 1000000L)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)
