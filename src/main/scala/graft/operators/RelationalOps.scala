@@ -823,10 +823,72 @@ object RelationalOps {
       }.mkString("", "\nUNION ALL\n", "")))
   }
 
+  /** Q:q14_promo_share — TPC-H Q14 (promotion effect) as a monthly
+    * series: revenue from promoted part types vs total, per ship month.
+    * The textbook emits the percentage; here BOTH legs are scaled-integer
+    * sums (the ratio is a terminating decimal — the round()-unsafe
+    * regime — so the division stays with the consumer, same contract as
+    * `trend_slope_moments`). Plan shape: lineitem⋈part is the one join —
+    * part broadcasts at testbed scale and stays co-keyed on partkey
+    * beyond the threshold; the promo flag is a row-local CASE inside ONE
+    * conditional aggregate, not two scans.
+    */
+  val q14PromoShare = GQuery(
+    "q14_promo_share",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(expr("unix_timestamp(trunc(l_shipdate, 'month'))")
+          .as("month_epoch"))
+        .agg(
+          expr("""CAST(floor(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 * 10000 + 0.5) AS BIGINT)""").as("promo_rev_e4"),
+          expr("""CAST(floor(sum(l_extendedprice * (1 - l_discount))
+                 * 10000 + 0.5) AS BIGINT)""").as("total_rev_e4"))
+    },
+    oracle = Some(
+      """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_epoch,
+        |       CAST(floor(sum(CASE WHEN p_type = 'ECONOMY'
+        |            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |            * 10000 + 0.5) AS BIGINT) AS promo_rev_e4,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount))
+        |            * 10000 + 0.5) AS BIGINT) AS total_rev_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin),
+    bench = true)
+
+  /** Q:reshape_unpivot — the melt/UNPIVOT reshape: lineitem's four
+    * metric columns to (key, metric, val) rows, the inverse of
+    * `agg_pivot`. Row-local `stack` inside whole-stage codegen — ZERO
+    * exchanges at any scale (the plan-inventory contrast case to every
+    * shuffling query); values are pass-through stored doubles, so the 4×
+    * row blowup hash-compares bit-for-bit against the oracle's UNION ALL
+    * replay.
+    */
+  val reshapeUnpivot = GQuery(
+    "reshape_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(4, 'quantity', l_quantity,
+                 'extendedprice', l_extendedprice,
+                 'discount', l_discount,
+                 'tax', l_tax) AS (metric, val)""")),
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
-    q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential)
+    q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
+    q14PromoShare, reshapeUnpivot)
 }
