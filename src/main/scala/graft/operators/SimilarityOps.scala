@@ -309,11 +309,19 @@ object SimilarityOps {
           |                substring(name, i + 1, length(name)))))"""
           .stripMargin)).as("key"))
     keys.as("a")
+      // shuffle_hash, not broadcast: the key frame is CORPUS-DERIVED
+      // (|name|+1 rows per name), exactly the frame the rest of the repo
+      // refuses to assume broadcastable — and empirically the broadcast
+      // plan is 3.5× slower here even at bench scale (FuzzProbe round-10:
+      // 8.9 s vs 2.5 s at sf0.1)
+      .hint("shuffle_hash")
       .join(keys.as("b"),
         col("a.key") === col("b.key") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
+      // verify BEFORE distinct: levenshtein is row-local and cuts the
+      // distinct's shuffle to the true pairs (~¼ of the candidates here)
       .filter(expr("levenshtein(name_a, name_b) <= 1"))
+      .distinct()
   }
 
   val fuzzyNamePairs = GQuery(

@@ -62,7 +62,10 @@ object DumpPlans {
       "text_inverted_index" -> "inverted index: (doc, word) distinct → ONE word-keyed aggregate with partial_topkaggregate below the exchange — K postings per term cross the shuffle, a stop-word's full list never materializes",
       "q7_volume_shipping" -> "TPC-H Q7 shape: 2-row nation dim filters supplier/customer BEFORE the fact joins; lineitem⋈orders is the one co-keyed shuffle; direction filter on the tiny post-join frame",
       "ohlc_daily" -> "OHLC bars: ONE hash aggregate — min_by/max_by partials carry a single (value,id) pair, so ticks reduce map-side and only candles cross the shuffle",
-      "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join (bucket ≤ alphabet at the deleted position) → exact levenshtein verify — no O(n²) pair scan")
+      "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join (bucket ≤ alphabet at the deleted position) → exact levenshtein verify — no O(n²) pair scan",
+      "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",
+      "cdc_snapshot_diff" -> "CDC diff: two prefix-scanned last-per-key states (ts predicate pushed into each scan) joined on the shared user key — the T1 pass reads a prefix of the log, not all of it",
+      "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
