@@ -15,7 +15,8 @@ object SparkEntry {
       GameOps.queries ++ FoldOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ LcgSourceOps.queries ++
       PipelineOps.queries ++ KMeansOps.queries ++ CorpusOps.queries ++
-      AnalyticsOps.queries ++ SketchOps.queries ++ GraphOps.queries
+      AnalyticsOps.queries ++ SketchOps.queries ++ GraphOps.queries ++
+      LayoutOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The scoreboard pipeline (SURVEY §3.3): filter → 2-stage agg → top-k.

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: the write-side clustering a 100 TB table
+  * needs so the read side can prune. A z-order (Morton) sort key
+  * interleaves the bits of two filter columns; files written in z-order
+  * carry small bounding boxes on BOTH columns simultaneously, so min/max
+  * file statistics prune two-dimensional predicates — the standard
+  * data-layout trick (Delta/Iceberg OPTIMIZE ZORDER) that a plain sort
+  * gives only to its leading column.
+  */
+object LayoutOps {
+
+  /** Bits interleaved per dimension (keys here fit 16 bits; production
+    * widens to 21×3 or 32×2 — the formula is the same). */
+  final val ZBits = 16
+
+  /** Buckets the z-range divides into — stand-ins for output files. */
+  final val ZBuckets = 64
+
+  /** The Morton interleave as pure integer SQL, generated per engine
+    * dialect (Spark spells bit shifts as functions, DuckDB as operators;
+    * the arithmetic is identical and exact). x takes even bit positions,
+    * y odd. */
+  private def zSpark(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"shiftleft(shiftright(CAST($x AS BIGINT), $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(CAST($y AS BIGINT), $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+
+  private def zDuck(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** z-range width per bucket: z < 2^(2·ZBits), divided evenly. */
+  private val BucketWidth = (1L << (2 * ZBits)) / ZBuckets
+
+  /** Q:layout_zorder_stats — the clustering-quality readout of a z-order
+    * layout: bucket lineitem by the Morton code of (partkey, suppkey)
+    * and emit each bucket's row count and per-column bounding box plus
+    * its area — the quantity file-skipping actually depends on (a point
+    * predicate touches only buckets whose box contains it; box area ∝
+    * expected false-positive scans). Everything is row-local integer
+    * arithmetic plus ONE bucket-keyed aggregate; at 100 TB this same
+    * query is the post-OPTIMIZE audit that tells you whether re-sorting
+    * bought anything. The interleave is exact in both engines, so the
+    * stats hash-match.
+    */
+  /** The stats pipeline over any (l_partkey, l_suppkey) frame —
+    * separated so the spec can pin hand-computed Morton codes. */
+  private[graft] def zorderStats(df: org.apache.spark.sql.DataFrame) =
+    df
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(zSpark("l_partkey", "l_suppkey")).as("z"))
+      .groupBy(expr(s"CAST(z div $BucketWidth AS BIGINT)").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .withColumn("bbox_area",
+        (col("max_pk") - col("min_pk") + 1) *
+          (col("max_sk") - col("min_sk") + 1))
+
+  /** Raw Morton codes (test seam). */
+  private[graft] def zCodes(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("l_partkey"), col("l_suppkey"),
+      expr(zSpark("l_partkey", "l_suppkey")).as("z"))
+
+  val layoutZorderStats = GQuery(
+    "layout_zorder_stats",
+    (s, d) => zorderStats(Tables.lineitem(s, d)),
+    oracle = Some(
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+        |                  ${zDuck("l_partkey", "l_suppkey")} AS z
+        |           FROM lineitem)
+        |SELECT z // $BucketWidth AS zbucket, count(*) AS n,
+        |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+        |       (max(l_partkey) - min(l_partkey) + 1) *
+        |       (max(l_suppkey) - min(l_suppkey) + 1) AS bbox_area
+        |FROM z GROUP BY 1""".stripMargin))
+
+  val queries: Seq[GQuery] = Seq(layoutZorderStats)
+}
