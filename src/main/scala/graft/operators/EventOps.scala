@@ -701,9 +701,13 @@ object EventOps {
         |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),
     bench = true)
 
-  /** Snapshot cutoffs for [[cdcSnapshotDiff]] — a third and two-thirds of
-    * the testbed's 30-day span, so added AND changed users both exist. */
-  final val CdcT1 = "2024-01-10 00:00:00"
+  /** Snapshot cutoffs for [[cdcSnapshotDiff]]. T1 sits INSIDE the first
+    * day because the generator has every user first appear within day 1
+    * at the smallest scale — any later cutoff makes the `added` branch
+    * vacuous in the cross-engine check at sf0.001 (the Q7 lesson: a
+    * branch no testbed row reaches is a branch the oracle gate does not
+    * guard). At this T1 both branches are populated at every SF. */
+  final val CdcT1 = "2024-01-01 12:00:00"
   final val CdcT2 = "2024-01-20 00:00:00"
 
   /** Q:cdc_snapshot_diff — the CDC readout: which keys' latest value

@@ -39,6 +39,12 @@ object LayoutOps {
   /** z-range width per bucket: z < 2^(2·ZBits), divided evenly. */
   private val BucketWidth = (1L << (2 * ZBits)) / ZBuckets
 
+  /** Raw Morton codes over any (l_partkey, l_suppkey) frame — the test
+    * seam, and the single place the interleave select lives. */
+  private[graft] def zCodes(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("l_partkey"), col("l_suppkey"),
+      expr(zSpark("l_partkey", "l_suppkey")).as("z"))
+
   /** Q:layout_zorder_stats — the clustering-quality readout of a z-order
     * layout: bucket lineitem by the Morton code of (partkey, suppkey)
     * and emit each bucket's row count and per-column bounding box plus
@@ -50,12 +56,8 @@ object LayoutOps {
     * bought anything. The interleave is exact in both engines, so the
     * stats hash-match.
     */
-  /** The stats pipeline over any (l_partkey, l_suppkey) frame —
-    * separated so the spec can pin hand-computed Morton codes. */
   private[graft] def zorderStats(df: org.apache.spark.sql.DataFrame) =
-    df
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr(zSpark("l_partkey", "l_suppkey")).as("z"))
+    zCodes(df)
       .groupBy(expr(s"CAST(z div $BucketWidth AS BIGINT)").as("zbucket"))
       .agg(count(lit(1)).as("n"),
         min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
@@ -63,11 +65,6 @@ object LayoutOps {
       .withColumn("bbox_area",
         (col("max_pk") - col("min_pk") + 1) *
           (col("max_sk") - col("min_sk") + 1))
-
-  /** Raw Morton codes (test seam). */
-  private[graft] def zCodes(df: org.apache.spark.sql.DataFrame) =
-    df.select(col("l_partkey"), col("l_suppkey"),
-      expr(zSpark("l_partkey", "l_suppkey")).as("z"))
 
   val layoutZorderStats = GQuery(
     "layout_zorder_stats",

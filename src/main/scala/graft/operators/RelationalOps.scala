@@ -777,25 +777,28 @@ object RelationalOps {
     * children (FK without a parent — 0 on a consistent feed; the alert
     * column), and childless parents (dimension rows no fact references —
     * legitimately nonzero, the "dead inventory" readout). Each
-    * relationship costs two co-keyed anti-joins plus 1-row count
-    * aggregates that broadcast into the output row; relationships union
-    * into one audit frame. At 100 TB this is the same plan per
-    * relationship — anti-joins shuffle on the FK both sides already
-    * group on, nothing quadratic, nothing driver-side.
+    * relationship is ONE scan per table: both sides pre-aggregate to
+    * (key, multiplicity) — map-side combinable, the shuffle carries
+    * distinct keys — then a co-keyed full-outer join feeds a single
+    * conditional aggregate producing all four counts (the naive
+    * independent-subtree formulation re-scans the child three times,
+    * which at 100 TB is the whole cost). Relationships union into one
+    * audit frame; nothing quadratic, nothing driver-side.
     */
   val dqReferential: GQuery = {
     def auditDf(name: String,
         child: org.apache.spark.sql.DataFrame, ck: String,
         parent: org.apache.spark.sql.DataFrame, pk: String) = {
-      val c = child.select(col(ck).as("k"))
-      val p = parent.select(col(pk).as("k"))
-      val totals = c.agg(count(lit(1)).as("n_child"))
-        .crossJoin(p.agg(count(lit(1)).as("n_parent")))
-      totals
-        .crossJoin(broadcast(c.join(p, Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))))
-        .crossJoin(broadcast(p.join(c, Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("n_childless"))))
+      val cg = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n_c"))
+      val pg = parent.groupBy(col(pk).as("k")).agg(count(lit(1)).as("n_p"))
+      cg.join(pg, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("n_c"), lit(0L))).as("n_child"),
+          sum(when(col("n_p").isNull, col("n_c")).otherwise(lit(0L)))
+            .as("n_orphans"),
+          sum(coalesce(col("n_p"), lit(0L))).as("n_parent"),
+          sum(when(col("n_c").isNull, col("n_p")).otherwise(lit(0L)))
+            .as("n_childless"))
         .select(lit(name).as("relationship"), col("n_child"),
           col("n_orphans"), col("n_parent"), col("n_childless"))
     }

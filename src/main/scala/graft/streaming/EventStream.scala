@@ -142,9 +142,16 @@ object EventStream {
     val resolvedSchema = cfg.schema.map { sch =>
       if (readerFormat == "parquet" && cfg.path.isDefined &&
           sch.fieldNames.contains("ts")) {
-        scala.util.Try(spark.read.parquet(cfg.path.get).schema)
-          .toOption
-          .flatMap(_.find(_.name == "ts"))
+        // only the path-empty/unable-to-infer case falls back to the
+        // declared schema (a stream may start before its producer);
+        // genuine IO/corruption errors must surface, not be masked as a
+        // silent schema downgrade
+        val footerTs =
+          try spark.read.parquet(cfg.path.get).schema.find(_.name == "ts")
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        footerTs
           .map(tsField => StructType(sch.map(f =>
             if (f.name == "ts") tsField else f)))
           .getOrElse(sch)

@@ -60,7 +60,7 @@ object DumpPlans {
       "dau_cumulative" -> "DAU growth: (day, user) distinct feeds both legs; cumulative distinct-to-date is a running sum over the day-grain frame, never an O(days·users) re-distinct",
       "graph_sssp_weighted" -> "weighted SSSP: per-round frontier⋈edges co-keyed join + min-aggregate merge, frontiers staged — no path enumeration, no driver collect",
       "text_inverted_index" -> "inverted index: (doc, word) distinct → ONE word-keyed aggregate with partial_topkaggregate below the exchange — K postings per term cross the shuffle, a stop-word's full list never materializes",
-      "q7_volume_shipping" -> "TPC-H Q7 shape: 2-row nation dim filters supplier/customer BEFORE the fact joins; lineitem⋈orders is the one co-keyed shuffle; direction filter on the tiny post-join frame",
+      "q7_volume_shipping" -> "TPC-H Q7 shape: the 3-nation dim predicate filters supplier/customer BEFORE the fact joins; lineitem⋈orders is the one co-keyed shuffle; direction filter on the tiny post-join frame",
       "ohlc_daily" -> "OHLC bars: ONE hash aggregate — min_by/max_by partials carry a single (value,id) pair, so ticks reduce map-side and only candles cross the shuffle",
       "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join (bucket ≤ alphabet at the deleted position) → exact levenshtein verify — no O(n²) pair scan",
       "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",

@@ -252,19 +252,19 @@ class AnalyticsSpec extends SparkSuite {
 
   test("cdc diff: added and changed emit, unchanged drops, ties supersede") {
     val rows = Seq(
-      // u1 changes between the cutoffs
-      (1L, 1L, "2024-01-05 00:00:00", 1.0),
+      // u1 changes between the cutoffs (T1 = Jan 1 noon, T2 = Jan 20)
+      (1L, 1L, "2024-01-01 08:00:00", 1.0),
       (1L, 2L, "2024-01-15 00:00:00", 2.0),
       // u2 exists only after T1 → added
       (2L, 3L, "2024-01-12 00:00:00", 5.0),
       // u3 unchanged (writes only before T1) → absent
-      (3L, 4L, "2024-01-02 00:00:00", 7.0),
-      // u4 same-instant rewrite at T1-side: higher event_id wins both
+      (3L, 4L, "2024-01-01 07:00:00", 7.0),
+      // u4 same-instant rewrite before T1: higher event_id wins both
       // snapshots → unchanged → absent
-      (4L, 5L, "2024-01-09 00:00:00", 8.0),
-      (4L, 6L, "2024-01-09 00:00:00", 9.0),
+      (4L, 5L, "2024-01-01 09:00:00", 8.0),
+      (4L, 6L, "2024-01-01 09:00:00", 9.0),
       // u5 rewritten to the SAME value → unchanged → absent
-      (5L, 7L, "2024-01-05 00:00:00", 3.0),
+      (5L, 7L, "2024-01-01 08:00:00", 3.0),
       (5L, 8L, "2024-01-15 00:00:00", 3.0))
     val e = rows.map { case (u, id, at, v) => (u, id, ts(at), v) }
       .toDF("user_id", "event_id", "ts", "value")
