@@ -65,7 +65,9 @@ object DumpPlans {
       "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join (bucket ≤ alphabet at the deleted position) → exact levenshtein verify — no O(n²) pair scan",
       "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",
       "cdc_snapshot_diff" -> "CDC diff: two prefix-scanned last-per-key states (ts predicate pushed into each scan) joined on the shared user key — the T1 pass reads a prefix of the log, not all of it",
-      "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query")
+      "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query",
+      "layout_zorder_stats" -> "z-order audit: 32-term Morton interleave fully inside whole-stage codegen, ONE bucket-keyed hash aggregate — the write-side clustering readout",
+      "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) and ONE co-keyed full-outer join + conditional aggregate yields all four counts — one scan per table, not three")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
