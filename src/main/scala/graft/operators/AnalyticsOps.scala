@@ -609,8 +609,57 @@ object AnalyticsOps {
         |       dau * 1000000 // mau AS stickiness_ppm
         |FROM dau JOIN mau ON date_trunc('month', dau.day) = mau.month""".stripMargin))
 
+  /** Followup window for [[followupPairs]], minutes — 60 rather than the
+    * intuitive 10 because the smoke testbed has ZERO purchase→error pairs
+    * inside 10 minutes (the vacuous-check lesson, third occurrence: Q7,
+    * CDC, now this); 60 gives pairs at every scale factor. */
+  final val FollowupWindowMin = 60L
+
+  /** The raw followup PAIRS (purchase, error-within-window) — the seam
+    * the streaming twin's parity test compares against, before the
+    * per-user rollup. */
+  def followupPairFrame(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t_p"), col("event_id").as("id_p"))
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t_e"))
+    p.join(e, Seq("user_id"))
+      .filter(col("t_e") > col("t_p") &&
+        col("t_e") <= col("t_p") + expr(s"INTERVAL $FollowupWindowMin MINUTES"))
+  }
+
+  /** Q:join_followup_window — the temporal followup join ("error within
+    * the window after a purchase"), the batch face of a stream-stream
+    * interval join. Both filtered legs shuffle once on the shared
+    * user_id; the window predicate is row-local after the co-keyed join,
+    * and per-user pair fan-out is bounded by that user's own activity in
+    * the window (the per-log bound every user-keyed operator documents).
+    * The rollup counts followup pairs and the distinct purchases that
+    * got one.
+    */
+  def followupPairs(events: DataFrame): DataFrame =
+    followupPairFrame(events)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_followups"),
+        countDistinct(col("id_p")).as("n_purchases_hit"))
+
+  val followupPairsQ = GQuery(
+    "join_followup_window",
+    (s, d) => followupPairs(Tables.events(s, d)),
+    oracle = Some(
+      s"""SELECT p.user_id, count(*) AS n_followups,
+        |       count(DISTINCT p.event_id) AS n_purchases_hit
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts > p.ts
+        | AND e.ts <= p.ts + INTERVAL $FollowupWindowMin MINUTE
+        |GROUP BY 1""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
-      trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ)
+      trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
+      followupPairsQ)
 }

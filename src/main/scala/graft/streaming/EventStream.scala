@@ -214,6 +214,34 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket_start"), col("room"), col("n"))
 
+  /** The stream-stream interval join — the one Structured Streaming
+    * capability the rest of the streaming family doesn't exercise
+    * (stream×static joins broadcast a fixed frame; HERE both sides are
+    * unbounded and Spark must keep watermark-bounded join state). Same
+    * semantics as the batch `join_followup_window` pair frame: an error
+    * within [[graft.operators.AnalyticsOps.FollowupWindowMin]] minutes
+    * after a purchase, per user. The time-range condition plus both
+    * watermarks is exactly what lets Spark evict a purchase's state once
+    * the error-side watermark passes its window end — unbounded streams,
+    * bounded state. Append-mode safe (inner join, both sides
+    * watermarked).
+    */
+  def followupJoin(events: DataFrame): DataFrame = {
+    val win = graft.operators.AnalyticsOps.FollowupWindowMin
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u_p"), col("ts").as("t_p"),
+        col("event_id").as("id_p"))
+      .withWatermark("t_p", "2 hours")
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("u_e"), col("ts").as("t_e"))
+      .withWatermark("t_e", "2 hours")
+    p.join(e,
+      col("u_p") === col("u_e") &&
+        col("t_e") > col("t_p") &&
+        col("t_e") <= col("t_p") + expr(s"INTERVAL $win MINUTES"))
+      .select(col("u_p").as("user_id"), col("id_p"), col("t_p"), col("t_e"))
+  }
+
   /** Sessionization on the live stream: gap-based session_window per victim —
     * the arrival-time twin of the batch `window_session` query (same
     * projection, so the parity spec compares them row-for-row). State is one

@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream followup join == batch pair frame") {
+    // both join sides are unbounded streams: Spark keeps watermark-bounded
+    // state instead of a broadcast — the parity proves the time-range
+    // condition is the same window the batch query applies
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      EventStream.followupJoin(stream), "followup_stream", OutputMode.Append)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+    val streamed = spark.table("followup_stream").collect().map(key).toSet
+    val batch = graft.operators.AnalyticsOps
+      .followupPairFrame(Tables.events(spark, smokeDir))
+      .select(col("user_id"), col("id_p"), col("t_p"), col("t_e"))
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming OHLC candles == batch ohlc_daily") {
     // the SAME declarative aggregate runs incrementally: min_by/max_by
     // partials are order-insensitive state, so the streamed candles
