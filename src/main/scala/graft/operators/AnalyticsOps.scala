@@ -657,9 +657,64 @@ object AnalyticsOps {
         |GROUP BY 1""".stripMargin),
     bench = true)
 
+  /** Q:churn_accounting — the daily growth ledger: for each day, active
+    * users split into retained (also active the day before), new-or-
+    * resurrected (not active yesterday), plus yesterday's churn (active
+    * then, gone today). dau(d) = retained(d) + inflow(d) and the ledger
+    * telescopes — the invariant the fixture asserts. One (user, day)
+    * distinct feeds everything; "active yesterday" is a SELF-JOIN of
+    * that frame shifted by one day, co-keyed on (user, day) — both
+    * sides arrive on the same partitioning, no window over user history
+    * and no per-user state. The day-grain rollup joins (≤ #days rows)
+    * broadcast.
+    */
+  def churnAccounting(events: DataFrame): DataFrame = {
+    val dayUser = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val retained = dayUser.as("t")
+      .join(dayUser.as("y"),
+        col("t.user_id") === col("y.user_id") &&
+          col("t.day") === date_add(col("y.day"), 1))
+      .groupBy(col("t.day").as("day"))
+      .agg(count(lit(1)).as("retained"))
+    val prevDau = dau.select(date_add(col("day"), 1).as("day"),
+      col("dau").as("dau_prev"))
+    dau
+      .join(broadcast(retained), Seq("day"), "left")
+      .join(broadcast(prevDau), Seq("day"), "left")
+      .na.fill(0L, Seq("retained", "dau_prev"))
+      .select(expr("unix_timestamp(day)").as("day_epoch"), col("dau"),
+        col("retained"),
+        (col("dau") - col("retained")).as("inflow"),
+        (col("dau_prev") - col("retained")).as("churned_from_prev"))
+  }
+
+  val churnAccountingQ = GQuery(
+    "churn_accounting",
+    (s, d) => churnAccounting(Tables.events(s, d)),
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |ret AS (SELECT t.day, count(*) AS retained
+        |        FROM du t JOIN du y
+        |          ON t.user_id = y.user_id
+        |         AND t.day = y.day + INTERVAL 1 DAY
+        |        GROUP BY 1)
+        |SELECT CAST(floor(epoch(dau.day)) AS BIGINT) AS day_epoch, dau.dau,
+        |       coalesce(ret.retained, 0) AS retained,
+        |       dau.dau - coalesce(ret.retained, 0) AS inflow,
+        |       coalesce(p.dau, 0) - coalesce(ret.retained, 0)
+        |         AS churned_from_prev
+        |FROM dau
+        |LEFT JOIN ret ON dau.day = ret.day
+        |LEFT JOIN dau p ON dau.day = p.day + INTERVAL 1 DAY""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
-      followupPairsQ)
+      followupPairsQ, churnAccountingQ)
 }
