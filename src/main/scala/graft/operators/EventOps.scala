@@ -701,6 +701,35 @@ object EventOps {
         |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),
     bench = true)
 
+  /** Q:tableview_tombstone — S5's TableView compaction with DELETION
+    * semantics (the Kafka/Pulsar tombstone contract the plain last-per-
+    * key query sidesteps): 'error' events act as per-user tombstones, so
+    * a user whose LATEST event is a tombstone has no materialized row at
+    * all — not a null, an absence. Still ONE hash aggregate: max_by
+    * carries (event_type, value) under the (ts, event_id) order and a
+    * post-aggregate filter drops tombstoned keys; at any scale the
+    * compaction cost is identical to S5's (the tombstone check is free —
+    * it rides the same partial state).
+    */
+  def tombstoneCompaction(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(event_type, value), struct(ts, event_id))")
+        .as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.value").as("value"))
+
+  val tableviewTombstoneQ = GQuery(
+    "tableview_tombstone",
+    (s, d) => tombstoneCompaction(Tables.events(s, d)),
+    oracle = Some(
+      """WITH r AS (SELECT user_id, event_type, value,
+        |                 row_number() OVER (PARTITION BY user_id
+        |                                    ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM events)
+        |SELECT user_id, value FROM r
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin))
+
   /** Snapshot cutoffs for [[cdcSnapshotDiff]]. T1 sits INSIDE the first
     * day because the generator has every user first appear within day 1
     * at the smallest scale — any later cutoff makes the `added` branch
@@ -766,5 +795,5 @@ object EventOps {
     timeAdd, schemaEnforce, schemaEvolution, ingestRoundtrip, streamTumblingCount,
     windowSession, windowRunningSum, aggRollup, topkPerRoomAgg,
     joinAsofLastMap, windowLagDelta, aggCube, aggGroupingSets, lossyAdmission,
-    scd2AsofSnapshot, cdcSnapshotDiffQ)
+    scd2AsofSnapshot, cdcSnapshotDiffQ, tableviewTombstoneQ)
 }

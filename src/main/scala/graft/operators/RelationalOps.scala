@@ -887,11 +887,45 @@ object RelationalOps {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""".stripMargin))
 
+  /** Q:window_ntile_quartiles — equal-frequency bucketing: customers
+    * split into account-balance quartiles WITHIN their nation (ntile —
+    * deterministic under the (acctbal, custkey) total order; both
+    * engines share the same remainder-to-early-buckets definition), then
+    * one rollup row per (nation, quartile) with the bucket's population
+    * and balance range. The window partitions by nation — bounded
+    * partitions (a nation's customers), the usual per-group sequential
+    * bound — and the rollup is map-side combinable. The quartile
+    * BOUNDARIES this emits are what a range-partitioner or an
+    * equi-depth histogram builder consumes.
+    */
+  val windowNtileQuartiles = GQuery(
+    "window_ntile_quartiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT c_nationkey, c_acctbal,
+        |                 ntile(4) OVER (PARTITION BY c_nationkey
+        |                                ORDER BY c_acctbal, c_custkey) AS quartile
+        |          FROM customer)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+        |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM q GROUP BY 1, 2""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
-    q14PromoShare, reshapeUnpivot)
+    q14PromoShare, reshapeUnpivot, windowNtileQuartiles)
 }

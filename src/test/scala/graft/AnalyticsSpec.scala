@@ -315,6 +315,25 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("tombstone compaction: a trailing tombstone erases the key") {
+    val rows = Seq(
+      // u1: write then tombstone → absent
+      (1L, 1L, "2024-01-01 10:00:00", "purchase", 1.0),
+      (1L, 2L, "2024-01-02 10:00:00", "error", 0.0),
+      // u2: tombstone then write → present with the later value
+      (2L, 3L, "2024-01-01 10:00:00", "error", 0.0),
+      (2L, 4L, "2024-01-02 10:00:00", "view", 5.0),
+      // u3: same-instant write+tombstone — higher event_id (tombstone)
+      // wins → absent
+      (3L, 5L, "2024-01-03 10:00:00", "view", 7.0),
+      (3L, 6L, "2024-01-03 10:00:00", "error", 0.0))
+    val e = rows.map { case (u, id, at, t, v) => (u, id, ts(at), t, v) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.tombstoneCompaction(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((2L, 5.0)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)
