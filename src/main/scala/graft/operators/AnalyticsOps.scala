@@ -658,37 +658,42 @@ object AnalyticsOps {
     bench = true)
 
   /** Q:churn_accounting — the daily growth ledger: for each day, active
-    * users split into retained (also active the day before), new-or-
-    * resurrected (not active yesterday), plus yesterday's churn (active
-    * then, gone today). dau(d) = retained(d) + inflow(d) and the ledger
-    * telescopes — the invariant the fixture asserts. One (user, day)
-    * distinct feeds everything; "active yesterday" is a SELF-JOIN of
-    * that frame shifted by one day, co-keyed on (user, day) — both
-    * sides arrive on the same partitioning, no window over user history
-    * and no per-user state. The day-grain rollup joins (≤ #days rows)
-    * broadcast.
+    * users split into retained (also active the day before) vs inflow
+    * (new or resurrected), plus `churned_next` — users active today and
+    * NOT tomorrow, attached to the day they were LAST SEEN. That
+    * attachment is what makes the ledger gap-proof: if nobody at all is
+    * active on d+1, churned_next(d) = dau(d) − 0 reports every user as
+    * churned even though no d+1 row exists (a prev-day formulation
+    * silently loses churn across fully-inactive days). The final day is
+    * right-censored: no tomorrow exists, so its churned_next reads as
+    * full churn — the standard horizon caveat of any churn readout. One
+    * (user, day) distinct feeds everything; "active tomorrow" is a
+    * SELF-JOIN of that frame shifted by one day, co-keyed on
+    * (user, day); the day-grain rollup joins (≤ #days rows) broadcast.
     */
   def churnAccounting(events: DataFrame): DataFrame = {
     val dayUser = events
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    // retained INTO day t (present on t and t−1), keyed by t
     val retained = dayUser.as("t")
       .join(dayUser.as("y"),
         col("t.user_id") === col("y.user_id") &&
           col("t.day") === date_add(col("y.day"), 1))
       .groupBy(col("t.day").as("day"))
       .agg(count(lit(1)).as("retained"))
-    val prevDau = dau.select(date_add(col("day"), 1).as("day"),
-      col("dau").as("dau_prev"))
+    // the same frame re-keyed by t−1 = "survived into tomorrow"
+    val survived = retained.select(date_add(col("day"), -1).as("day"),
+      col("retained").as("survived_next"))
     dau
       .join(broadcast(retained), Seq("day"), "left")
-      .join(broadcast(prevDau), Seq("day"), "left")
-      .na.fill(0L, Seq("retained", "dau_prev"))
+      .join(broadcast(survived), Seq("day"), "left")
+      .na.fill(0L, Seq("retained", "survived_next"))
       .select(expr("unix_timestamp(day)").as("day_epoch"), col("dau"),
         col("retained"),
         (col("dau") - col("retained")).as("inflow"),
-        (col("dau_prev") - col("retained")).as("churned_from_prev"))
+        (col("dau") - col("survived_next")).as("churned_next"))
   }
 
   val churnAccountingQ = GQuery(
@@ -706,11 +711,10 @@ object AnalyticsOps {
         |SELECT CAST(floor(epoch(dau.day)) AS BIGINT) AS day_epoch, dau.dau,
         |       coalesce(ret.retained, 0) AS retained,
         |       dau.dau - coalesce(ret.retained, 0) AS inflow,
-        |       coalesce(p.dau, 0) - coalesce(ret.retained, 0)
-        |         AS churned_from_prev
+        |       dau.dau - coalesce(nxt.retained, 0) AS churned_next
         |FROM dau
         |LEFT JOIN ret ON dau.day = ret.day
-        |LEFT JOIN dau p ON dau.day = p.day + INTERVAL 1 DAY""".stripMargin))
+        |LEFT JOIN ret nxt ON nxt.day = dau.day + INTERVAL 1 DAY""".stripMargin))
 
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,

@@ -701,6 +701,13 @@ object EventOps {
         |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),
     bench = true)
 
+  /** The changelog's last-write-wins payload under the (ts, event_id)
+    * total order — the ONE definition of "latest" every last-per-key
+    * consumer ([[tombstoneCompaction]], [[cdcSnapshotDiff]]) shares, so
+    * the same-instant-supersede tie-break cannot drift between them. */
+  private def lastByEventOrder(payload: String) =
+    expr(s"max_by($payload, struct(ts, event_id))")
+
   /** Q:tableview_tombstone — S5's TableView compaction with DELETION
     * semantics (the Kafka/Pulsar tombstone contract the plain last-per-
     * key query sidesteps): 'error' events act as per-user tombstones, so
@@ -714,8 +721,7 @@ object EventOps {
   def tombstoneCompaction(events: DataFrame): DataFrame =
     events
       .groupBy("user_id")
-      .agg(expr("max_by(struct(event_type, value), struct(ts, event_id))")
-        .as("last"))
+      .agg(lastByEventOrder("struct(event_type, value)").as("last"))
       .filter(col("last.event_type") =!= "error")
       .select(col("user_id"), col("last.value").as("value"))
 
@@ -757,7 +763,7 @@ object EventOps {
     def stateAt(t: String, as: String) = events
       .filter(col("ts") <= lit(t).cast("timestamp"))
       .groupBy("user_id")
-      .agg(expr("max_by(value, struct(ts, event_id))").as(as))
+      .agg(lastByEventOrder("value").as(as))
     stateAt(CdcT2, "new_value")
       .join(stateAt(CdcT1, "old_value"), Seq("user_id"), "left")
       .filter(col("old_value").isNull || col("old_value") =!= col("new_value"))

@@ -294,12 +294,13 @@ class AnalyticsSpec extends SparkSuite {
       (ep("2024-02-01"), 1L, 1L, 1000000L)))
   }
 
-  test("churn ledger: dau = retained + inflow; churn references yesterday") {
-    // d1: {u1,u2}  d2: {u1,u3}  d3: {u2,u3}
+  test("churn ledger: gap days lose no churn; last day right-censored") {
+    // d1: {u1,u2}  d2: {u1,u3}  d3: {u2,u3}  d4: ∅ (gap)  d5: {u1}
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
       (1L, ts("2024-01-02 09:00:00")), (3L, ts("2024-01-02 10:00:00")),
-      (2L, ts("2024-01-03 08:00:00")), (3L, ts("2024-01-03 09:00:00")))
+      (2L, ts("2024-01-03 08:00:00")), (3L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-05 12:00:00")))
       .toDF("user_id", "ts")
     def ep(d: String): Long = ts(d + " 00:00:00").getTime / 1000
     val got = AnalyticsOps.churnAccounting(e).collect()
@@ -307,12 +308,11 @@ class AnalyticsSpec extends SparkSuite {
         r.getLong(4)))
       .sortBy(_._1).toList
     assert(got === List(
-      (ep("2024-01-01"), 2L, 0L, 2L, 0L),
-      (ep("2024-01-02"), 2L, 1L, 1L, 1L), // u1 retained, u3 in, u2 out
-      (ep("2024-01-03"), 2L, 1L, 1L, 1L))) // u3 retained, u2 back, u1 out
-    got.foreach { case (_, dau, retained, inflow, _) =>
-      assert(dau === retained + inflow)
-    }
+      // (day, dau, retained, inflow, churned_next)
+      (ep("2024-01-01"), 2L, 0L, 2L, 1L), // u2 not seen on d2
+      (ep("2024-01-02"), 2L, 1L, 1L, 1L), // u1 retained in, u1 absent d3
+      (ep("2024-01-03"), 2L, 1L, 1L, 2L), // nobody survives into the d4 gap
+      (ep("2024-01-05"), 1L, 0L, 1L, 1L))) // resurrected u1; horizon-censored
   }
 
   test("tombstone compaction: a trailing tombstone erases the key") {
