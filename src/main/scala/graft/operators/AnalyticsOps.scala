@@ -716,9 +716,51 @@ object AnalyticsOps {
         |LEFT JOIN ret ON dau.day = ret.day
         |LEFT JOIN ret nxt ON nxt.day = dau.day + INTERVAL 1 DAY""".stripMargin))
 
+  /** Latency bin width for [[conversionLatency]], minutes. */
+  final val LatencyBinMin = 60L
+
+  /** Q:conversion_latency_histogram — how long conversion takes: the
+    * distribution of first-view→first-purchase latency (through the
+    * ordered funnel's gates, so it is the latency of ACTUAL conversions,
+    * not of any view/purchase pair), bucketed into hour bins. Reuses
+    * [[stageTimes]]' per-stage min-entry frames — co-keyed user joins —
+    * then ONE (bin) count whose shuffle is bounded by the bin count, the
+    * same scale argument as `quantile_histogram` (exact latency
+    * percentiles would sort every converting user). Bin arithmetic on
+    * exact epoch-µs integer division.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val stages = stageTimes(events)
+    val first = stages.head.select(col("user_id"), col("t").as("t_view"))
+    val last = stages.last.select(col("user_id"), col("t").as("t_purchase"))
+    last.join(first, Seq("user_id"))
+      .select(expr(
+        s"(unix_micros(t_purchase) - unix_micros(t_view)) div ${LatencyBinMin * 60000000L}")
+        .as("latency_bin"))
+      .groupBy("latency_bin").agg(count(lit(1)).as("n_users"))
+  }
+
+  val conversionLatencyQ = GQuery(
+    "conversion_latency_histogram",
+    (s, d) => conversionLatency(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (epoch_us(p.t3) - epoch_us(v.t1))
+        |         // ${LatencyBinMin * 60000000L} AS latency_bin,
+        |       count(*) AS n_users
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |GROUP BY 1""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
-      followupPairsQ, churnAccountingQ)
+      followupPairsQ, churnAccountingQ, conversionLatencyQ)
 }

@@ -921,11 +921,40 @@ object RelationalOps {
         |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         |FROM q GROUP BY 1, 2""".stripMargin))
 
+  /** Q:skew_report — the operational readout behind every salting /
+    * AQE-skew decision: the hottest join keys of the fact table with
+    * their absolute counts and corpus share (ppm — integer division on
+    * positive operands, cross-engine-safe). One map-side-combinable key
+    * count; the total rides a broadcast 1-row aggregate; top-20 via
+    * TakeOrderedAndProject under a (count DESC, key) total order. This
+    * is the query you run BEFORE choosing `agg_salted_skew`'s salt
+    * factor — at 100 TB it is how skew is discovered at all.
+    */
+  val skewReport = GQuery(
+    "skew_report",
+    (s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val total = Tables.lineitem(s, d).agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("key"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"))
+        .orderBy(desc("n"), asc("key"))
+        .limit(20)
+    },
+    oracle = Some(
+      """SELECT l_orderkey AS key, count(*) AS n,
+        |       count(*) * 1000000 // (SELECT count(*) FROM lineitem)
+        |         AS share_ppm
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
-    q14PromoShare, reshapeUnpivot, windowNtileQuartiles)
+    q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport)
 }
