@@ -950,11 +950,52 @@ object RelationalOps {
         |FROM lineitem
         |GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin))
 
+  /** Q:q19_disjunctive_revenue — TPC-H Q19 (discounted revenue): the
+    * disjunctive-predicate stress case — three OR'd conjunction groups
+    * mixing part attributes (brand, size) with lineitem attributes
+    * (quantity), which defeats naive single-column pushdown. The
+    * Spark-first shape: the part-only disjunction residue
+    * (brand₁∧size-range₁ ∨ …) prunes the BUILD side before the join
+    * (Catalyst derives it from the join-condition OR), the full mixed
+    * predicate evaluates as the join condition, and revenue aggregates
+    * to one scaled-integer row. One join, one 1-row aggregate — the
+    * query is a predicate-evaluation benchmark, not a shuffle one.
+    */
+  val q19DisjunctiveRevenue = GQuery(
+    "q19_disjunctive_revenue",
+    (s, d) => {
+      val cond = expr(
+        """(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+          |   AND l_quantity >= 1 AND l_quantity <= 20)
+          |OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+          |   AND l_quantity >= 10 AND l_quantity <= 40)
+          |OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          |   AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(expr(
+          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          .as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+    oracle = Some(
+      """SELECT CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 1 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin))
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
-    q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport)
+    q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport,
+    q19DisjunctiveRevenue)
 }
