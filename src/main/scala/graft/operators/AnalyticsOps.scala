@@ -758,9 +758,42 @@ object AnalyticsOps {
         |FROM p JOIN v ON p.user_id = v.user_id
         |GROUP BY 1""".stripMargin))
 
+  /** Q:agg_mode_exact — exact per-group mode (the aggregate SQL lacks):
+    * each series' most frequent hour-of-day, via DOUBLE aggregation —
+    * count per (group, value), then argmax per group. Both stages are
+    * map-side combinable and the second one's input is bounded by the
+    * value domain (24 hours), so the mode of billions of events costs
+    * one bounded shuffle — the same domain-bounding argument as
+    * `quantile_histogram`. Determinism under ties: max_by over the
+    * (n, −hour) struct picks the EARLIEST hour among tied counts,
+    * mirrored by the oracle's (n DESC, hour) rank.
+    */
+  def modeExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(expr("max_by(hr, struct(n, -hr))").as("modal_hour"),
+        expr("max(struct(n, -hr)).n").as("modal_n"))
+
+  val modeExactQ = GQuery(
+    "agg_mode_exact",
+    (s, d) => modeExact(Tables.events(s, d)),
+    oracle = Some(
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |                 count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, n,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY n DESC, hr) AS rk
+        |      FROM c)
+        |SELECT event_type, hr AS modal_hour, n AS modal_n
+        |FROM r WHERE rk = 1""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
-      followupPairsQ, churnAccountingQ, conversionLatencyQ)
+      followupPairsQ, churnAccountingQ, conversionLatencyQ, modeExactQ)
 }
