@@ -114,27 +114,12 @@ object KMeansOps {
   private val models =
     scala.collection.mutable.Map.empty[(String, String, String), Vector[Seq[(Int, Array[Long], Long)]]]
 
-  /** Driver-side metadata scan of `d`/embeddings.parquet (file or dir):
-    * cheap (no data read), and any in-place rewrite changes it. Known
-    * tradeoff (accepted): a rewrite that preserves every file name AND
-    * length within the filesystem's mtime resolution is invisible — a
-    * content checksum would close that but costs a data read; metadata-only
-    * is the right price for a per-query guard. Superseded fingerprints for
-    * the same (app, dir) are evicted on insert in [[lloyd]]. */
-  private def datasetFingerprint(d: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      // listFiles() returns null on I/O error or a dir vanishing mid-scan
-      // (not just non-dirs) — treat that as "no children", so the
-      // fingerprint degrades to a different value instead of an NPE from
-      // every kmeans/IVF query
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val sig = walk(new java.io.File(d, "embeddings.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    scala.util.hashing.MurmurHash3.stringHash(sig).toHexString
-  }
+  /** Metadata fingerprint of `d`/embeddings.parquet — see
+    * [[graft.DatasetFingerprint]] for the tradeoffs. Superseded
+    * fingerprints for the same (app, dir) are evicted on insert in
+    * [[lloyd]]. */
+  private def datasetFingerprint(d: String): String =
+    graft.DatasetFingerprint.of(d, "embeddings.parquet")
 
   /** Lloyd's for `iters` iterations over the dataset at `d`. Seeds from
     * vec_id 0..K-1. Collects only the K×Dims model state per iteration
