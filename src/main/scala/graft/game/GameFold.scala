@@ -22,7 +22,7 @@ final case class GameEvent(
     list: Seq[Int])
 
 /** Deterministic projection of folded room state — the oracle-friendly digest
-  * for Q:replay_final_state (SURVEY §5: fold output reduced to per-room
+  * for Q:replay_room_digest (SURVEY §5: fold output reduced to per-room
   * summary counts).
   */
 final case class RoomSummary(
@@ -342,7 +342,7 @@ object GameFold {
 
 /** Deterministic game-event log derived from the driver `events` table —
   * the stand-in for the reference's per-room topics, used by
-  * Q:replay_final_state and the fold tests. Pure column expressions
+  * Q:replay_room_digest and the fold tests. Pure column expressions
   * (no UDFs) so derivation cost is codegen'd.
   *
   * Mapping (documented in lockstep with tests):

@@ -4,21 +4,87 @@ import graft.GQuery
 import graft.game.{GameFold, GameLog}
 
 /** ST1 registry entries. The fold is order-sensitive and therefore not
-  * SQL-expressible — no DuckDB oracle (driver records a rows-only check);
-  * correctness is carried by GameFoldSpec: a hand-computed golden scenario,
-  * guard-gauntlet no-ops, local-vs-distributed cross-check, and partitioning
-  * invariance.
+  * fully SQL-expressible; the registry carries its SQL-RECONSTRUCTIBLE
+  * slices (both hash-checked against DuckDB), and the state-machine
+  * remainder (positions, bombs, flames, obstacles) is carried by
+  * GameFoldSpec: a hand-computed golden scenario, guard-gauntlet no-ops,
+  * local-vs-distributed cross-check, and partitioning invariance.
   */
 object FoldOps {
 
-  /** Q:replay_final_state — fold the derived multi-room event log to its
-    * per-room final-state digest (SURVEY §2.7 ST1; replay semantics
-    * watch.go:43-85).
+  /** Q:replay_room_digest — run the FULL fold (SURVEY §2.7 ST1; replay
+    * semantics watch.go:43-85) and emit the per-room digest columns a
+    * relational oracle CAN reconstruct:
+    *
+    *  - `n_events` / `last_seq` straight off the fold's [[RoomSummary]] —
+    *    checks the distributed plumbing end-to-end (no event lost or
+    *    double-folded across the repartition + in-partition sort, last
+    *    event actually last);
+    *  - `n_created` / `n_alive_created` — the [[replayAliveStatus]] cohort
+    *    (players with ≥ 1 unconditional join/revive creation) aggregated
+    *    per room from the fold's ACTUAL player map, so the state machine's
+    *    liveness output is hash-checked at room granularity too.
+    *
+    * This replaced round-10's rows-only `replay_final_state` (the one
+    * registry row with no oracle): same fold on the bench, but every
+    * emitted column is now DuckDB-hash-checked. The non-reconstructible
+    * state (positions, bombs, flames, obstacles — all guard-dependent)
+    * stays covered by GameFoldSpec's golden + differential suites.
     */
-  val replayFinalState = GQuery(
-    "replay_final_state",
-    (s, d) => GameFold.summarize(GameLog.derive(s, d)).toDF(),
-    oracle = None,
+  val replayRoomDigest = GQuery(
+    "replay_room_digest",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val log = graft.Materialize.stage(GameLog.derive(s, d))
+      val rooms = GameFold.summarize(log).toDF()
+        .select("room", "n_events", "last_seq")
+      val states = GameFold.playerStates(log).toDF()
+      val creators = log.toDF()
+        .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))
+        .select("room", "name").distinct()
+      val cohort = states
+        .join(creators, Seq("room", "name"), "left_semi")
+        .groupBy("room")
+        .agg(count(lit(1)).as("n_created"),
+          sum(col("alive").cast("long")).as("n_alive_created"))
+      // left join: a room whose only players were move-created still has
+      // events — it must appear with zero cohort counts on both engines
+      rooms.join(cohort, Seq("room"), "left")
+        .select(col("room"), col("n_events"), col("last_seq"),
+          coalesce(col("n_created"), lit(0L)).as("n_created"),
+          coalesce(col("n_alive_created"), lit(0L)).as("n_alive_created"))
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id AS seq, event_type,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |rooms AS (
+        |  SELECT 'room' || CAST(user_id % 8 AS VARCHAR) AS room,
+        |         count(*) AS n_events, max(seq) AS last_seq
+        |  FROM ev GROUP BY 1),
+        |pe AS (
+        |  SELECT 'room' || CAST(user_id % 8 AS VARCHAR) AS room,
+        |         'u' || CAST(user_id AS VARCHAR) AS name, seq,
+        |         CASE WHEN event_type = 'signup' THEN 'join'
+        |              WHEN event_type = 'error' AND k % 4 = 0 THEN 'revive'
+        |              ELSE 'dead' END AS act
+        |  FROM ev WHERE event_type IN ('signup', 'error')),
+        |cohort AS (
+        |  SELECT DISTINCT room, name FROM pe WHERE act IN ('join', 'revive')),
+        |last AS (
+        |  SELECT p.room, p.name, max_by(p.act, p.seq) AS last_act
+        |  FROM pe p JOIN cohort c ON c.room = p.room AND c.name = p.name
+        |  GROUP BY p.room, p.name),
+        |cs AS (
+        |  SELECT room, count(*) AS n_created,
+        |         CAST(sum(CASE WHEN last_act <> 'dead' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_alive_created
+        |  FROM last GROUP BY room)
+        |SELECT r.room, r.n_events, r.last_seq,
+        |       CAST(coalesce(cs.n_created, 0) AS BIGINT) AS n_created,
+        |       CAST(coalesce(cs.n_alive_created, 0) AS BIGINT) AS n_alive_created
+        |FROM rooms r LEFT JOIN cs USING (room)""".stripMargin),
     bench = true)
 
   /** Q:replay_alive_status — a projection of the ACTUAL fold output that IS
@@ -66,5 +132,5 @@ object FoldOps {
         |       (last_act <> 'dead') AS alive
         |FROM last""".stripMargin))
 
-  val queries: Seq[GQuery] = Seq(replayFinalState, replayAliveStatus)
+  val queries: Seq[GQuery] = Seq(replayRoomDigest, replayAliveStatus)
 }

@@ -31,7 +31,7 @@ object DumpPlans {
       "ann_cosine_topk" -> "ANN baseline: broadcast 1-row query side, native graft_dot in whole-stage codegen, TakeOrderedAndProject",
       "ann_topk_per_query" -> "fused per-query top-k: partial_cosinetopkaggregate below the exchange — k rows per query cross the shuffle, no window sort",
       "lcg_event_type_counts" -> "DSV2 KeyGroupedPartitioning: group-by includes the source partition key — NO Exchange in the plan",
-      "replay_final_state" -> "the fold: one Exchange on room, in-partition sort, MapPartitions (no per-group materialization)",
+      "replay_room_digest" -> "the fold: one Exchange on room, in-partition sort, MapPartitions (no per-group materialization), digest joins on the staged log",
       "text_repetition" -> "repetition signals: two hash aggregates keyed (doc_id,bigram)→doc_id, both partial+final — shuffle ∝ distinct bigrams per doc",
       "sample_weights" -> "mixture weighting: corpus streams once; per-source and 1-row totals both broadcast — no corpus-sized shuffle",
       "kmeans_centroids" -> "Lloyd's final update: row-local assignment (centroids as literals, graft_dot codegen), partial+final (cid,dim) hash agg — shuffle is K×64 partial rows, model join broadcast",
