@@ -398,7 +398,11 @@ object AnalyticsOps {
         min(col("value")).as("low"),
         expr("max_by(value, event_id)").as("close"),
         count(lit(1)).as("volume"),
-        expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").as("traded_e2"))
+        // scale each 2-decimal value to an exact integer BEFORE summing:
+        // the sum is then exact at any group size and in any partial-
+        // aggregation order (summing raw doubles and scaling after could
+        // flip the floored integer on very large groups)
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("traded_e2"))
       .select(expr("unix_timestamp(day)").as("day_epoch"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("traded_e2"))
@@ -414,7 +418,7 @@ object AnalyticsOps {
         |       min(value) AS low,
         |       arg_max(value, event_id) AS close,
         |       count(*) AS volume,
-        |       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS traded_e2
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS traded_e2
         |FROM events
         |GROUP BY 1, 2""".stripMargin),
     bench = true)
@@ -503,6 +507,48 @@ object AnalyticsOps {
         |      FROM y)
         |SELECT event_type, max(peak - v) AS max_drawdown_e2
         |FROM p GROUP BY 1""".stripMargin))
+
+  /** Trailing RANGE-frame width, seconds (24 h). */
+  final val TrailRangeSec = 86400L
+
+  /** Q:window_trailing_range — per-user trailing-24-hour value sum at
+    * every event: the time-window aggregate that neither a rows-frame
+    * (counts rows, not time) nor a tumbling window (aligns to grid
+    * boundaries, not to each row) expresses — `RANGE BETWEEN <interval>
+    * PRECEDING AND CURRENT ROW` over the event time. ONE user-keyed
+    * window exchange; the frame is evaluated by a sliding two-pointer
+    * pass inside each partition, O(rows) not O(rows·frame). The order
+    * key is epoch SECONDS on both engines (ts carries microseconds, so
+    * the truncation must be mirrored, not implied), and the summand is
+    * the per-row-scaled e2 integer, so every trailing sum is exact.
+    * Scale: parallel across users, sequential within one — the same
+    * per-log bound as every ordered window here.
+    */
+  def windowTrailingRange(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-TrailRangeSec, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(to_unix_timestamp(ts)) AS BIGINT)").as("ts_sec"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .withColumn("trail24h_e2", sum("v").over(w))
+      .select("user_id", "event_id", "ts_sec", "trail24h_e2")
+  }
+
+  val windowTrailingRangeQ = GQuery(
+    "window_trailing_range",
+    (s, d) => windowTrailingRange(Tables.events(s, d)),
+    oracle = Some(
+      s"""WITH y AS (SELECT user_id, event_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT user_id, event_id, ts_sec,
+        |       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |                         RANGE BETWEEN $TrailRangeSec PRECEDING
+        |                         AND CURRENT ROW) AS BIGINT) AS trail24h_e2
+        |FROM y""".stripMargin),
+    bench = true)
 
   /** Session gap for [[sessionPathTopk]], minutes — matches the
     * `window_session` gap so the two sessionizations agree. */
@@ -795,5 +841,6 @@ object AnalyticsOps {
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
-      followupPairsQ, churnAccountingQ, conversionLatencyQ, modeExactQ)
+      followupPairsQ, churnAccountingQ, conversionLatencyQ, modeExactQ,
+      windowTrailingRangeQ)
 }

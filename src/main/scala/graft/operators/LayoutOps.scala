@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** Bits interleaved per dimension (keys here fit 16 bits; production
-    * widens to 21×3 or 32×2 — the formula is the same). */
-  final val ZBits = 16
+  /** Bits interleaved per dimension. 31 covers every positive INT key
+    * (TPC-H partkey reaches 20M at sf100 — past 16 or even 21 bits), and
+    * 2·31 = 62 interleaved bits still fit a signed BIGINT exactly. Keys
+    * at or above 1L<<ZBits would silently alias into the same z-bucket,
+    * so the width must dominate the key domain — which 31 bits does for
+    * any int-keyed table. */
+  final val ZBits = 31
 
   /** Buckets the z-range divides into — stand-ins for output files. */
   final val ZBuckets = 64

@@ -990,6 +990,137 @@ object RelationalOps {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin))
 
+  /** Q:q21_suppliers_kept_waiting — TPC-H Q21 (suppliers who kept orders
+    * waiting), the classic correlated EXISTS + NOT-EXISTS-with-aggregate
+    * decorrelation test. Adapted to this testbed's columns: "late" means
+    * l_shipdate > o_orderdate + 120 days (no receipt/commit dates here);
+    * the correlation structure is the textbook one — count, per supplier,
+    * the late lineitems in finished ('F') multi-supplier orders where that
+    * supplier was the ONLY late one (EXISTS another supplier in the order;
+    * NOT EXISTS another LATE supplier).
+    *
+    * The naive plan scans lineitem three times (l1, l2, l3). Decorrelated
+    * Spark plan scans it ONCE: join orders co-keyed on orderkey (status
+    * filter pushed into the orders scan), reduce to (orderkey, suppkey)
+    * grain with a per-supplier late-row count — at most one row per
+    * supplier per order crosses that shuffle — then both correlated
+    * subqueries collapse into window aggregates over the already-reduced
+    * grain: n_supp = count over the order (EXISTS l2 ⟺ n_supp > 1) and
+    * n_late_supp = count of late suppliers (NOT EXISTS late l3 ⟺
+    * n_late_supp = 1, given this supplier is late). numwait per supplier
+    * row-counts the qualifying late lineitems, exactly the EXISTS
+    * formulation's l1 cardinality. supplier joins last, against the
+    * already-tiny qualifying frame. All integers; top-20 total-ordered by
+    * (numwait DESC, s_name).
+    */
+  val q21SuppliersKeptWaiting = GQuery(
+    "q21_suppliers_kept_waiting",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fact = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > expr("o_orderdate + INTERVAL 120 DAY"))
+            .cast("int").as("late"))
+      val grain = fact.groupBy("l_orderkey", "l_suppkey")
+        .agg(sum("late").as("late_rows"))
+      val w = Window.partitionBy("l_orderkey")
+      grain
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum((col("late_rows") > 0).cast("int")).over(w))
+        .filter(col("late_rows") > 0 && col("n_supp") > 1 &&
+          col("n_late_supp") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum("late_rows").as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH l1 AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1
+        |    FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND o3.o_orderstatus = 'F'
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 120 DAY)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin),
+    bench = true)
+
+  /** Q:q22_global_sales_opportunity — TPC-H Q22 (global sales
+    * opportunity): per-country count and total balance of
+    * above-average-balance customers with no recent orders. Adapted:
+    * country comes from nation (this testbed has no phone column) and
+    * "has not placed orders" is scoped to the trailing two years so the
+    * anti-join is non-trivial on a testbed where every customer has SOME
+    * order.
+    *
+    * Decorrelation: the scalar AVG subquery becomes a broadcast 1-row
+    * aggregate crossed into the customer frame (the accepted 1-row
+    * BroadcastNestedLoop pattern — no driver action, no second shuffle),
+    * and the correlated NOT EXISTS becomes a LEFT ANTI join against the
+    * date-filtered orders projection (filter pushed into the scan, only
+    * o_custkey crosses the shuffle). The above-average test is EXACT
+    * integer cross-multiplication — bal_e2 · n_pos > sum_e2 over
+    * per-row-scaled balances — instead of comparing against a float
+    * average whose last-ulp value depends on each engine's summation
+    * order (bal_e2 ≤ 10⁶ and n_pos ≤ 10⁹ at 100 TB keep the product
+    * well inside BIGINT). totacctbal sums the same exact per-row e2
+    * integers, map-side combinable.
+    */
+  val q22GlobalSalesOpportunity = GQuery(
+    "q22_global_sales_opportunity",
+    (s, d) => {
+      val balE2 = expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+      val pos = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .agg(sum(balE2).as("sum_e2"), count(lit(1)).as("n_pos"))
+      Tables.customer(s, d)
+        .join(broadcast(pos))
+        .filter(balE2 * col("n_pos") > col("sum_e2"))
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), sum(balE2).as("totacctbal_e2"))
+        .orderBy("n_name")
+    },
+    oracle = Some(
+      """WITH pos AS (
+        |  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_e2,
+        |         count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+        |FROM customer
+        |CROSS JOIN pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > sum_e2
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-08-01')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+    bench = true)
+
   val queries: Seq[GQuery] = Seq(
     q1Agg, joinHashEqui, joinBroadcast, joinSemi, joinAnti, joinLeftDisplay,
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
@@ -997,5 +1128,5 @@ object RelationalOps {
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
     q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport,
-    q19DisjunctiveRevenue)
+    q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity)
 }

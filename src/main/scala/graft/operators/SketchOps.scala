@@ -217,6 +217,73 @@ object SketchOps {
         |FROM cw GROUP BY 1""".stripMargin),
     bench = true)
 
+  /** Rank-sketch sample size: kept (hash, value) pairs per group. The
+    * empirical-quantile error is O(1/√k); k scales precision without
+    * changing the bounded-state plan shape. */
+  final val QsK = 64
+
+  /** Knuth multiplicative row hash of event_id (the unique row key) —
+    * same BIGINT-exact construction as [[UserHash]], so the sample
+    * membership is replayable in DuckDB. */
+  private[graft] val EventIdHash =
+    "((event_id % 1000003) * 2654435761) % 4294967296"
+
+  /** Quantile q = num/den over a value-sorted kept array `c`: the value
+    * at 1-indexed rank ⌈q·n⌉, computed in pure integer arithmetic
+    * ((num·n + den − 1) div den, floored at 1) so both engines select
+    * the identical element. */
+  private def rankSql(c: String, num: Int, den: Int): String =
+    s"element_at($c, CAST(greatest(($num * size($c) + ${den - 1}) div $den, 1) AS INT))"
+
+  /** Per-event-type p50/p90/p99 via the graft_qsketch mergeable rank
+    * sketch — the unbounded-domain sibling of [[quantileHistogram]],
+    * which is exact but needs the value range known up front to bin.
+    * Scale shape: ONE hash aggregate; ≤ k (long, long) pairs per group
+    * cross the shuffle regardless of group size (a bottom-k-by-row-hash
+    * uniform sample — merge-order independent, unlike a KLL compactor,
+    * so the estimates themselves hash-match the DuckDB rank-window
+    * replay; see QuantileSketchAggregate's scaladoc for the trade).
+    * Values are per-row-scaled e2 integers BEFORE sketching, so every
+    * kept value and every selected quantile is integer-exact.
+    */
+  val sketchQuantileRank = GQuery(
+    "sketch_quantile_rank",
+    (s, d) => {
+      graft.functions.QuantileSketchAggregate.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"), expr(EventIdHash).as("h"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy("event_type")
+        .agg(expr(s"graft_qsketch(h, v, $QsK)").as("vs"))
+        .select(col("event_type"),
+          size(col("vs")).cast("long").as("n_kept"),
+          expr(rankSql("vs", 1, 2)).as("p50_e2"),
+          expr(rankSql("vs", 9, 10)).as("p90_e2"),
+          expr(rankSql("vs", 99, 100)).as("p99_e2"))
+    },
+    oracle = Some(
+      s"""WITH b AS (SELECT DISTINCT event_type,
+        |                  $EventIdHash AS h,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY h, v) AS rk
+        |      FROM b),
+        |kept AS (SELECT event_type, v FROM r WHERE rk <= $QsK),
+        |ranked AS (SELECT event_type, v,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY v) AS vr,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM kept)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_kept,
+        |       max(CASE WHEN vr = greatest((1 * n + 1) // 2, 1) THEN v END) AS p50_e2,
+        |       max(CASE WHEN vr = greatest((9 * n + 9) // 10, 1) THEN v END) AS p90_e2,
+        |       max(CASE WHEN vr = greatest((99 * n + 99) // 100, 1) THEN v END) AS p99_e2
+        |FROM ranked GROUP BY 1""".stripMargin),
+    bench = true)
+
   /** The integral lineitem columns profiled by [[statsColumns]]. */
   private val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
@@ -398,5 +465,5 @@ object SketchOps {
 
   val queries: Seq[GQuery] =
     Seq(sketchDistinctKmv, sketchHeavyHittersCms, quantileHistogram,
-      statsColumns, sketchKmvUnion, sketchKmvJaccard)
+      statsColumns, sketchKmvUnion, sketchKmvJaccard, sketchQuantileRank)
 }

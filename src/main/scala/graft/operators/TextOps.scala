@@ -438,7 +438,7 @@ object TextOps {
     *
     * idf = ln((N+1)/(df+1)) (smoothed); score rounded at 4 decimals —
     * ln is transcendental, so the scaled-integer rule for terminating
-    * decimals does not apply (see .claude/skills/verify/SKILL.md).
+    * decimals does not apply (see SURVEY §7, cross-engine float policy).
     */
   val textTfidfTopk = GQuery(
     "text_tfidf_topk",

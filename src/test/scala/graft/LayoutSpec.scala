@@ -27,11 +27,11 @@ class LayoutSpec extends SparkSuite {
   }
 
   test("z-order locality: a tight cluster lands in one bucket") {
-    // 100 points in a 10×10 box share one z-bucket (bucket width 2^26
-    // covers z codes of points below 2^13 in both coords); a far-away
-    // point lands elsewhere
+    // 100 points in a 10×10 box share one z-bucket (bucket width 2^56
+    // covers z codes of points below 2^28 in both coords); a far-away
+    // point (bits up to 28 → z ≈ 2^57) lands elsewhere
     val near = for (x <- 0L until 10L; y <- 0L until 10L) yield (x, y)
-    val far = Seq((60000L, 60000L))
+    val far = Seq((300000000L, 300000000L))
     val rows = LayoutOps.zorderStats((near ++ far)
       .toDF("l_partkey", "l_suppkey")).collect()
     assert(rows.length === 2)

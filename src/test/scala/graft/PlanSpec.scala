@@ -86,4 +86,37 @@ class PlanSpec extends SparkSuite {
       s"lineitem scanned more than once:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 not pushed:\n$p")
   }
+
+  test("q21_suppliers_kept_waiting scans lineitem once, no nested loop") {
+    // the textbook EXISTS + NOT-EXISTS plan scans lineitem three times
+    // (l1, l2, l3); the decorrelated grain+window plan must scan it ONCE,
+    // and neither correlated predicate may degrade to a nested loop
+    val p = plan(RelationalOps.q21SuppliersKeptWaiting)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(!p.contains("NestedLoop"), s"correlation degraded to NLJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not pushed:\n$p")
+  }
+
+  test("window_trailing_range runs on a single window exchange") {
+    // the RANGE frame must ride ONE user-keyed exchange — a second
+    // Exchange would mean the plan re-shuffles what the window already
+    // partitioned
+    val p = plan(AnalyticsOps.windowTrailingRangeQ)
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n$p")
+  }
+
+  test("q22_global_sales_opportunity anti-joins pushed-down recent orders") {
+    // the correlated NOT EXISTS must become a LEFT ANTI join, and the
+    // two-year recency predicate must reach the orders scan so only
+    // recent custkeys cross the anti join's shuffle
+    val p = plan(RelationalOps.q22GlobalSalesOpportunity)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become anti join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"recency predicate not pushed into the orders scan:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"orders scanned more than once:\n$p")
+  }
 }

@@ -190,4 +190,59 @@ class SketchSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(mustHave.subsetOf(reported))
   }
+
+  test("graft_qsketch keeps the k smallest (h, v) pairs, values sorted ascending") {
+    graft.functions.QuantileSketchAggregate.ensureRegistered(spark)
+    // pairs sorted by (h, v): (1,90) (2,10) (2,40) (5,70) — k=3 keeps the
+    // first three; output is their VALUES re-sorted ascending. The (2,10)
+    // duplicate collapses (distinct-pair semantics, mirrored by the
+    // oracle's SELECT DISTINCT).
+    val df = Seq((5L, 70L), (2L, 40L), (1L, 90L), (2L, 10L), (2L, 10L))
+      .toDF("h", "v").agg(expr("graft_qsketch(h, v, 3)").as("vs"))
+    assert(df.collect()(0).getSeq[Long](0) === Seq(10L, 40L, 90L))
+  }
+
+  test("graft_qsketch exact branch: below k the empirical quantile is the true quantile") {
+    graft.functions.QuantileSketchAggregate.ensureRegistered(spark)
+    val vals = Seq(300L, 100L, 500L, 200L, 400L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("h", "v").agg(expr("graft_qsketch(h, v, 32)").as("vs"))
+    val kept = df.collect()(0).getSeq[Long](0)
+    assert(kept === vals.sorted) // saw everything: sample IS the population
+    // rank ⌈q·n⌉ selections over n=5: p50 → rank 3, p90/p99 → rank 5
+    assert(kept((5 + 1) / 2 - 1) === 300L)
+    assert(kept((9 * 5 + 9) / 10 - 1) === 500L)
+  }
+
+  test("graft_qsketch is partitioning-invariant (merge order does not matter)") {
+    graft.functions.QuantileSketchAggregate.ensureRegistered(spark)
+    // 600 rows, 3 groups, cardinality well above k so the bounded-buffer
+    // merge path (not the exact branch) is exercised
+    val rows = (1 to 600).map { i =>
+      (s"g${i % 3}", i * 2654435761L % 104729, (i * 37 % 1000).toLong)
+    }
+    val base = rows.toDF("g", "h", "v")
+    def sketch(np: Int) = base.repartition(np)
+      .groupBy("g").agg(expr("graft_qsketch(h, v, 16)").as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sketch(1) === sketch(13))
+  }
+
+  test("qsketch sample quantiles track the population quantiles") {
+    graft.functions.QuantileSketchAggregate.ensureRegistered(spark)
+    // uniform values 1..10000 hashed by a Knuth mix: with k=64 the p50
+    // estimate has stderr ≈ 1/(2√k) ≈ 6% of the range — assert a lenient
+    // ±25% band so the test pins "is a quantile estimator" without
+    // flaking, plus determinism across runs
+    val base = (1 to 10000).map(i =>
+      (i * 2654435761L % 4294967296L, i.toLong)).toDF("h", "v")
+    def p50(df: org.apache.spark.sql.DataFrame): Long = {
+      val kept = df.agg(expr("graft_qsketch(h, v, 64)").as("vs"))
+        .collect()(0).getSeq[Long](0)
+      kept((kept.size + 1) / 2 - 1)
+    }
+    val est = p50(base)
+    assert(est > 2500 && est < 7500, s"p50 estimate $est way off 5000")
+    assert(est === p50(base.repartition(7))) // and deterministic
+  }
 }
