@@ -86,15 +86,31 @@ object EventStream {
     /** Pulsar connector config — drops in unmodified where the connector
       * jar is on the classpath (none exists in this sandbox, so the LIVE
       * path is exercised only down to the DataStreamReader wiring; the
-      * normalization it feeds is executed end-to-end by [[pulsarReplay]]).
+      * normalization it feeds is executed end-to-end by [[pulsarReplay]],
+      * and the option-name contract by StreamingSpec's connector-contract
+      * cases). Option names are the pulsar-spark-connector's documented
+      * reader options: `service.url`, `admin.url`, exactly one of
+      * `topic`/`topics`/`topicsPattern`, and `startingOffsets` —
+      * `earliest` replays the topic from the start (S3 bounded replay /
+      * the reference's watch mode), `latest` tails new messages only
+      * (S2, the reference's subscribe-from-now default), and an offset
+      * JSON resumes a specific position (S5/ST5 offset management).
       */
     def pulsar(serviceUrl: String, adminUrl: String,
-               topicsPattern: String): EventSourceConfig = EventSourceConfig(
-      format = "pulsar",
-      options = Map(
-        "service.url" -> serviceUrl,
-        "admin.url" -> adminUrl,
-        "topicsPattern" -> topicsPattern))
+               topicsPattern: String,
+               startingOffsets: String = "earliest"): EventSourceConfig = {
+      require(
+        startingOffsets == "earliest" || startingOffsets == "latest" ||
+          startingOffsets.trim.startsWith("{"),
+        s"startingOffsets must be earliest | latest | offset JSON, got: $startingOffsets")
+      EventSourceConfig(
+        format = "pulsar",
+        options = Map(
+          "service.url" -> serviceUrl,
+          "admin.url" -> adminUrl,
+          "topicsPattern" -> topicsPattern,
+          "startingOffsets" -> startingOffsets))
+    }
 
     /** Captured-frame replay: a directory of parquet files holding RAW
       * broker frames ([[PulsarFrameSchema]] — the connector's output

@@ -41,14 +41,37 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("pulsar config wires the documented connector options") {
+  test("pulsar config emits EXACTLY the documented connector option names") {
+    // the "drops in unmodified" claim, as a contract: the option MAP must
+    // equal the pulsar-spark-connector's documented reader options —
+    // service.url, admin.url, one topic selector, startingOffsets — with
+    // no stray keys for the connector to ignore silently
     val cfg = EventStream.EventSourceConfig.pulsar(
       "pulsar://broker:6650", "http://broker:8080",
       "persistent://public/default/game-.*")
     assert(cfg.format === "pulsar")
-    assert(cfg.options("service.url") === "pulsar://broker:6650")
-    assert(cfg.options("topicsPattern").contains("game-"))
+    assert(cfg.options === Map(
+      "service.url" -> "pulsar://broker:6650",
+      "admin.url" -> "http://broker:8080",
+      "topicsPattern" -> "persistent://public/default/game-.*",
+      "startingOffsets" -> "earliest"))
+    // exactly ONE topic selector (the connector rejects ambiguity)
+    assert(cfg.options.keySet.count(
+      Set("topic", "topics", "topicsPattern")) === 1)
     assert(cfg.schema.isEmpty) // broker source infers its own schema
+  }
+
+  test("pulsar startingOffsets: replay/tail/resume map to S3/S2/ST5") {
+    def offsets(so: String) = EventStream.EventSourceConfig.pulsar(
+      "pulsar://b:6650", "http://b:8080", "t-.*", so).options("startingOffsets")
+    assert(offsets("earliest") === "earliest") // S3 bounded replay
+    assert(offsets("latest") === "latest")     // S2 tail-from-latest
+    val json = """{"topic-1": [8, 11, 52]}"""  // ST5 offset resume
+    assert(offsets(json) === json)
+    intercept[IllegalArgumentException] {
+      EventStream.EventSourceConfig.pulsar(
+        "pulsar://b:6650", "http://b:8080", "t-.*", "beginning")
+    }
   }
 
   test("pulsar normalize: topic → room, per-topic seq, payload decode") {
