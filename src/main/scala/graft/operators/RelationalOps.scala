@@ -990,6 +990,200 @@ object RelationalOps {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin))
 
+  /** Q:q4_order_priority — TPC-H Q4 (order priority checking): orders per
+    * priority in one quarter having at least one late lineitem. The
+    * correlated EXISTS is a LEFT SEMI join with a mixed equi + non-equi
+    * condition: the equi key (orderkey) carries the join, the lateness
+    * predicate (l_shipdate > o_orderdate + 90 days — this testbed's
+    * receipt/commit-date adaptation, as in Q21) rides along as a residual
+    * filter, and semi semantics deduplicate multi-late orders WITHOUT an
+    * aggregate. Quarter predicate pushed into the orders scan; lineitem
+    * projected to two columns. The final groupBy is over ≤ 5 priorities —
+    * partials combine map-side, 5 rows cross the shuffle.
+    */
+  val q4OrderPriority = GQuery(
+    "q4_order_priority",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(expr(
+        "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'"))
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = true)
+
+  /** Q:q6_forecast_revenue — TPC-H Q6 (forecasting revenue change): the
+    * pure scan-throughput classic — one filter + one global aggregate,
+    * no join, no shuffle beyond the 1-row final combine. All three
+    * predicates push into the parquet scan (shipdate range as min/max
+    * stats pruning, discount band, quantity cap), and the scan reads
+    * exactly four columns. Revenue is the per-row-scaled e4 integer
+    * (2-dec price × 2-dec discount terminates at 4 decimals) summed
+    * exactly. At 100 TB this query IS the scan benchmark: its cost is
+    * bytes-after-pruning, nothing else.
+    */
+  val q6ForecastRevenue = GQuery(
+    "q6_forecast_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(expr(
+          """l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(expr("CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)"))
+            .as("revenue_e4")),
+    oracle = Some(
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+    bench = true)
+
+  /** Q:q13_customer_distribution — TPC-H Q13 (customer order-count
+    * distribution): how many customers placed 0, 1, 2… qualifying
+    * orders. The LEFT OUTER join is load-bearing — zero-order customers
+    * must survive to the histogram's 0 bucket, so the filter
+    * (priority ≠ 1-URGENT, this testbed's stand-in for the comment
+    * NOT LIKE) must live IN THE JOIN CONDITION, not a WHERE (a where
+    * would turn the outer join inner and drop the 0 bucket). Two
+    * aggregates: per-customer count (custkey-keyed shuffle co-located
+    * with the join), then the tiny count-of-counts histogram. count()
+    * over the null-extended column counts matches only — exactly the
+    * textbook count(o_orderkey).
+    */
+  val q13CustomerDistribution = GQuery(
+    "q13_customer_distribution",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    oracle = Some(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    bench = true)
+
+  /** Q:q15_top_supplier — TPC-H Q15 (top supplier): supplier(s) whose
+    * quarter revenue equals the maximum over all suppliers. The textbook
+    * view-plus-scalar-subquery reads the revenue aggregate twice; the
+    * Spark plan declares it twice and lets EXCHANGE REUSE collapse them —
+    * the partial-aggregate shuffle is canonically identical in both
+    * subtrees, so the physical plan scans lineitem ONCE and feeds both
+    * the max reduction and the equality probe from the same shuffle files
+    * (PlanSpec asserts the ReusedExchange). The 1-row max broadcasts back
+    * (the accepted 1-row cross pattern); revenue is the exact e4 integer,
+    * so the famously float-fragile `revenue = max(revenue)` equality is
+    * bit-safe cross-engine. supplier joins the ≥1-row survivors last.
+    */
+  val q15TopSupplier = GQuery(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"))
+        // explicit so BOTH consumers of this aggregate see the identical
+        // subtree: the equality probe's join infers isnotnull(l_suppkey)
+        // onto its copy, and a canonical mismatch here would defeat the
+        // exchange-stage reuse the single-scan plan depends on
+        .filter(col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(expr(
+          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          .as("total_revenue_e4"))
+      val maxRev = rev.agg(max("total_revenue_e4").as("max_rev"))
+      rev.join(broadcast(maxRev))
+        .filter(col("total_revenue_e4") === col("max_rev"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy("s_suppkey")
+    },
+    oracle = Some(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+    bench = true)
+
+  /** Q:q17_small_quantity_revenue — TPC-H Q17 (small-quantity-order
+    * revenue): revenue from brand lineitems whose quantity is below 20%
+    * of that part's average quantity — the classic correlated
+    * scalar-AVG subquery. Decorrelated: brand parts reduce lineitem
+    * first (partkey join), then BOTH per-part statistics the correlation
+    * needs (count, quantity sum) come from one partkey-keyed window over
+    * the already-reduced frame — no second lineitem scan, no
+    * aggregate-join-back. The threshold test is exact integer
+    * cross-multiplication: qty < 0.2·(sum/n) ⟺ 5·qty·n < sum
+    * (quantities are integral, so no float average is ever formed). The
+    * yearly average divides the exact e2 sum by 7 — positive operands,
+    * so Spark's truncating div and DuckDB's flooring // agree.
+    */
+  val q17SmallQuantityRevenue = GQuery(
+    "q17_small_quantity_revenue",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val j = Tables.lineitem(s, d)
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+      val w = Window.partitionBy("l_partkey")
+      j.withColumn("n", count(lit(1)).over(w))
+        .withColumn("sq", sum("qty").over(w))
+        .filter(lit(5L) * col("qty") * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(price_e2) div 7 AS BIGINT)").as("avg_yearly_e2"))
+    },
+    oracle = Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_e2
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND 5 * CAST(l_quantity AS BIGINT)
+        |        * (SELECT count(*) FROM lineitem l2
+        |           WHERE l2.l_partkey = lineitem.l_partkey)
+        |      < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem l2
+        |         WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin),
+    bench = true)
+
   /** Q:q21_suppliers_kept_waiting — TPC-H Q21 (suppliers who kept orders
     * waiting), the classic correlated EXISTS + NOT-EXISTS-with-aggregate
     * decorrelation test. Adapted to this testbed's columns: "late" means
@@ -1128,5 +1322,7 @@ object RelationalOps {
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
     q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport,
-    q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity)
+    q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity,
+    q4OrderPriority, q6ForecastRevenue, q13CustomerDistribution,
+    q15TopSupplier, q17SmallQuantityRevenue)
 }

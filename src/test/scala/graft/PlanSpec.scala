@@ -9,8 +9,26 @@ import graft.operators._
   */
 class PlanSpec extends SparkSuite {
 
-  private def plan(q: GQuery): String =
+  private def plan(q: GQuery): String = {
+    // default maxToStringFields (25) truncates PushedFilters lists mid-
+    // entry, which would make pushdown asserts flaky on filter count
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     q.run(spark, smokeDir).queryExecution.executedPlan.toString
+  }
+
+  /** The FINAL adaptive plan: executes the query so AQE materializes its
+    * runtime decisions (stage reuse, skew splits) — the pre-execution
+    * executedPlan shows none of them. */
+  private def finalPlan(q: GQuery): String = {
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    val df = q.run(spark, smokeDir)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
 
   test("filter_event_type pushes the predicate into the parquet scan") {
     val p = plan(EventOps.filterEventType)
@@ -96,6 +114,47 @@ class PlanSpec extends SparkSuite {
       s"lineitem scanned more than once:\n$p")
     assert(!p.contains("NestedLoop"), s"correlation degraded to NLJ:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not pushed:\n$p")
+  }
+
+  test("q4_order_priority plans the EXISTS as a left-semi join") {
+    val p = plan(RelationalOps.q4OrderPriority)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(!p.contains("NestedLoop"), s"residual predicate degraded to NLJ:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"quarter predicate not pushed into the orders scan:\n$p")
+  }
+
+  test("q6_forecast_revenue pushes all three predicates into the scan") {
+    // the one-line plan string truncates long PushedFilters lists;
+    // formatted explain prints the scan metadata in full
+    val p = RelationalOps.q6ForecastRevenue.run(spark, smokeDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(p.contains(f), s"predicate $f not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+  }
+
+  test("q15_top_supplier reuses the revenue exchange (lineitem scanned once)") {
+    // the view + scalar-subquery formulation reads the aggregate twice;
+    // AQE must reuse the canonically-identical revenue shuffle stage at
+    // RUNTIME (the pre-execution plan still shows two scans — reuse is a
+    // stage-cache decision), so assert on the final adaptive plan
+    val p = finalPlan(RelationalOps.q15TopSupplier)
+    assert(p.contains("ReusedExchange"), s"revenue exchange not reused:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+  }
+
+  test("q17_small_quantity_revenue scans lineitem once via the window") {
+    // the correlated scalar-AVG must come from a window over the reduced
+    // frame, not an aggregate-join-back that scans lineitem again
+    val p = plan(RelationalOps.q17SmallQuantityRevenue)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("Window"), s"expected the per-part stats window:\n$p")
   }
 
   test("window_trailing_range runs on a single window exchange") {
