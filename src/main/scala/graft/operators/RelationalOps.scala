@@ -990,6 +990,304 @@ object RelationalOps {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin))
 
+  /** Q:q2_min_cost_supplier — TPC-H Q2 (minimum-cost supplier): for each
+    * part in a type/size slice, the region supplier(s) offering it at
+    * the minimum cost — the classic correlated scalar-MIN subquery.
+    * Adapted to this testbed: the part-supplier relation is the DISTINCT
+    * (l_partkey, l_suppkey) link mined from lineitem (no partsupp
+    * table), and s_acctbal stands in for ps_supplycost. Decorrelated:
+    * the region-filtered supplier dimension broadcasts onto the link,
+    * and the per-part minimum comes from ONE partkey window over the
+    * part-filtered frame — no second link scan, no aggregate-join-back
+    * (the part filter commutes with the min: it selects WHICH parts,
+    * never which of a part's suppliers). The min-equality probe compares
+    * stored doubles bit-for-bit — both engines read the identical
+    * parquet values and no arithmetic touches them. Ties all surface,
+    * exactly like the textbook's `= (SELECT min…)`.
+    */
+  val q2MinCostSupplier = GQuery(
+    "q2_min_cost_supplier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val link = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+      val es = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+      val w = Window.partitionBy("l_partkey")
+      link
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_bal", min("s_acctbal").over(w))
+        .filter(col("s_acctbal") === col("min_bal"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"), col("s_acctbal"))
+        .orderBy("p_partkey", "s_name")
+    },
+    oracle = Some(
+      """WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |       FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+        |FROM link
+        |JOIN es ON l_suppkey = s_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 10
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |                   FROM link l2 JOIN es s2 ON l2.l_suppkey = s2.s_suppkey
+        |                   WHERE l2.l_partkey = link.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin),
+    bench = true)
+
+  /** Q:q8_market_share — TPC-H Q8 (national market share): one supplier
+    * nation's share of a region's yearly revenue for one part type. The
+    * share-of-total shape: BOTH sums (nation volume and total volume)
+    * come from the SAME aggregated frame — the nation condition folds
+    * into a conditional sum, so the query needs no self-join and no
+    * second pass. Part/nation/region dimensions broadcast; the only
+    * data-sized shuffles are lineitem⋈orders (co-keyed) and
+    * orders⋈customer. Revenue is the per-row-scaled e4 integer; the
+    * share is e6 integer floor-division of exact sums, so the ratio —
+    * the part of Q8 that is float-fragile in the textbook form —
+    * hash-matches.
+    */
+  val q8MarketShare = GQuery(
+    "q8_market_share",
+    (s, d) => {
+      val revE4 =
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "sn_name")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("o_year"),
+          revE4.as("rev_e4"), col("sn_name"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("sn_name") === "NATION_3", col("rev_e4")).otherwise(0L))
+            .as("nation_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .select(col("o_year"),
+          expr("CAST(nation_e4 * 1000000 div total_e4 AS BIGINT)").as("mkt_share_e6"),
+          col("nation_e4"), col("total_e4"))
+        .orderBy("o_year")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4,
+        |         sn.n_name AS sn_name
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |       CAST(CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |            * 1000000
+        |            // CAST(sum(rev_e4) AS BIGINT) AS BIGINT) AS mkt_share_e6,
+        |       CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+        |       CAST(sum(rev_e4) AS BIGINT) AS total_e4
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = true)
+
+  /** Q:q9_product_profit — TPC-H Q9 (product-type profit): net amount
+    * per (supplier nation, order year) for parts whose name matches a
+    * pattern. Adapted: with no partsupp cost column, the amount is the
+    * net-of-tax discounted price — price·(1−discount)·(1−tax), three
+    * 2-decimal factors, so each row terminates at 6 decimals and the
+    * per-row e6 integer is exact. The name LIKE filter reduces part
+    * BEFORE its broadcast; lineitem⋈orders is the one co-keyed
+    * data-sized shuffle; the (25 nations × 7 years)-row aggregate
+    * combines map-side.
+    */
+  val q9ProductProfit = GQuery(
+    "q9_product_profit",
+    (s, d) => {
+      val amtE6 = expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) * 1000000 + 0.5) AS BIGINT)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%gear%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"),
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("o_year"))
+        .agg(sum(amtE6).as("profit_e6"))
+        .orderBy(asc("n_name"), desc("o_year"))
+    },
+    oracle = Some(
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e6
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin),
+    bench = true)
+
+  /** Q:q11_important_parts — TPC-H Q11 (important stock): parts whose
+    * value from one nation's suppliers exceeds a fraction of that
+    * nation's total — the HAVING-against-global-scalar classic. The
+    * per-part aggregate is declared twice (probe + global total) and
+    * AQE exchange-stage reuse collapses them to ONE lineitem scan, the
+    * q15 discipline; the 1-row total broadcasts back and the threshold
+    * is integer cross-multiplication (value_e4 · 1000 > total_e4) on
+    * exact e4 sums — no float fraction is ever formed.
+    */
+  val q11ImportantParts = GQuery(
+    "q11_important_parts",
+    (s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .filter(col("l_partkey").isNotNull) // canonical parity for stage reuse
+        .groupBy("l_partkey")
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          .as("value_e4"))
+      val tot = v.agg(sum("value_e4").as("total_e4"))
+      v.join(broadcast(tot))
+        .filter(col("value_e4") * lit(1000L) > col("total_e4"))
+        .select("l_partkey", "value_e4")
+        .orderBy(desc("value_e4"), asc("l_partkey"))
+    },
+    oracle = Some(
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_7')
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_e4
+        |FROM v
+        |WHERE value_e4 * 1000 > (SELECT CAST(sum(value_e4) AS BIGINT) FROM v)
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin),
+    bench = true)
+
+  /** Q:q16_supplier_part_counts — TPC-H Q16 (parts/supplier
+    * relationship): distinct supplier counts per (brand, type, size)
+    * slice, excluding one brand, one type and flagged suppliers. The
+    * part-supplier relation is the distinct lineitem link (as in Q2);
+    * the NOT IN complaint-supplier subquery (adapted: negative account
+    * balance) is a LEFT ANTI join against a broadcast handful of keys.
+    * countDistinct here is EXACT and bounded — the distinct set per
+    * (brand, type, size) can never exceed the supplier dimension, so
+    * the expand-shuffle stays key-bounded at any corpus size.
+    */
+  val q16SupplierPartCounts = GQuery(
+    "q16_supplier_part_counts",
+    (s, d) => {
+      val flagged = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    },
+    oracle = Some(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    bench = true)
+
+  /** Q:q20_excess_shipments — TPC-H Q20 (excess-stock suppliers,
+    * adapted): suppliers who shipped more than 10% of some
+    * prefix-named part's total shipped quantity. The textbook nests an
+    * aggregate subquery inside an IN inside an IN; decorrelated, the
+    * per-(part, supplier) quantities reduce ONCE (partkey-prefixed
+    * shuffle), the per-part total is a window over that reduced frame,
+    * the 10% test is integer cross-multiplication over integral
+    * quantities, and the surviving supplier keys semi-join the supplier
+    * dimension. Single lineitem scan, every subsequent frame
+    * key-bounded.
+    */
+  val q20ExcessShipments = GQuery(
+    "q20_excess_shipments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pp = Tables.part(s, d)
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val spq = Tables.lineitem(s, d)
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      val w = Window.partitionBy("l_partkey")
+      val excess = spq
+        .withColumn("t", sum("q").over(w))
+        .filter(lit(10L) * col("q") > col("t"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+    oracle = Some(
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |spq AS (SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q
+        |        FROM lineitem JOIN pp ON p_partkey = l_partkey
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS t FROM spq GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM spq JOIN tot USING (l_partkey)
+        |                    WHERE 10 * q > t)
+        |ORDER BY s_suppkey""".stripMargin),
+    bench = true)
+
   /** Q:q4_order_priority — TPC-H Q4 (order priority checking): orders per
     * priority in one quarter having at least one late lineitem. The
     * correlated EXISTS is a LEFT SEMI join with a mixed equi + non-equi
@@ -1324,5 +1622,7 @@ object RelationalOps {
     q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport,
     q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity,
     q4OrderPriority, q6ForecastRevenue, q13CustomerDistribution,
-    q15TopSupplier, q17SmallQuantityRevenue)
+    q15TopSupplier, q17SmallQuantityRevenue, q2MinCostSupplier,
+    q8MarketShare, q9ProductProfit, q11ImportantParts,
+    q16SupplierPartCounts, q20ExcessShipments)
 }

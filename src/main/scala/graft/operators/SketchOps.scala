@@ -232,7 +232,7 @@ object SketchOps {
     * at 1-indexed rank ⌈q·n⌉, computed in pure integer arithmetic
     * ((num·n + den − 1) div den, floored at 1) so both engines select
     * the identical element. */
-  private def rankSql(c: String, num: Int, den: Int): String =
+  private[graft] def rankSql(c: String, num: Int, den: Int): String =
     s"element_at($c, CAST(greatest(($num * size($c) + ${den - 1}) div $den, 1) AS INT))"
 
   /** Per-event-type p50/p90/p99 via the graft_qsketch mergeable rank

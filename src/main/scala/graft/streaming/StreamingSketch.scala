@@ -28,4 +28,28 @@ object StreamingSketch {
         size(col("mins")).cast("long").as("n_kept"),
         expr(SketchOps.kmvEstimateSql("mins")).as("kmv_est"))
   }
+
+  /** Arrival-time twin of the batch rank sketch
+    * (operators/SketchOps.sketchQuantileRank): graft_qsketch's bounded
+    * bottom-k (hash, value) buffer as streaming state — ≤ k pairs per
+    * group in the state store, merged per micro-batch exactly as batch
+    * partials merge. The kept set is a pure set function of the data
+    * (smallest k distinct pairs), so the live p50/p90/p99 after all
+    * data arrives equals the batch query bit-for-bit regardless of
+    * arrival order or micro-batch boundaries.
+    */
+  def quantileRank(events: DataFrame): DataFrame = {
+    import graft.operators.SketchOps
+    graft.functions.QuantileSketchAggregate.ensureRegistered(events.sparkSession)
+    events
+      .select(col("event_type"), expr(SketchOps.EventIdHash).as("h"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .groupBy("event_type")
+      .agg(expr(s"graft_qsketch(h, v, ${SketchOps.QsK})").as("vs"))
+      .select(col("event_type"),
+        size(col("vs")).cast("long").as("n_kept"),
+        expr(SketchOps.rankSql("vs", 1, 2)).as("p50_e2"),
+        expr(SketchOps.rankSql("vs", 9, 10)).as("p90_e2"),
+        expr(SketchOps.rankSql("vs", 99, 100)).as("p99_e2"))
+  }
 }

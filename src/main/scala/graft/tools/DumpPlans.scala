@@ -66,8 +66,19 @@ object DumpPlans {
       "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",
       "cdc_snapshot_diff" -> "CDC diff: two prefix-scanned last-per-key states (ts predicate pushed into each scan) joined on the shared user key — the T1 pass reads a prefix of the log, not all of it",
       "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query",
-      "layout_zorder_stats" -> "z-order audit: 32-term Morton interleave fully inside whole-stage codegen, ONE bucket-keyed hash aggregate — the write-side clustering readout",
-      "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) and ONE co-keyed full-outer join + conditional aggregate yields all four counts — one scan per table, not three")
+      "layout_zorder_stats" -> "z-order audit: 62-term Morton interleave fully inside whole-stage codegen, ONE bucket-keyed hash aggregate — the write-side clustering readout",
+      "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) and ONE co-keyed full-outer join + conditional aggregate yields all four counts — one scan per table, not three",
+      "q21_suppliers_kept_waiting" -> "TPC-H Q21 decorrelated: ONE lineitem scan → (order,supplier)-grain agg → order-keyed window counts replace BOTH correlated subqueries — the naive plan scans the fact three times",
+      "q22_global_sales_opportunity" -> "TPC-H Q22: broadcast 1-row balance stats with integer cross-multiplied threshold; NOT EXISTS as LeftAnti over the pushed recent-orders projection",
+      "q4_order_priority" -> "TPC-H Q4: correlated EXISTS as a left-semi join with the non-equi lateness predicate riding the orderkey equi-join as a residual",
+      "q6_forecast_revenue" -> "TPC-H Q6: join-free scan benchmark — all three predicates pushed, 4-column ReadSchema, 1-row aggregate",
+      "q15_top_supplier" -> "TPC-H Q15: the revenue aggregate declared twice collapses to ONE lineitem scan via AQE exchange-stage reuse (explicit isnotnull keeps the subtrees canonically identical); e4-integer max-equality probe",
+      "q17_small_quantity_revenue" -> "TPC-H Q17: correlated scalar-AVG as a per-part window over the brand-reduced frame — single lineitem scan, integer cross-multiplied threshold",
+      "q2_min_cost_supplier" -> "TPC-H Q2: correlated scalar-MIN as a per-part window over the broadcast-dimensioned link — stored-double equality, ties surface",
+      "q11_important_parts" -> "TPC-H Q11: HAVING-vs-global-scalar with the per-part aggregate shared via AQE stage reuse; value_e4*1000 > total_e4 integer threshold",
+      "q20_excess_shipments" -> "TPC-H Q20: doubly-nested IN-with-aggregate decorrelated to one (part,supplier) aggregate + per-part window + semi join — single lineitem scan",
+      "sketch_quantile_rank" -> "rank sketch: ONE hash aggregate with partial_quantilesketchaggregate below the exchange — ≤ k (hash,value) pairs per group cross the shuffle at any group size",
+      "window_trailing_range" -> "trailing RANGE frame: ONE user-keyed window exchange, two-pointer sliding frame evaluation — no self-join, no per-row rescan of the trailing day")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

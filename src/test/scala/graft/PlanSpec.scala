@@ -157,6 +157,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected the per-part stats window:\n$p")
   }
 
+  test("q11_important_parts reuses the value exchange (lineitem scanned once)") {
+    // the HAVING-vs-global-scalar probe and the total must share one
+    // shuffle stage — q15's reuse discipline. sf0.01, not the smoke dir:
+    // at sf0.001 the 0.1% threshold keeps nothing and AQE's empty-
+    // relation propagation erases the very plan under test
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    val df = RelationalOps.q11ImportantParts.run(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case pl => pl.toString
+    }
+    assert(p.contains("ReusedExchange"), s"value exchange not reused:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+  }
+
+  test("q20_excess_shipments scans lineitem once via the per-part window") {
+    val p = plan(RelationalOps.q20ExcessShipments)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("Window"), s"expected the per-part total window:\n$p")
+    assert(p.contains("LeftSemi"), s"supplier probe must be a semi join:\n$p")
+  }
+
+  test("q2_min_cost_supplier broadcasts dimensions, windows the min") {
+    val p = plan(RelationalOps.q2MinCostSupplier)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension join degraded to SMJ:\n$p")
+    assert(p.contains("Window"), s"expected the per-part min window:\n$p")
+  }
+
   test("window_trailing_range runs on a single window exchange") {
     // the RANGE frame must ride ONE user-keyed exchange — a second
     // Exchange would mean the plan re-shuffles what the window already

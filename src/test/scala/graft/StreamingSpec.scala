@@ -275,6 +275,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming rank sketch == batch quantile estimate bit-for-bit") {
+    val stream = EventStream.readEvents(spark, smokeDir)
+    EventStream.runToMemory(
+      graft.streaming.StreamingSketch.quantileRank(stream),
+      "qsketch_stream", OutputMode.Complete)
+    val streamed = spark.table("qsketch_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = graft.operators.SketchOps.sketchQuantileRank
+      .run(spark, smokeDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming funnel stage machine == batch funnel membership") {
     val stream = EventStream.readEvents(spark, smokeDir)
     EventStream.runToMemory(
