@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Relational generalizations of the reference's state lookups (SURVEY §2.3-2.5):
@@ -1255,23 +1256,32 @@ object RelationalOps {
     * dimension. Single lineitem scan, every subsequent frame
     * key-bounded.
     */
+  /** The Q20 decorrelation core over explicit frames (the property-test
+    * seam): the distinct suppliers shipping > 10% of some selected
+    * part's total quantity. See [[q20ExcessShipments]].
+    */
+  private[graft] def excessShipmentsCore(
+      lineitem: DataFrame, pp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spq = lineitem
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+    val w = Window.partitionBy("l_partkey")
+    spq
+      .withColumn("t", sum("q").over(w))
+      .filter(lit(10L) * col("q") > col("t"))
+      .select("l_suppkey").distinct()
+  }
+
   val q20ExcessShipments = GQuery(
     "q20_excess_shipments",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val pp = Tables.part(s, d)
         .filter(col("p_name").like("small%")).select("p_partkey")
-      val spq = Tables.lineitem(s, d)
-        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
-      val w = Window.partitionBy("l_partkey")
-      val excess = spq
-        .withColumn("t", sum("q").over(w))
-        .filter(lit(10L) * col("q") > col("t"))
-        .select("l_suppkey").distinct()
       Tables.supplier(s, d)
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(excessShipmentsCore(Tables.lineitem(s, d), pp),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     },
@@ -1452,21 +1462,31 @@ object RelationalOps {
     * yearly average divides the exact e2 sum by 7 — positive operands,
     * so Spark's truncating div and DuckDB's flooring // agree.
     */
+  /** The Q17 decorrelation core over explicit frames (the property-test
+    * seam): the below-20%-of-part-average lineitem rows as
+    * (l_partkey, qty, price_e2). See [[q17SmallQuantityRevenue]].
+    */
+  private[graft] def smallQuantityCore(
+      lineitem: DataFrame, brandParts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+    val w = Window.partitionBy("l_partkey")
+    j.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sq", sum("qty").over(w))
+      .filter(lit(5L) * col("qty") * col("n") < col("sq"))
+      .select("l_partkey", "qty", "price_e2")
+  }
+
   val q17SmallQuantityRevenue = GQuery(
     "q17_small_quantity_revenue",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val brandParts = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#23").select("p_partkey")
-      val j = Tables.lineitem(s, d)
-        .join(brandParts, col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"),
-          expr("CAST(l_quantity AS BIGINT)").as("qty"),
-          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
-      val w = Window.partitionBy("l_partkey")
-      j.withColumn("n", count(lit(1)).over(w))
-        .withColumn("sq", sum("qty").over(w))
-        .filter(lit(5L) * col("qty") * col("n") < col("sq"))
+      smallQuantityCore(Tables.lineitem(s, d), brandParts)
         .agg(count(lit(1)).as("n_items"),
           expr("CAST(sum(price_e2) div 7 AS BIGINT)").as("avg_yearly_e2"))
     },
@@ -1505,25 +1525,36 @@ object RelationalOps {
     * already-tiny qualifying frame. All integers; top-20 total-ordered by
     * (numwait DESC, s_name).
     */
+  /** The Q21 decorrelation core over explicit frames (the property-test
+    * seam): qualifying (l_orderkey, l_suppkey, late_rows) rows — the
+    * supplier was late on a finished multi-supplier order on which no
+    * OTHER supplier was late. See [[q21SuppliersKeptWaiting]].
+    */
+  private[graft] def keptWaitingCore(
+      lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > expr("o_orderdate + INTERVAL 120 DAY"))
+          .cast("int").as("late"))
+    val grain = fact.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum("late").as("late_rows"))
+    val w = Window.partitionBy("l_orderkey")
+    grain
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum((col("late_rows") > 0).cast("int")).over(w))
+      .filter(col("late_rows") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .select("l_orderkey", "l_suppkey", "late_rows")
+  }
+
   val q21SuppliersKeptWaiting = GQuery(
     "q21_suppliers_kept_waiting",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val fact = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > expr("o_orderdate + INTERVAL 120 DAY"))
-            .cast("int").as("late"))
-      val grain = fact.groupBy("l_orderkey", "l_suppkey")
-        .agg(sum("late").as("late_rows"))
-      val w = Window.partitionBy("l_orderkey")
-      grain
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .withColumn("n_late_supp",
-          sum((col("late_rows") > 0).cast("int")).over(w))
-        .filter(col("late_rows") > 0 && col("n_supp") > 1 &&
-          col("n_late_supp") === 1)
+      keptWaitingCore(Tables.lineitem(s, d), Tables.orders(s, d))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(sum("late_rows").as("numwait"))
