@@ -67,6 +67,39 @@ object SketchScaleSmoke {
       assert(relErr < bound, s"group $g: estimate $e vs true $tr out of bounds")
     }
 
+    // ---- Rank sketch over a known (uniform) distribution -------------
+    // 4 groups × ~n/4 rows with values uniform on [1, 10⁶]: the true
+    // quantile rank of value x is x/10⁶, so the sample-quantile error is
+    // checked in RANK space against the binomial bound 4·√(q(1−q)/k) —
+    // derived from the SAME k the sketch was built with. 64 (hash, value)
+    // pairs per group cross the shuffle instead of ~1M values.
+    graft.functions.QuantileSketchAggregate.ensureRegistered(spark)
+    val vSpace = 1000000L
+    val vRows = spark.range(n).repartition(32)
+      .select(pmod(col("id"), lit(4)).cast("string").as("g"),
+        pmod(xxhash64(col("id"), lit(7)), lit(4294967296L)).as("h"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(vSpace)) + 1).as("v"))
+    t0 = System.nanoTime()
+    val qK = graft.operators.SketchOps.QsK
+    val qs = vRows.groupBy("g")
+      .agg(expr(s"graft_qsketch(h, v, $qK)").as("vs"))
+      .select(col("g"),
+        expr(graft.operators.SketchOps.rankSql("vs", 1, 2)).as("p50"),
+        expr(graft.operators.SketchOps.rankSql("vs", 9, 10)).as("p90"),
+        expr(graft.operators.SketchOps.rankSql("vs", 99, 100)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val qsSec = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] qsketch: $qsSec%.1f s for ${n / 1000000}M rows")
+    for ((g, (p50, p90, p99)) <- qs) {
+      for ((q, est) <- Seq(0.50 -> p50, 0.90 -> p90, 0.99 -> p99)) {
+        val estRank = est.toDouble / vSpace
+        val bound = 4.0 * math.sqrt(q * (1 - q) / qK) + 1.0 / qK
+        println(f"[smoke] qsketch g=$g q=$q est=$est rank=$estRank%.3f (bound ±$bound%.3f)")
+        assert(math.abs(estRank - q) < bound,
+          s"group $g p${(q * 100).toInt}: $est (rank $estRank) outside ±$bound")
+      }
+    }
+
     // ---- CMS with a planted mega-user -------------------------------
     // ~5% of events hit user 42; the rest spread over 100k users.
     val ev = spark.range(n).repartition(32)
