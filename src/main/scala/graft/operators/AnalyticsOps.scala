@@ -550,6 +550,63 @@ object AnalyticsOps {
         |FROM y""".stripMargin),
     bench = true)
 
+  /** Q:timeseries_gapfill — resample each event-type series onto a
+    * regular hourly grid with forward-fill: hours with no events appear
+    * with cnt = 0 and the last observed value carried forward — the
+    * metrics-engine densification every dashboard and every
+    * join-against-a-regular-grid consumer needs, which no plain
+    * aggregate produces (missing groups simply don't exist). Scale
+    * shape: the ONLY data-sized shuffle is the (type, hour) aggregate
+    * (map-side combinable; "last in hour" rides the same partial state
+    * as a max_by under the (ts, event_id) changelog order); the grid
+    * explodes from per-type [min, max] hour spans — bounded by
+    * calendar time × type count, not by row count — and the
+    * forward-fill window runs over those bounded spans. All integers
+    * (hour index, e2 values), so the filled series hash-matches.
+    */
+  def timeseriesGapfill(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"),
+        expr("CAST(floor(to_unix_timestamp(ts)) AS BIGINT) div 3600").as("hr"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), struct(ts, event_id))")
+          .as("last_e2"))
+    val grid = b.groupBy("event_type")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last("last_e2", ignoreNulls = true).over(w).as("filled_e2"))
+  }
+
+  val timeseriesGapfillQ = GQuery(
+    "timeseries_gapfill",
+    (s, d) => timeseriesGapfill(Tables.events(s, d)),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+        |         row_number() OVER (
+        |           PARTITION BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |b AS (SELECT event_type, hr, count(*) AS cnt,
+        |             max(CASE WHEN rn = 1 THEN v_e2 END) AS last_e2
+        |      FROM e GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM b GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM span),
+        |j AS (SELECT g.event_type, g.hr, coalesce(b.cnt, 0) AS cnt, b.last_e2
+        |      FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.hr = b.hr)
+        |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+        |       last_value(last_e2 IGNORE NULLS) OVER (PARTITION BY event_type
+        |                                              ORDER BY hr) AS filled_e2
+        |FROM j""".stripMargin),
+    bench = true)
+
   /** Session gap for [[sessionPathTopk]], minutes — matches the
     * `window_session` gap so the two sessionizations agree. */
   final val PathSessionGapMin = 30L
@@ -842,5 +899,5 @@ object AnalyticsOps {
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
       followupPairsQ, churnAccountingQ, conversionLatencyQ, modeExactQ,
-      windowTrailingRangeQ)
+      windowTrailingRangeQ, timeseriesGapfillQ)
 }

@@ -334,6 +334,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(got === Set((2L, 5.0)))
   }
 
+  test("gapfill: missing hours appear with cnt 0 and carry the last value forward") {
+    import spark.implicits._
+    // series a: events in hours H, H+1, H+3 (H+2 is the gap); hour H+1
+    // has two events — the later (ts, event_id) one must be carried
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "a", 1.00),
+      (2L, ts("2024-01-01 11:10:00"), "a", 2.00),
+      (3L, ts("2024-01-01 11:20:00"), "a", 3.00), // last of hour H+1
+      (4L, ts("2024-01-01 13:40:00"), "a", 4.00))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = AnalyticsOps.timeseriesGapfill(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val h = got.head._1
+    assert(got.map { case (hr, c, v) => (hr - h, c, v) }.toSeq === Seq(
+      (0L, 1L, 100L),  // hour H: value 1.00
+      (1L, 2L, 300L),  // hour H+1: TWO events, later one (3.00) wins
+      (2L, 0L, 300L),  // the gap: cnt 0, forward-filled
+      (3L, 1L, 400L)))
+  }
+
   test("registry wiring: all queries run on the smoke testbed") {
     for (q <- AnalyticsOps.queries) {
       val out = q.run(spark, smokeDir)
