@@ -326,6 +326,31 @@ object GameFold {
       }
   }
 
+  /** Per-room digest row carrying BOTH the plumbing counters and the
+    * per-player liveness — so Q:replay_room_digest's two consumers read
+    * ONE fold pass instead of folding the log twice. */
+  final case class PlayerAlive(name: String, alive: Boolean)
+  final case class RoomFoldRow(
+      room: String, n_events: Long, last_seq: Long, players: Seq[PlayerAlive])
+
+  /** Same execution shape as [[summarize]], emitting the digest row. */
+  def roomDigest(events: Dataset[GameEvent]): Dataset[RoomFoldRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("room"))
+      .sortWithinPartitions(col("room"), col("seq"))
+      .mapPartitions { it =>
+        foldPartitionStates(it).map { st =>
+          val s = st.summary
+          RoomFoldRow(st.room, s.n_events, s.last_seq,
+            st.players.iterator.map { case (name, p) =>
+              PlayerAlive(name, p.alive)
+            }.toSeq)
+        }
+      }
+  }
+
   /** Streaming per-room fold yielding the full state object per room. */
   def foldPartitionStates(it: Iterator[GameEvent]): Iterator[RoomState] =
     new Iterator[RoomState] {

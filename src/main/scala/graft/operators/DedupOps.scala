@@ -148,31 +148,31 @@ object DedupOps {
     * [[graft.DatasetFingerprint]] key invalidates on in-place rewrites;
     * superseded entries for the same (app, dir) are evicted on insert, and
     * eviction drops the only reference so the ContextCleaner reclaims the
-    * checkpoint blocks.
+    * checkpoint blocks. Locking/eviction policy lives in
+    * [[graft.DatasetMemo]] (build outside the lock — a cold build is a
+    * Spark job and must not serialize unrelated queries).
+    *
+    * Known tradeoff (accepted): under the default localCheckpoint staging,
+    * losing an executor loses checkpoint blocks and the memoized handle
+    * stays broken for the application's lifetime — irrelevant in the
+    * single-JVM local posture, and the 100 TB posture sets
+    * `spark.graft.checkpoint.dir` (reliable storage) where executor loss
+    * does not invalidate the artifact.
     */
-  private val cappedShingleFrames =
-    scala.collection.mutable.Map.empty[(String, String, String), DataFrame]
+  private val cappedShingleFrames = new graft.DatasetMemo[DataFrame]
 
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      val key = (s.sparkContext.applicationId, d,
-        graft.DatasetFingerprint.of(d, "documents.parquet"))
-      cappedShingleFrames.getOrElseUpdate(key, {
-        val shAll = shingleRows(s, d)
-        val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= ShingleDfCap)
-          .select("sh")
-        // checkpoint AFTER capping: the capped set feeds several consumers
-        // (pair-join sides, benchmark/corpus splits, sizes), so the df-cap
-        // join materializes once (the uncached shAll scan evaluates twice
-        // — once for keepSh, once here — which is cheap for the native
-        // generator)
-        val staged = Materialize.stage(shAll.join(keepSh, Seq("sh")))
-        cappedShingleFrames.keys
-          .filter(k => k._1 == key._1 && k._2 == key._2 && k != key)
-          .toSeq.foreach(cappedShingleFrames.remove)
-        staged
-      })
+    cappedShingleFrames.get(s, d, "documents.parquet") {
+      val shAll = shingleRows(s, d)
+      val keepSh = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("sh")
+      // checkpoint AFTER capping: the capped set feeds several consumers
+      // (pair-join sides, benchmark/corpus splits, sizes), so the df-cap
+      // join materializes once (the uncached shAll scan evaluates twice
+      // — once for keepSh, once here — which is cheap for the native
+      // generator)
+      Materialize.stage(shAll.join(keepSh, Seq("sh")))
     }
 
   /** Shared oracle CTE: tokens → distinct shingles → integer shingle keys. */
@@ -661,8 +661,7 @@ object DedupOps {
     * (app, dir) are evicted on insert so a long-lived application holds at
     * most one filter per dataset dir.
     */
-  private val bloomWords =
-    scala.collection.mutable.Map.empty[(String, String, String), Array[Long]]
+  private val bloomWords = new graft.DatasetMemo[Array[Long]]
 
   /** The packed filter for the benchmark shingles at `d`, building (and
     * memoizing) it from `benchRows` on first use. The build is a
@@ -671,14 +670,13 @@ object DedupOps {
     * positions. Built from the UNdeduplicated bench rows: duplicate
     * shingles set the same bits, and skipping the distinct keeps the build
     * a single one-shuffle job. `kmPos` must be the same position
-    * expression the probe uses (hash parity by construction).
+    * expression the probe uses (hash parity by construction). Locking +
+    * eviction via [[graft.DatasetMemo]] (build outside the lock).
     */
   private def bloomWordsFor(
       s: SparkSession, d: String, benchRows: => DataFrame,
-      kmPos: String): Array[Long] = synchronized {
-    val key = (s.sparkContext.applicationId, d,
-      graft.DatasetFingerprint.of(d, "documents.parquet"))
-    bloomWords.getOrElseUpdate(key, {
+      kmPos: String): Array[Long] =
+    bloomWords.get(s, d, "documents.parquet") {
       val words = new Array[Long]((BloomBits / 64).toInt)
       benchRows.withColumn("bh", xxhash64(col("sh")))
         .select(explode(expr(kmPos)).as("p"))
@@ -686,11 +684,8 @@ object DedupOps {
           "shiftleft(CAST(1 AS BIGINT), int(p % 64)) AS m")
         .groupBy("w").agg(expr("bit_or(m)").as("m"))
         .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
-      bloomWords.keys.filter(k => k._1 == key._1 && k._2 == key._2 && k != key)
-        .toSeq.foreach(bloomWords.remove)
       words
-    })
-  }
+    }
 
   /** Bloom-prefiltered exact decontamination — same semantics (and oracle)
     * as [[decontamNgramExact]], different physical path: the benchmark

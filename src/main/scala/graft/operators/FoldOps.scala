@@ -36,9 +36,14 @@ object FoldOps {
     (s, d) => {
       import org.apache.spark.sql.functions._
       val log = graft.Materialize.stage(GameLog.derive(s, d))
-      val rooms = GameFold.summarize(log).toDF()
-        .select("room", "n_events", "last_seq")
-      val states = GameFold.playerStates(log).toDF()
+      // ONE fold pass: the digest row carries both the plumbing counters
+      // and the per-player liveness, and is staged (it is per-ROOM sized)
+      // so the two consumers below never re-fold the log
+      val folded = graft.Materialize.stage(GameFold.roomDigest(log)).toDF()
+      val rooms = folded.select("room", "n_events", "last_seq")
+      val states = folded
+        .select(col("room"), explode(col("players")).as("p"))
+        .select(col("room"), col("p.name").as("name"), col("p.alive").as("alive"))
       val creators = log.toDF()
         .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))
         .select("room", "name").distinct()

@@ -123,7 +123,11 @@ object KMeansOps {
 
   /** Lloyd's for `iters` iterations over the dataset at `d`. Seeds from
     * vec_id 0..K-1. Collects only the K×Dims model state per iteration
-    * (O(k·d), not O(n)); iterations already in [[models]] are not re-run. */
+    * (O(k·d), not O(n)); iterations already in [[models]] are not re-run.
+    * This memo stays hand-rolled rather than a [[graft.DatasetMemo]]
+    * because its value EXTENDS per call (a later caller may need more
+    * iterations appended to the cached vector) — the build-once helper's
+    * outside-the-lock race would lose extensions. */
   private[operators] def lloyd(pts: DataFrame, d: String, iters: Int): Seq[(Int, Array[Long], Long)] =
     synchronized {
       val key =

@@ -1091,7 +1091,12 @@ object RelationalOps {
             .as("nation_e4"),
           sum(col("rev_e4")).as("total_e4"))
         .select(col("o_year"),
-          expr("CAST(nation_e4 * 1000000 div total_e4 AS BIGINT)").as("mkt_share_e6"),
+          // 128-bit intermediate (decimal in Spark, HUGEINT in DuckDB):
+          // nation_e4 · 10⁶ would overflow BIGINT once a year slice
+          // carries ≳ $1B of matching revenue — exactly the scale this
+          // query is for
+          expr("CAST(CAST(nation_e4 AS DECIMAL(38,0)) * 1000000 div total_e4 AS BIGINT)")
+            .as("mkt_share_e6"),
           col("nation_e4"), col("total_e4"))
         .orderBy("o_year")
     },
@@ -1110,7 +1115,7 @@ object RelationalOps {
         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
         |SELECT o_year,
-        |       CAST(CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |       CAST(CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rev_e4 ELSE 0 END) AS HUGEINT)
         |            * 1000000
         |            // CAST(sum(rev_e4) AS BIGINT) AS BIGINT) AS mkt_share_e6,
         |       CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
@@ -1425,8 +1430,13 @@ object RelationalOps {
         // exchange-stage reuse the single-scan plan depends on
         .filter(col("l_suppkey").isNotNull)
         .groupBy("l_suppkey")
-        .agg(expr(
-          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+        // per-ROW e4 scaling before the sum (each summand terminates at 4
+        // decimals, so the integer is exact at any group size and under
+        // any partial-aggregation order) — scaling AFTER a double sum
+        // can flip the floored integer on very large groups, and this
+        // query COMPARES these values for equality
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
           .as("total_revenue_e4"))
       val maxRev = rev.agg(max("total_revenue_e4").as("max_rev"))
       rev.join(broadcast(maxRev))
@@ -1438,7 +1448,7 @@ object RelationalOps {
     oracle = Some(
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS total_revenue_e4
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'

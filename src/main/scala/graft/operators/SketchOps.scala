@@ -251,6 +251,11 @@ object SketchOps {
     (s, d) => {
       graft.functions.QuantileSketchAggregate.ensureRegistered(s)
       Tables.events(s, d)
+        // mirror the oracle's null guard BEFORE grouping: an event_type
+        // whose rows are all null would otherwise still emit a group with
+        // an EMPTY kept array — which the oracle lacks, and whose
+        // element_at(…, 1) throws under ANSI mode
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
         .select(col("event_type"), expr(EventIdHash).as("h"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
         .groupBy("event_type")

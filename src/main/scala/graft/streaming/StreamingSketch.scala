@@ -42,6 +42,9 @@ object StreamingSketch {
     import graft.operators.SketchOps
     graft.functions.QuantileSketchAggregate.ensureRegistered(events.sparkSession)
     events
+      // same null guard as the batch twin: no all-null group may emit an
+      // empty kept array (ANSI element_at would throw on it)
+      .filter(col("event_id").isNotNull && col("value").isNotNull)
       .select(col("event_type"), expr(SketchOps.EventIdHash).as("h"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
       .groupBy("event_type")

@@ -19,9 +19,9 @@ class PlanSpec extends SparkSuite {
   /** The FINAL adaptive plan: executes the query so AQE materializes its
     * runtime decisions (stage reuse, skew splits) — the pre-execution
     * executedPlan shows none of them. */
-  private def finalPlan(q: GQuery): String = {
+  private def finalPlan(q: GQuery, dir: String = smokeDir): String = {
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
-    val df = q.run(spark, smokeDir)
+    val df = q.run(spark, dir)
     df.collect()
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -29,6 +29,10 @@ class PlanSpec extends SparkSuite {
       case p => p.toString
     }
   }
+
+  /** sf0.01 testbed for plan asserts that need non-empty results (AQE's
+    * empty-relation propagation erases the plan under test otherwise). */
+  private val sf001Dir = "/root/testdata/sf0.01"
 
   test("filter_event_type pushes the predicate into the parquet scan") {
     val p = plan(EventOps.filterEventType)
@@ -162,14 +166,7 @@ class PlanSpec extends SparkSuite {
     // shuffle stage — q15's reuse discipline. sf0.01, not the smoke dir:
     // at sf0.001 the 0.1% threshold keeps nothing and AQE's empty-
     // relation propagation erases the very plan under test
-    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
-    val df = RelationalOps.q11ImportantParts.run(spark, "/root/testdata/sf0.01")
-    df.collect()
-    val p = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.toString
-      case pl => pl.toString
-    }
+    val p = finalPlan(RelationalOps.q11ImportantParts, sf001Dir)
     assert(p.contains("ReusedExchange"), s"value exchange not reused:\n$p")
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
       s"lineitem scanned more than once:\n$p")
