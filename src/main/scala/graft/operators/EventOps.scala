@@ -285,11 +285,13 @@ object EventOps {
       gameView(s, d)
         .withColumn("bucket", (unix_timestamp(date_trunc("hour", col("ts")))).cast("long"))
         .groupBy("room", "bucket")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2")),
     oracle = Some(
       s"""$GameCte
          |SELECT room, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
-         |       count(*) AS n, round(sum(value), 2) AS sum_value
+         |       count(*) AS n,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
          |FROM game GROUP BY room, bucket""".stripMargin),
     bench = true)
 
@@ -313,11 +315,13 @@ object EventOps {
                 col("ev.value").as("value"))
         .filter(col("room").isNotNull)
         .groupBy("room")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
     },
     oracle = Some(
       s"""$GameCte
-         |SELECT room, count(*) AS n, round(sum(value), 2) AS sum_value
+         |SELECT room, count(*) AS n,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
          |FROM game GROUP BY room""".stripMargin))
 
   /** Q:schema_evolution — S10's evolution facet: schema-compatible reads
@@ -460,11 +464,12 @@ object EventOps {
     (s, d) =>
       gameView(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
         .select(
           unix_timestamp(col("session_window.start")).as("session_start"),
           unix_timestamp(col("session_window.end")).as("session_end"),
-          col("victim"), col("n"), col("sum_value")),
+          col("victim"), col("n"), col("sum_value_e2")),
     oracle = Some(
       s"""$GameCte,
          |marked AS (
@@ -479,7 +484,8 @@ object EventOps {
          |  FROM marked)
          |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
          |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
-         |       victim, count(*) AS n, round(sum(value), 2) AS sum_value
+         |       victim, count(*) AS n,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
          |FROM sess GROUP BY victim, sid""".stripMargin))
 
   /** Frame-spec window: per-room running event count + value sum in log
@@ -494,15 +500,17 @@ object EventOps {
       gameView(s, d)
         .select(col("room"), col("seq"),
           count(lit(1)).over(w).as("n_so_far"),
-          round(sum(col("value")).over(w), 2).as("sum_so_far"))
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).over(w)
+            .as("sum_so_far_e2"))
     },
     oracle = Some(
       s"""$GameCte
          |SELECT room, seq,
          |       count(*) OVER (PARTITION BY room ORDER BY seq
          |                      ROWS UNBOUNDED PRECEDING) AS n_so_far,
-         |       round(sum(value) OVER (PARTITION BY room ORDER BY seq
-         |                      ROWS UNBOUNDED PRECEDING), 2) AS sum_so_far
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |            OVER (PARTITION BY room ORDER BY seq
+         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_so_far_e2
          |FROM game""".stripMargin))
 
   /** Rollup: event counts at (room, event_type), (room), and grand-total

@@ -17,6 +17,15 @@ object RelationalOps {
 
   /** TPC-H Q1-shaped pricing summary — the canonical scan→hash-agg pipeline.
     * One shuffle on the 6-value group key; partial aggregation map-side.
+    * Every metric is EXACT integer arithmetic: quantities are integral,
+    * prices scale per-row to e2/e4 cents before summing (each summand
+    * terminates, so the sum is exact under any partial-aggregation
+    * order — `round(sum(double), 2)` could flip its last digit between
+    * engines once groups are large enough for summation order to move
+    * the last ulp), and the averages are integer floor-divisions of
+    * those exact sums. e4 cent sums stay inside BIGINT up to ~$10¹⁴ per
+    * group; a deployment beyond that widens the same shape to
+    * DECIMAL(38,0).
     */
   val q1Agg = GQuery(
     "q1_agg",
@@ -25,20 +34,23 @@ object RelationalOps {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("sum_qty"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("sum_base_price_e2"),
+          sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+            .as("sum_disc_price_e4"),
+          expr("CAST(sum(CAST(l_quantity AS BIGINT)) * 10000 div count(1) AS BIGINT)")
+            .as("avg_qty_e4"),
+          expr("CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * 100 div count(1) AS BIGINT)")
+            .as("avg_disc_e4"),
           count(lit(1)).as("count_order")),
     oracle = Some(
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+        |       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_qty_e4,
+        |       CAST(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100 // count(*) AS BIGINT) AS avg_disc_e4,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,10 +68,11 @@ object RelationalOps {
               col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("total_spend")),
+             sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+               .as("total_spend_e2")),
     oracle = Some(
       """SELECT c_custkey, c_name, c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS total_spend
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_spend_e2
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name, c_mktsegment""".stripMargin),
     bench = true)
@@ -77,12 +90,13 @@ object RelationalOps {
         .join(broadcast(Tables.nation(s, d)),
               col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-               .as("revenue"),
+        .agg(sum(expr(
+               "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+               .as("revenue_e4"),
              count(lit(1)).as("n_items")),
     oracle = Some(
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -149,11 +163,15 @@ object RelationalOps {
       Tables.orders(s, d)
         .filter(col("o_totalprice") > 1000.0)
         .groupBy("o_orderpriority")
+        // exact average at e2: integer floor-division of the per-row-
+        // scaled cent sum — round(avg(double), 2) is the cross-engine-
+        // unsafe form for terminating inputs
         .agg(count(lit(1)).as("n"),
-             round(avg(col("o_totalprice")), 2).as("avg_price")),
+             expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div count(1) AS BIGINT)")
+               .as("avg_price_e2")),
     oracle = Some(
       """SELECT o_orderpriority, count(*) AS n,
-        |       round(avg(o_totalprice), 2) AS avg_price
+        |       CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // count(*) AS BIGINT) AS avg_price_e2
         |FROM orders WHERE o_totalprice > 1000.0
         |GROUP BY o_orderpriority""".stripMargin))
 
@@ -224,11 +242,13 @@ object RelationalOps {
       Tables.events(s, d)
         .withColumn("salt", col("event_id") % 16)
         .groupBy("event_type", "salt")
-        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+        .agg(count(lit(1)).as("pn"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("pv"))
         .groupBy("event_type")
-        .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value")),
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_e2")),
     oracle = Some(
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         |FROM events GROUP BY event_type""".stripMargin))
 
   /** W5 completion: intersect — customers that are both MACHINERY-segment
@@ -457,8 +477,10 @@ object RelationalOps {
     * the threshold and lineitem⋈orders becomes the one co-keyed
     * shuffle. The canonical warehouse join the 3-way `join_broadcast`
     * generalizes to depth 6.
-    * Revenue rounds at 2 (a messy continuous sum — a terminating digit-3
-    * representation is unreachable, the cross-engine-safe rounding case).
+    * Revenue is the per-row-scaled e4 integer sum (each summand
+    * terminates at 4 decimals — the earlier `round(sum, 2)` wrongly
+    * assumed the sum was non-terminating and was exactly the
+    * round()-unsafe regime at large groups).
     */
   val q5RegionRevenue = GQuery(
     "q5_region_revenue",
@@ -476,11 +498,17 @@ object RelationalOps {
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
-          .as("revenue"))
+        // per-row e4 scaling, like every revenue aggregate here: each
+        // summand terminates at 4 decimals, so the integer sum is exact
+        // at any group size (round(sum, 2) could flip its 3rd decimal
+        // between engines once partial-sum order matters)
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          .as("revenue_e4"))
     },
     oracle = Some(
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -518,7 +546,7 @@ object RelationalOps {
         .filter(expr("l_shipdate > TIMESTAMP '1998-06-15'"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(expr(
-          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
         .orderBy(desc("revenue_e4"), asc("l_orderkey"))
         .limit(10)
@@ -528,7 +556,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT l_orderkey,
-        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -612,7 +640,7 @@ object RelationalOps {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(expr(
-          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
       rev
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -624,7 +652,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT c_custkey, c_name,
-        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -680,13 +708,13 @@ object RelationalOps {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(expr(
-          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
     },
     oracle = Some(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -845,19 +873,19 @@ object RelationalOps {
         .groupBy(expr("unix_timestamp(trunc(l_shipdate, 'month'))")
           .as("month_epoch"))
         .agg(
-          expr("""CAST(floor(sum(CASE WHEN p_type = 'ECONOMY'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 * 10000 + 0.5) AS BIGINT)""").as("promo_rev_e4"),
-          expr("""CAST(floor(sum(l_extendedprice * (1 - l_discount))
-                 * 10000 + 0.5) AS BIGINT)""").as("total_rev_e4"))
+          expr("""CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT)""").as("promo_rev_e4"),
+          expr("""CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                 AS BIGINT)) AS BIGINT)""").as("total_rev_e4"))
     },
     oracle = Some(
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_epoch,
-        |       CAST(floor(sum(CASE WHEN p_type = 'ECONOMY'
-        |            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |            * 10000 + 0.5) AS BIGINT) AS promo_rev_e4,
-        |       CAST(floor(sum(l_extendedprice * (1 - l_discount))
-        |            * 10000 + 0.5) AS BIGINT) AS total_rev_e4
+        |       CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |            THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+        |            ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |            AS BIGINT)) AS BIGINT) AS total_rev_e4
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin),
     bench = true)
@@ -976,12 +1004,12 @@ object RelationalOps {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(expr(
-          "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)")
+          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"),
           count(lit(1)).as("n_lines"))
     },
     oracle = Some(
-      """SELECT CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) AS revenue_e4,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10

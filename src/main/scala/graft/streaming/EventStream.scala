@@ -269,11 +269,12 @@ object EventStream {
     graft.operators.EventOps.gameColumns(events)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
       .select(
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
-        col("victim"), col("n"), col("sum_value"))
+        col("victim"), col("n"), col("sum_value_e2"))
 
   // ---- keyed state (S5 TableView / A2 changelog) ------------------------
 

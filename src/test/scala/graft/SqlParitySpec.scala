@@ -13,13 +13,21 @@ import graft.tools.SqlParityProbe.canon
 class SqlParitySpec extends SparkSuite {
 
   private val AnsiSubset = Seq(
-    "agg_above_type_avg", "agg_distinct_cells", "agg_priority_count",
-    "agg_salted_skew", "dedup_exact", "filter_event_type", "funnel_stages",
-    "join_anti", "join_broadcast", "join_hash_equi", "join_left_display",
-    "join_semi", "next_position", "obstacle_density", "q1_agg",
-    "q7_volume_shipping", "q10_returned_items",
+    "agg_above_type_avg", "agg_distinct_cells", "agg_mode_exact",
+    "agg_salted_skew", "cdc_snapshot_diff", "dedup_exact", "dq_referential",
+    "filter_event_type", "funnel_stages", "funnel_windowed",
+    "fuzzy_name_pairs", "join_anti", "join_broadcast",
+    "join_followup_window", "join_hash_equi", "join_left_display",
+    "join_semi", "next_position", "obstacle_density", "q10_returned_items",
+    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_excess_shipments", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q9_product_profit", "reshape_unpivot",
     "sample_hash_bernoulli", "sample_stratified", "setop_intersect",
-    "setop_obstacle_build")
+    "setop_obstacle_build", "skyline_pareto", "tableview_tombstone",
+    "window_drawdown", "window_ntile_quartiles")
 
   test("every ANSI-subset oracle runs through spark.sql with identical results") {
     Tables.registerViews(spark, smokeDir)

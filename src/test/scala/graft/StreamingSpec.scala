@@ -195,12 +195,12 @@ class StreamingSpec extends SparkSuite {
     val streamed = spark.table("sess_stream")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getDouble(4)))
+        r.getLong(4)))
       .toSet
     val batch = graft.operators.EventOps.windowSession.run(spark, smokeDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getDouble(4)))
+        r.getLong(4)))
       .toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
