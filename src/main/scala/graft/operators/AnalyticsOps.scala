@@ -565,12 +565,18 @@ object AnalyticsOps {
     * (hour index, e2 values), so the filled series hash-matches.
     */
   def timeseriesGapfill(events: DataFrame): DataFrame = {
-    val b = events
+    // STAGED: the hourly aggregate feeds two consumers (the span/grid
+    // derivation and the grid join), and their different column needs
+    // make the two copies non-canonical — exchange reuse cannot serve
+    // them (unlike q15's identical twins), so without staging the raw
+    // events would be scanned and aggregated twice. The staged frame is
+    // bounded by types × hours, not by row count.
+    val b = graft.Materialize.stage(events
       .groupBy(col("event_type"),
         expr("CAST(floor(to_unix_timestamp(ts)) AS BIGINT) div 3600").as("hr"))
       .agg(count(lit(1)).as("cnt"),
         expr("max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), struct(ts, event_id))")
-          .as("last_e2"))
+          .as("last_e2")))
     val grid = b.groupBy("event_type")
       .agg(min("hr").as("h0"), max("hr").as("h1"))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))

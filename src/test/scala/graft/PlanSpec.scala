@@ -199,6 +199,17 @@ class PlanSpec extends SparkSuite {
       s"expected exactly one exchange:\n$p")
   }
 
+  test("timeseries_gapfill never rescans raw events (staged hourly aggregate)") {
+    // the (type, hour) aggregate feeds BOTH the span/grid derivation and
+    // the grid join with different column needs, so exchange reuse cannot
+    // serve them — the aggregate is STAGED instead: the scan happens once
+    // in the staging job and the final plan reads the materialized frame
+    // (zero raw events scans here; two would mean staging regressed)
+    val p = finalPlan(AnalyticsOps.timeseriesGapfillQ)
+    assert("events\\.parquet".r.findAllIn(p).isEmpty,
+      s"final plan rescans raw events:\n$p")
+  }
+
   test("q22_global_sales_opportunity anti-joins pushed-down recent orders") {
     // the correlated NOT EXISTS must become a LEFT ANTI join, and the
     // two-year recency predicate must reach the orders scan so only
