@@ -186,8 +186,11 @@ object DedupOps {
        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
        |  FROM toks),
        |keyed AS (
-       |  SELECT doc_id, sh, ${tkDuck("sh")} AS tk FROM shingle),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id)""".stripMargin
+       |  SELECT doc_id, sh, ${tkDuck("sh")} AS tk FROM shingle)""".stripMargin
+  // (no shared `sizes` CTE: every consumer needs ITS OWN size grain —
+  // tksizes counts hash-distinct shingles, csizes counts df-capped ones —
+  // and a shared string-shingle count would silently differ from both
+  // whenever two shingles collide under the 31-bit polyhash)
 
   /** Exact dedup: hash-groupBy on the full text; first doc_id per group
     * survives (row_number, deterministic). Output: per-source kept/dropped.
@@ -233,6 +236,21 @@ object DedupOps {
     hashedShinglesOf(
       Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
 
+  private val hashedShingleFrames = new graft.DatasetMemo[DataFrame]
+
+  /** Memoized STAGED full hashed-shingle corpus per dataset — the third
+    * index artifact to join the [[cappedShingles]] / [[bloomWordsFor]]
+    * pattern: minhash_pairs, decontam_minhash, dedup_clusters and the
+    * corpus-clean pipeline all walk this identical documents →
+    * hashed-shingle-array frame, and each used to rebuild and
+    * re-checkpoint it on every execution. Same
+    * [[graft.DatasetFingerprint]] invalidation, same
+    * localCheckpoint-loss tradeoff note as [[cappedShingles]]. */
+  private[operators] def stagedHashedShingles(s: SparkSession, d: String): DataFrame =
+    hashedShingleFrames.get(s, d, "documents.parquet") {
+      graft.Materialize.stage(hashedShingleArrays(s, d))
+    }
+
   /** doc_id + tks → doc_id, mh0..mh{15}: row-local minhash signature. */
   def rowLocalSignatures(tks: DataFrame): DataFrame = {
     val mhCols = (0 until NumHashes).map(j =>
@@ -272,18 +290,21 @@ object DedupOps {
   }
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsOf(
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+    minhashPairsStaged(stagedHashedShingles(s, d))
 
-  /** Same pipeline over ANY (doc_id, text) corpus — used by the testbed
-    * query above and the synthetic-corpus scale smoke.
+  /** Same pipeline over ANY (doc_id, text) corpus — used by the
+    * synthetic-corpus scale smoke and cap specs (no dataset dir to key a
+    * memo on, so this path stages fresh per call).
     */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
-    // one materialization feeds signatures AND verification; this is the
-    // FULL hashed-shingle corpus — Materialize.stage picks localCheckpoint
-    // or a reliable checkpoint dir (spark.graft.checkpoint.dir, the
-    // 100 TB posture) with an identical plan shape
-    val tks = graft.Materialize.stage(hashedShinglesOf(docs))
+  def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashPairsStaged(graft.Materialize.stage(hashedShinglesOf(docs)))
+
+  /** The banding + verification pipeline over a pre-STAGED hashed-shingle
+    * corpus (one materialization feeds signatures AND verification —
+    * Materialize.stage picks localCheckpoint or a reliable checkpoint dir
+    * via spark.graft.checkpoint.dir, the 100 TB posture).
+    */
+  private def minhashPairsStaged(tks: DataFrame): DataFrame = {
     // hot (band, sig) buckets dropped before the self-join — see
     // [[LshBucketCap]] for the quadratic hazard and the recall tradeoff
     val bands =
@@ -541,7 +562,7 @@ object DedupOps {
   val decontamMinhash = GQuery(
     "decontam_minhash",
     (s, d) => {
-      val tks = graft.Materialize.stage(hashedShingleArrays(s, d))
+      val tks = stagedHashedShingles(s, d)
       val bands = bandedSignatures(rowLocalSignatures(tks))
       val benchBands = broadcast(
         bands.filter(col("doc_id") % 7 === 0)
@@ -1259,19 +1280,33 @@ object DedupOps {
     * [[LshBucketCap]] hot-bucket drop, per-key self-join, exact-cosine
     * verify, UNION-dedup across bands.
     */
-  private[operators] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
-    val (bands, r) = (LshBands, LshBandPlanes)
-    val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
-      (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
+  private val bandBucketFrames = new graft.DatasetMemo[DataFrame]
+
+  /** Memoized staged exploded (vec_id, v, nrm, band, bucket) rows — the
+    * B×r-plane sign-LSH signature pass over the embeddings corpus, built
+    * once per dataset and shared by [[bandedEmbPairs]],
+    * [[decontamEmbedding]] and the clustering/corpus-clean paths (each
+    * used to re-run the signature pass per execution, and the two call
+    * sites duplicated this construction line-for-line — a geometry
+    * change now has exactly one home). The explode is row-local on the
+    * staged handle.
+    */
+  private[operators] def explodedBandBuckets(s: SparkSession, d: String): DataFrame =
+    bandBucketFrames.get(s, d, "embeddings.parquet") {
+      val (bands, r) = (LshBands, LshBandPlanes)
+      val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
+        (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
+      }
+      Materialize.stage(bucketed)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
-    // staged: both join sides consume it; the B×r-plane signature pass
-    // over the corpus must run once, not per side
-    val exploded = Materialize.stage(bucketed)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  private[operators] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
+    val exploded = explodedBandBuckets(s, d)
     // hot (band, bucket) keys dropped before the self-join — see
     // [[LshBucketCap]]: a degenerate embedding cluster (all-zero vectors,
     // template pages embedded identically) lands one bucket, and n²/2
@@ -1308,16 +1343,7 @@ object DedupOps {
   val decontamEmbedding = GQuery(
     "decontam_embedding",
     (s, d) => {
-      val (bands, r) = (LshBands, LshBandPlanes)
-      val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
-        (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
-      }
-      val exploded = Materialize.stage(bucketed)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val exploded = explodedBandBuckets(s, d)
       val benchSide = broadcast(exploded.filter(col("vec_id") % 7 === 0)
         .select(col("vec_id").as("bench_vec"), col("v").as("bv"),
           col("nrm").as("bnrm"), col("band"), col("bucket")))
