@@ -106,7 +106,9 @@ object DedupOps {
 
   /** Full-length base-131 rolling hash of a token/shingle — the DuckDB
     * fold bit-identical to the native graft_polyhash
-    * (graft.functions.VectorExpressions.PolyHash).
+    * (graft.functions.VectorExpressions.PolyHash), folding UTF-8 BYTES
+    * like the kernel does (see [[DuckUtf8]] — a code-point fold would
+    * diverge on the first non-ASCII character).
     */
   private[operators] def tkDuck(c: String): String = tkDuckB(c, 131)
 
@@ -114,10 +116,7 @@ object DedupOps {
     * windows on TWO independent rolling hashes (131 and 137).
     */
   private[operators] def tkDuckB(c: String, base: Int): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(generate_series(1, length($c)), " +
-      s"i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))), " +
-      s"(acc, x) -> (acc * $base + x) % $P)"
+    DuckUtf8.polyFold(c, base, P)
 
   /** doc_id → exploded distinct 3-gram shingles (one row per shingle) —
     * used by the exact baseline (dedup_ngram_jaccard). NOT materialized

@@ -305,6 +305,9 @@ object GameOps {
           concat(col("name"), lit("-"), col("suffix")).as("suffixed_id"))
     },
     oracle = Some {
+      // code-point fold is byte-exact HERE because the hashed key is
+      // ASCII by construction ('u' + digits + '-' + digits); arbitrary
+      // text must use DuckUtf8.polyFold instead (see DedupOps.tkDuck)
       val poly = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(generate_series(1, length(k)), " +
         "i -> CAST(ascii(substr(k, i, 1)) AS BIGINT))), " +

@@ -117,13 +117,16 @@ object MultimodalOps {
     }
   }
 
+  // n_bytes and checksum describe the PAYLOAD (the text's UTF-8 bytes,
+  // mediaTable's encode(text, 'UTF-8')), so the oracle must count and sum
+  // BYTES — octet_length and the DuckUtf8 byte expansion — not code
+  // points, or both columns diverge on the first non-ASCII character
   private val MetaCte =
-    """WITH meta AS (
+    s"""WITH meta AS (
       |  SELECT doc_id,
       |         (['image/png','audio/wav','video/mp4'])[(doc_id % 3 + 1)::INT] AS mime,
-      |         CAST(length(text) AS BIGINT) AS n_bytes,
-      |         CAST(list_sum(list_transform(generate_series(1, length(text)),
-      |                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)))
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |         CAST(list_sum(${DuckUtf8.byteList("text")})
       |           % 2147483647 AS BIGINT) AS checksum
       |  FROM documents),
       |m2 AS (

@@ -357,25 +357,27 @@ object TextOps {
         |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words
         |FROM documents""".stripMargin))
 
-  /** Document fingerprinting: base-131 rolling hash over the full text mod
-    * 2^31−1 — content-addressable id for exact-dup detection at scale
-    * (constant memory, sequential fold, identical in both engines).
+  /** Document fingerprinting: base-131 rolling hash over the full text's
+    * UTF-8 BYTES mod 2^31−1 — content-addressable id for exact-dup
+    * detection at scale (constant memory, one compiled pass). The native
+    * graft_polyhash is the SAME kernel the shingle family uses, and the
+    * oracle replays its byte fold via [[DuckUtf8]] — the previous
+    * code-point fold (Spark `ascii` HOF vs DuckDB `ascii`) was only
+    * accidentally consistent on ASCII text and disagreed with every
+    * other fingerprint in the repo on anything else.
     */
   val textFingerprint = GQuery(
     "text_fingerprint",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
-            "(acc, i) -> (acc * 131 + ascii(substring(text, i, 1))) % 2147483647)")
-            .as("fingerprint"),
-          length(col("text")).cast("long").as("n_chars_actual")),
+          expr("graft_polyhash(text)").as("fingerprint"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+    },
     oracle = Some(
-      """SELECT doc_id,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(generate_series(1, length(text)),
-        |                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-        |         (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint,
+      s"""SELECT doc_id,
+        |       ${DuckUtf8.polyFold("text", 131, 2147483647L)} AS fingerprint,
         |       CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents""".stripMargin))
 

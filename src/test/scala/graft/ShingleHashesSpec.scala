@@ -15,6 +15,21 @@ class ShingleHashesSpec extends SparkSuite {
       "element_at(t, i + 1), element_at(t, i + 2)))))")
   }
 
+  test("graft_polyhash folds UTF-8 BYTES, pinned on non-ASCII strings") {
+    // the oracle dialect (DuckDB reads code points) replays this fold via
+    // DuckUtf8's arithmetic byte expansion — this pin is the engine half
+    // of that contract: 2-byte (é, ß), 3-byte (CJK), and 4-byte (astral
+    // emoji) characters against a plain Scala fold over getBytes("UTF-8")
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L)
+    val samples = Seq("café", "straße", "机器学习", "🎉🎊 party", "𝕏 astral", "mixed é中🎉")
+    val got = samples.toDF("s")
+      .select(expr("graft_polyhash(s)")).collect().map(_.getLong(0)).toSeq
+    assert(got === samples.map(ref))
+  }
+
   test("matches the HOF chain on the document corpus and edge cases") {
     VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
