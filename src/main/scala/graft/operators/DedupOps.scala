@@ -194,12 +194,31 @@ object DedupOps {
   /** Exact dedup: hash-groupBy on the full text; first doc_id per group
     * survives (row_number, deterministic). Output: per-source kept/dropped.
     */
+  /** Exact-dup rank WITHOUT shuffling document bodies: the window
+    * partitions on an 18-byte digest (two independent xxhash64 views +
+    * byte length) instead of the full text, so kilobyte documents never
+    * cross the exact-dedup shuffle — only the digest and `keep` columns
+    * do. Two texts collide only if BOTH 64-bit hashes AND the length
+    * agree while the texts differ: ≈ 2⁻¹²⁸·n² over a corpus, zero at any
+    * real scale (an ADVERSARIAL corpus could attack the non-crypto
+    * xxhash64; that threat model swaps in a crypto digest, same shape).
+    * The oracle keeps the text-equality definition — identical results
+    * absent such a collision.
+    */
+  private def exactDupRank(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("h1", "h2", "len").orderBy("doc_id")
+    docs.select(col("doc_id") +: keep.map(col) :+
+        xxhash64(col("text"), lit(1)).as("h1") :+
+        xxhash64(col("text"), lit(2)).as("h2") :+
+        length(col("text")).as("len"): _*)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id") +: keep.map(col) :+ col("rn"): _*)
+  }
+
   val dedupExact = GQuery(
     "dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w))
+      exactDupRank(Tables.documents(s, d), Seq("source"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
              sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
@@ -965,8 +984,9 @@ object DedupOps {
     "pipeline_corpus_clean",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      val exactLosers = docs.withColumn("rn", row_number().over(w))
+      // digest-keyed exact stage (see exactDupRank): document bodies
+      // never cross the dedup shuffle
+      val exactLosers = exactDupRank(docs, Seq.empty)
         .filter(col("rn") > 1)
         .select(col("doc_id"), lit(1).as("f_exact"))
       val toks = docs.select(col("doc_id"),
