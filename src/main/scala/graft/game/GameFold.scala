@@ -21,9 +21,10 @@ final case class GameEvent(
     alive: Boolean,
     list: Seq[Int])
 
-/** Deterministic projection of folded room state — the oracle-friendly digest
-  * for Q:replay_room_digest (SURVEY §5: fold output reduced to per-room
-  * summary counts).
+/** Deterministic projection of folded room state — per-room summary
+  * counts for [[GameFold.summarize]], the fold tests, and ScaleSmoke
+  * (Q:replay_room_digest consumes [[GameFold.RoomFoldRow]] via
+  * roomDigest instead — counters plus per-player liveness in one pass).
   */
 final case class RoomSummary(
     room: String,
@@ -87,6 +88,14 @@ object GameFold {
     // hash-map puts. 0 = empty, 1 = destructible, 2 = indestructible.
     private val obstacleGrid = new Array[Byte](Width * Height)
     private val flameGrid = new Array[String](Width * Height)
+    /** Out-of-grid obstacle codes: the reference's genObstacleMapFromList
+      * has NO bounds check (event.go:227-251), so an out-of-range code
+      * stays in its obstacleMap — counted, and blocking SetBomb at that
+      * position (event.go:92-95 checks the map regardless of bounds).
+      * The array cannot index those cells, so they live here; rays and
+      * moves never consult them (both are bounds-guarded in the
+      * reference before any obstacle lookup). value = destructible. */
+    private val outObstacles = mutable.LinkedHashMap.empty[(Int, Int), Boolean]
     private var destrCount = 0
     private var indestrCount = 0
     private var flameCount = 0
@@ -107,6 +116,7 @@ object GameFold {
           m((c % Width, c / Width)) = obstacleGrid(c) == 1
         c += 1
       }
+      m ++= outObstacles
       m
     }
     def flames: collection.Map[(Int, Int), String] = {
@@ -121,6 +131,7 @@ object GameFold {
 
     private def decodeList(list: Seq[Int]): Unit = {
       java.util.Arrays.fill(obstacleGrid, 0.toByte)
+      outObstacles.clear()
       destrCount = 0
       indestrCount = 0
       list.foreach { code =>
@@ -130,6 +141,14 @@ object GameFold {
           if (prev == 1) destrCount -= 1 else if (prev == 2) indestrCount -= 1
           if (code < 0) { obstacleGrid(cell) = 1; destrCount += 1 }
           else { obstacleGrid(cell) = 2; indestrCount += 1 }
+        } else if (cell >= 0) {
+          // out-of-grid code: kept like the reference's unbounded map
+          val pos = (cell % Width, cell / Width)
+          outObstacles.get(pos).foreach { wasDestr =>
+            if (wasDestr) destrCount -= 1 else indestrCount -= 1
+          }
+          outObstacles(pos) = code < 0
+          if (code < 0) destrCount += 1 else indestrCount += 1
         }
       }
     }
@@ -208,15 +227,19 @@ object GameFold {
         case "UserReviveEvent" => // event.go:63-66: unconditional upsert
           players(e.name) = Player(e.x, e.y, alive = true)
         case "UserJoinEvent" => // event.go:75-81: map ALWAYS replaced
-          players(e.name) = Player(e.x, e.y, alive = true)
+          // the wire playerInfo is stored VERBATIM (pulsar.go:383-397
+          // carries msg.Alive) — a replayed join with alive=false must
+          // yield a dead player, exactly like the reference handler
+          players(e.name) = Player(e.x, e.y, e.alive)
           decodeList(e.list)
-        case "SetBombEvent" => // event.go:88-93 guard + game.go:241-251
-          if (inBounds(e.x, e.y) && !hasObstacle(e.x, e.y)) {
-            bombs(e.bomb_name) = (e.x, e.y)
-            posToBombs((e.x, e.y)) = e.bomb_name
-          } else if (!inBounds(e.x, e.y)) {
-            // reference has no bounds guard on set (client-validated);
-            // out-of-grid positions cannot index the grid — store only
+        case "SetBombEvent" => // event.go:88-95 guard + game.go:241-251
+          // the reference's ONLY guard is the obstacle-map lookup — no
+          // bounds check — so an out-of-grid obstacle position blocks the
+          // set just like an in-grid one
+          val blocked =
+            if (inBounds(e.x, e.y)) hasObstacle(e.x, e.y)
+            else outObstacles.contains((e.x, e.y))
+          if (!blocked) {
             bombs(e.bomb_name) = (e.x, e.y)
             posToBombs((e.x, e.y)) = e.bomb_name
           }
@@ -278,16 +301,25 @@ object GameFold {
       st.summary
     }
 
+  /** The layout contract all three distributed entry points share: whole
+    * rooms per partition, (room, seq)-sorted within. PRECONDITION: seq is
+    * unique per room (the reference's per-topic MessageID order is total
+    * by construction, and the testbed's event_id is unique) — with
+    * duplicate seqs the fold's semantics are undefined in the reference
+    * too, and the tie would fall to shuffle-read order.
+    */
+  private def byRoomSorted(events: Dataset[GameEvent]): Dataset[GameEvent] =
+    events
+      .repartition(col("room"))
+      .sortWithinPartitions(col("room"), col("seq"))
+
   /** The distributed fold: one shuffle on the room key, in-partition sort,
     * then the streaming fold. No other stage re-shuffles the log.
     */
   def summarize(events: Dataset[GameEvent]): Dataset[RoomSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .repartition(col("room"))
-      .sortWithinPartitions(col("room"), col("seq"))
-      .mapPartitions(foldPartition)
+    byRoomSorted(events).mapPartitions(foldPartition)
   }
 
   /** Fold WITHOUT the repartition+sort, for inputs that already satisfy the
@@ -314,16 +346,13 @@ object GameFold {
   def playerStates(events: Dataset[GameEvent]): Dataset[PlayerRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .repartition(col("room"))
-      .sortWithinPartitions(col("room"), col("seq"))
-      .mapPartitions { it =>
-        foldPartitionStates(it).flatMap { st =>
-          st.players.iterator.map { case (name, p) =>
-            PlayerRow(st.room, name, p.x, p.y, p.alive)
-          }
+    byRoomSorted(events).mapPartitions { it =>
+      foldPartitionStates(it).flatMap { st =>
+        st.players.iterator.map { case (name, p) =>
+          PlayerRow(st.room, name, p.x, p.y, p.alive)
         }
       }
+    }
   }
 
   /** Per-room digest row carrying BOTH the plumbing counters and the
@@ -337,18 +366,14 @@ object GameFold {
   def roomDigest(events: Dataset[GameEvent]): Dataset[RoomFoldRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .repartition(col("room"))
-      .sortWithinPartitions(col("room"), col("seq"))
-      .mapPartitions { it =>
-        foldPartitionStates(it).map { st =>
-          val s = st.summary
-          RoomFoldRow(st.room, s.n_events, s.last_seq,
-            st.players.iterator.map { case (name, p) =>
-              PlayerAlive(name, p.alive)
-            }.toSeq)
-        }
+    byRoomSorted(events).mapPartitions { it =>
+      foldPartitionStates(it).map { st =>
+        RoomFoldRow(st.room, st.nEvents, st.lastSeq,
+          st.players.iterator.map { case (name, p) =>
+            PlayerAlive(name, p.alive)
+          }.toSeq)
       }
+    }
   }
 
   /** Streaming per-room fold yielding the full state object per room. */
@@ -371,7 +396,10 @@ object GameFold {
   * (no UDFs) so derivation cost is codegen'd.
   *
   * Mapping (documented in lockstep with tests):
-  *   signup   → UserJoinEvent   (player at user-derived cell, no map list)
+  *   signup   → UserJoinEvent   (player at EVENT cell — cell = event_id
+  *                               mod 750, like every non-click row; only
+  *                               clicks use the user-derived cell — no
+  *                               map list)
   *   click    → UserMoveEvent   (one step from user cell, dir = k % 4)
   *   view     → UpdateMapEvent when k % 5 = 0 (list = cells ≡ seq mod 7),
   *              else SetBombEvent at event cell

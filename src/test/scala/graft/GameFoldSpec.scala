@@ -97,6 +97,34 @@ class GameFoldSpec extends SparkSuite {
     assert(s.n_indestructible === 1)
   }
 
+  test("out-of-grid obstacle codes are kept, counted, and block bombs") {
+    // genObstacleMapFromList has NO bounds check (event.go:227-251): code
+    // 752 → +1-shifted cell 751 = (1, 25), below the grid, stays in the
+    // reference's obstacleMap — and SetBomb's only guard is the map
+    // lookup (event.go:92-95), so a bomb at (1, 25) is blocked
+    val st = new GameFold.RoomState("r")
+    st.apply(ev(1, "UpdateMapEvent", list = Seq(752, -755)))
+    assert(st.summary.n_indestructible === 1)
+    assert(st.summary.n_destructible === 1)
+    assert(st.obstacles((1, 25)) === false) // indestructible
+    assert(st.obstacles((4, 25)) === true)  // destructible
+    st.apply(ev(2, "SetBombEvent", bomb = "b1", x = 1, y = 25)) // blocked
+    st.apply(ev(3, "SetBombEvent", bomb = "b2", x = 2, y = 25)) // clear cell
+    assert(st.summary.n_bombs === 1)
+  }
+
+  test("join stores the wire alive flag verbatim (reference playerInfo)") {
+    // the reference stores msg.Alive untouched on join (pulsar.go:383-397,
+    // event.go:79) — a replayed join with alive=false is a dead player
+    val st = new GameFold.RoomState("r")
+    st.apply(GameEvent("r", 1, "UserJoinEvent", "A", "", "", 1, 1,
+      alive = false, Nil))
+    assert(st.players("A") === GameFold.Player(1, 1, alive = false))
+    st.apply(GameEvent("r", 2, "UserJoinEvent", "A", "", "", 2, 2,
+      alive = true, Nil))
+    assert(st.players("A") === GameFold.Player(2, 2, alive = true))
+  }
+
   test("dead player stays put (position-level guard check)") {
     val st = new GameFold.RoomState("r")
     st.apply(ev(1, "UserJoinEvent", name = "A", x = 1, y = 1))
