@@ -44,6 +44,12 @@ object EventOps {
   private def propK(c: Column): Column =
     regexp_extract(c, "\"k\": (\\d+)", 1).cast("long")
 
+  /** The exact-cents summand — ONE definition for the Spark side and the
+    * DuckDB oracles (the identical SQL parses in both dialects), so the
+    * e2 scaling cannot drift between a query and its oracle. */
+  private val ValueE2Sql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+  private def valueE2 = expr(ValueE2Sql)
+
   /** events → game-shaped columns; filters/aggregates push below this projection. */
   def gameView(spark: SparkSession, dir: String): DataFrame =
     gameColumns(Tables.events(spark, dir))
@@ -234,14 +240,18 @@ object EventOps {
   val offsetTailRead = GQuery(
     "offset_tail_read",
     (s, d) =>
+      // offset 900 is IN RANGE at every driver scale factor (sf0.001's
+      // seqs stop at ~1000) — a larger fixed offset made the whole query
+      // vacuously empty at smoke scale, where an empty result trivially
+      // matches an empty oracle and proves nothing (the CdcT1 lesson)
       gameView(s, d)
-        .filter(col("seq") > 9000)
+        .filter(col("seq") > 900)
         .groupBy("room", "event_type")
         .agg(count(lit(1)).as("n"), min(col("seq")).as("min_seq")),
     oracle = Some(
       s"""$GameCte
          |SELECT room, event_type, count(*) AS n, min(seq) AS min_seq FROM game
-         |WHERE seq > 9000 GROUP BY room, event_type""".stripMargin))
+         |WHERE seq > 900 GROUP BY room, event_type""".stripMargin))
 
   /** C13: JSON payload extraction (pulsar.go:248,269; watch.go:69) — Spark
     * get_json_object vs DuckDB json_extract_string over the props column.
@@ -286,12 +296,12 @@ object EventOps {
         .withColumn("bucket", (unix_timestamp(date_trunc("hour", col("ts")))).cast("long"))
         .groupBy("room", "bucket")
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2")),
+          sum(valueE2).as("sum_value_e2")),
     oracle = Some(
       s"""$GameCte
          |SELECT room, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
          |       count(*) AS n,
-         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+         |       CAST(sum($ValueE2Sql) AS BIGINT) AS sum_value_e2
          |FROM game GROUP BY room, bucket""".stripMargin),
     bench = true)
 
@@ -316,12 +326,12 @@ object EventOps {
         .filter(col("room").isNotNull)
         .groupBy("room")
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
+          sum(valueE2).as("sum_value_e2"))
     },
     oracle = Some(
       s"""$GameCte
          |SELECT room, count(*) AS n,
-         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+         |       CAST(sum($ValueE2Sql) AS BIGINT) AS sum_value_e2
          |FROM game GROUP BY room""".stripMargin))
 
   /** Q:schema_evolution — S10's evolution facet: schema-compatible reads
@@ -465,7 +475,7 @@ object EventOps {
       gameView(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
+          sum(valueE2).as("sum_value_e2"))
         .select(
           unix_timestamp(col("session_window.start")).as("session_start"),
           unix_timestamp(col("session_window.end")).as("session_end"),
@@ -485,7 +495,7 @@ object EventOps {
          |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
          |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
          |       victim, count(*) AS n,
-         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+         |       CAST(sum($ValueE2Sql) AS BIGINT) AS sum_value_e2
          |FROM sess GROUP BY victim, sid""".stripMargin))
 
   /** Frame-spec window: per-room running event count + value sum in log
@@ -500,15 +510,14 @@ object EventOps {
       gameView(s, d)
         .select(col("room"), col("seq"),
           count(lit(1)).over(w).as("n_so_far"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).over(w)
-            .as("sum_so_far_e2"))
+          sum(valueE2).over(w).as("sum_so_far_e2"))
     },
     oracle = Some(
       s"""$GameCte
          |SELECT room, seq,
          |       count(*) OVER (PARTITION BY room ORDER BY seq
          |                      ROWS UNBOUNDED PRECEDING) AS n_so_far,
-         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |       CAST(sum($ValueE2Sql)
          |            OVER (PARTITION BY room ORDER BY seq
          |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_so_far_e2
          |FROM game""".stripMargin))
@@ -592,20 +601,21 @@ object EventOps {
   val windowLagDelta = GQuery(
     "window_lag_delta",
     (s, d) => {
+      // e2 integers end-to-end: the last cross-engine round(double) left
+      // after the money-aggregate sweep — a delta whose shortest decimal
+      // representation ties at digit 3 would round differently per engine
       val w = Window.partitionBy(col("room")).orderBy(col("seq"))
       gameView(s, d)
-        .select(col("room"), col("seq"), col("value"),
-          lag(col("value"), 1).over(w).as("prev_value"))
-        .withColumn("delta", round(col("value") - col("prev_value"), 2))
-        .select(col("room"), col("seq"), round(col("value"), 2).as("value"),
-          round(col("prev_value"), 2).as("prev_value"), col("delta"))
+        .select(col("room"), col("seq"), valueE2.as("value_e2"))
+        .withColumn("prev_value_e2", lag(col("value_e2"), 1).over(w))
+        .withColumn("delta_e2", col("value_e2") - col("prev_value_e2"))
     },
     oracle = Some(
-      s"""$GameCte
-         |SELECT room, seq, round(value, 2) AS value,
-         |       round(lag(value, 1) OVER (PARTITION BY room ORDER BY seq), 2) AS prev_value,
-         |       round(value - lag(value, 1) OVER (PARTITION BY room ORDER BY seq), 2) AS delta
-         |FROM game""".stripMargin))
+      s"""$GameCte, v AS (SELECT room, seq, $ValueE2Sql AS value_e2 FROM game)
+         |SELECT room, seq, value_e2,
+         |       lag(value_e2, 1) OVER (PARTITION BY room ORDER BY seq) AS prev_value_e2,
+         |       value_e2 - lag(value_e2, 1) OVER (PARTITION BY room ORDER BY seq) AS delta_e2
+         |FROM v""".stripMargin))
 
   /** cube: all four grains of (room, event_type) counts in one pass. */
   val aggCube = GQuery(
@@ -772,11 +782,16 @@ object EventOps {
       .filter(col("ts") <= lit(t).cast("timestamp"))
       .groupBy("user_id")
       .agg(lastByEventOrder("value").as(as))
+    // "added" keys on ROW PRESENCE at T1 (an explicit marker), not on
+    // old_value's nullness — a key whose T1 changelog value is NULL
+    // existed at T1 and must not be misclassified as added (the oracle
+    // keys on s1.user_id IS NULL; a value-null proxy diverges from it)
+    val atT1 = stateAt(CdcT1, "old_value").withColumn("present_t1", lit(true))
     stateAt(CdcT2, "new_value")
-      .join(stateAt(CdcT1, "old_value"), Seq("user_id"), "left")
-      .filter(col("old_value").isNull || col("old_value") =!= col("new_value"))
+      .join(atT1, Seq("user_id"), "left")
+      .filter(col("present_t1").isNull || col("old_value") =!= col("new_value"))
       .select(col("user_id"),
-        when(col("old_value").isNull, lit("added"))
+        when(col("present_t1").isNull, lit("added"))
           .otherwise(lit("changed")).as("change"),
         col("old_value"), col("new_value"))
   }

@@ -80,7 +80,7 @@ class PlanSpec extends SparkSuite {
 
   test("offset_tail_read pushes the seq predicate to the scan") {
     val p = plan(EventOps.offsetTailRead)
-    assert(p.contains("GreaterThan(event_id,9000)"),
+    assert(p.contains("GreaterThan(event_id,900)"),
       s"offset predicate not pushed:\n$p")
   }
 
