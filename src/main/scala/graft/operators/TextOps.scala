@@ -296,7 +296,10 @@ object TextOps {
     * — shared by text_bpe_exact and the BPE-keyed packing planner.
     */
   private[operators] def bpeCountSql(textCol: String): String = {
-    val sparkChain = bpeChain("regexp_replace(w, '(.)', ' $1 ')")
+    // (?s): Java's '.' skips line terminators (\r, U+0085, U+2028/29)
+    // that RE2's '.' matches — DOTALL makes both engines wrap EVERY
+    // character, so a CRLF-contaminated word counts identically
+    val sparkChain = bpeChain("regexp_replace(w, '(?s)(.)', ' $1 ')")
     s"""aggregate(
        |  transform(
        |    transform(filter(split($textCol, ' '), w -> w != ''),
@@ -307,7 +310,7 @@ object TextOps {
 
   /** DuckDB twin of [[bpeCountSql]]. */
   private[operators] def bpeCountDuck(textCol: String): String = {
-    val duckChain = bpeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")
+    val duckChain = bpeChain("regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')")
     s"""CAST(coalesce(list_sum(list_transform(
        |  list_transform(list_filter(string_split($textCol, ' '),
        |                             w -> w <> ''),
@@ -322,21 +325,17 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"),
           expr(bpeCountSql("text")).as("n_bpe_tokens"),
-          size(filter(split(col("text"), " "), w => w =!= ""))
+          size(filter_exprs(split(col("text"), " ")))
             .cast("long").as("n_words")),
-    oracle = Some {
-      val duckChain = bpeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")
+    // the SAME helper pack_sequences_bpe interpolates — a byte-for-byte
+    // inline copy here once drifted a fix away from desynchronizing the
+    // two oracles
+    oracle = Some(
       s"""SELECT doc_id,
-         |       CAST(coalesce(list_sum(list_transform(
-         |         list_transform(list_filter(string_split(text, ' '),
-         |                                    w -> w <> ''),
-         |                        w -> $duckChain),
-         |         m -> (length(m) - length(replace(m, ' ', ''))) // 2)), 0)
-         |       AS BIGINT) AS n_bpe_tokens,
+         |       ${bpeCountDuck("text")} AS n_bpe_tokens,
          |       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
          |       AS BIGINT) AS n_words
-         |FROM documents""".stripMargin
-    })
+         |FROM documents""".stripMargin))
 
   /** BPE-ish token counting: word pieces + punctuation via regex — the
     * pretraining "token budget" estimator (distinct from whitespace count).
@@ -345,15 +344,19 @@ object TextOps {
     */
   val textBpeTokenCount = GQuery(
     "text_bpe_token_count",
+    // whitespace spelled as an EXPLICIT class: Java's \s includes
+    // vertical tab, RE2's does not — the shorthand silently means two
+    // different character sets across the engines
     (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          size(expr(
+            "regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', 0)"))
             .cast("long").as("n_pieces"),
           size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words")),
     oracle = Some(
       """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_pieces,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_pieces,
         |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words
         |FROM documents""".stripMargin))
 
@@ -594,8 +597,7 @@ object TextOps {
   def bigramLogfreqOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val t = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("t"))
+      .select(col("doc_id"), filter_exprs(split(col("text"), " ")).as("t"))
       .filter(size(col("t")) >= 2)
     val bi = t.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("t")) - 1),
@@ -673,9 +675,17 @@ object TextOps {
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= ""))
       .groupBy("doc_id")
+      // entropy at e6 via PER-ROW scaled integers: Σ tf·ln(tf) summed as
+      // doubles is ORDER-dependent (partial aggregation vs DuckDB's
+      // parallel sum can straddle a rounding boundary as the corpus
+      // grows); scaling each term first makes the sum exact, leaving
+      // only the static per-row ln() ulp class the tf-idf/BM25 policy
+      // already accepts. Operands are non-negative (tf ≥ 1), so the
+      // truncating div agrees with DuckDB's floor //.
       .agg(
-        round(expr("ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf)"), 4)
-          .as("entropy"),
+        (expr("CAST(floor(ln(sum(tf)) * 1000000 + 0.5) AS BIGINT)") -
+          expr("CAST(sum(CAST(floor(tf * ln(tf) * 1000000 + 0.5) AS BIGINT)) div sum(tf) AS BIGINT)"))
+          .as("entropy_e6"),
         count(lit(1)).as("n_distinct_tokens"))
 
   val textUnigramEntropy = GQuery(
@@ -688,7 +698,9 @@ object TextOps {
         |    FROM documents)
         |  WHERE word <> '' GROUP BY doc_id, word)
         |SELECT doc_id,
-        |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy,
+        |       CAST(floor(ln(CAST(sum(tf) AS BIGINT)) * 1000000 + 0.5) AS BIGINT)
+        |         - CAST(CAST(sum(CAST(floor(tf * ln(tf) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |                // CAST(sum(tf) AS BIGINT) AS BIGINT) AS entropy_e6,
         |       count(*) AS n_distinct_tokens
         |FROM ue_tf GROUP BY doc_id""".stripMargin))
 
