@@ -40,29 +40,40 @@ object AnalyticsOps {
     * events strictly after t_k, so each frame's rows are exactly the users
     * who reached that stage in order.
     */
-  def stageTimes(events: DataFrame): Seq[DataFrame] = {
+  def stageTimes(events: DataFrame,
+                 windowDays: Option[Int] = None): Seq[DataFrame] = {
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
     FunnelStages.foldLeft(Vector.empty[DataFrame]) { case (acc, (_, etype)) =>
       val entered = e.filter(col("event_type") === etype)
       val gated = acc.lastOption match {
         case None => entered
         case Some(prev) =>
-          entered.join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          val ordered = entered
+            .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
             .filter(col("ts") > col("t_prev"))
+          // the windowed funnel is the SAME fold with one extra gate
+          // predicate — parameterized here so the two funnels cannot
+          // drift (stage order, tie-breaking, and the min-entry
+          // aggregate have exactly one implementation)
+          windowDays.fold(ordered)(days =>
+            ordered.filter(col("ts") <= col("t_prev") + expr(s"INTERVAL $days DAYS")))
       }
       acc :+ gated.groupBy("user_id").agg(min("ts").as("t"))
     }
   }
 
+  /** Per-stage user counts over any [[stageTimes]] result. */
+  private def stageCounts(stages: Seq[DataFrame]): DataFrame =
+    stages.zip(FunnelStages).map { case (df, (idx, name)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    }.reduce(_ union _)
+
   /** Ordered-funnel conversion counts: one row per stage with the number
     * of users who reached it (view → click after their first view →
     * purchase after that click).
     */
-  def funnel(events: DataFrame): DataFrame =
-    stageTimes(events).zip(FunnelStages).map { case (df, (idx, name)) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
-    }.reduce(_ union _)
+  def funnel(events: DataFrame): DataFrame = stageCounts(stageTimes(events))
 
   val funnelStages = GQuery(
     "funnel_stages",
@@ -128,26 +139,8 @@ object AnalyticsOps {
     * shape (and scale posture) as [[funnel]]; only the gate predicate
     * widens, so the two funnels are directly comparable.
     */
-  def funnelWindowed(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"), col("event_type"), col("ts"))
-    val winExpr = expr(s"INTERVAL $FunnelWindowDays DAYS")
-    val stages = FunnelStages.foldLeft(Vector.empty[DataFrame]) {
-      case (acc, (_, etype)) =>
-        val entered = e.filter(col("event_type") === etype)
-        val gated = acc.lastOption match {
-          case None => entered
-          case Some(prev) =>
-            entered.join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
-              .filter(col("ts") > col("t_prev") &&
-                col("ts") <= col("t_prev") + winExpr)
-        }
-        acc :+ gated.groupBy("user_id").agg(min("ts").as("t"))
-    }
-    stages.zip(FunnelStages).map { case (df, (idx, name)) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
-    }.reduce(_ union _)
-  }
+  def funnelWindowed(events: DataFrame): DataFrame =
+    stageCounts(stageTimes(events, Some(FunnelWindowDays)))
 
   val funnelWindowedQ = GQuery(
     "funnel_windowed",
@@ -184,7 +177,6 @@ object AnalyticsOps {
     * event_id, so the matrix is deterministic.
     */
   def transitions(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val tr = events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -234,7 +226,7 @@ object AnalyticsOps {
   def anomalyBurst(events: DataFrame): DataFrame = {
     val hourly = events
       .select(col("user_id"),
-        expr("unix_timestamp(ts) div 3600").as("hr"))
+        expr(ExactSql.HourSpark).as("hr"))
       .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("cnt"))
     val byUser = Window.partitionBy("user_id")
@@ -252,8 +244,8 @@ object AnalyticsOps {
     "anomaly_burst",
     (s, d) => anomalyBurst(Tables.events(s, d)),
     oracle = Some(
-      """WITH h AS (SELECT user_id,
-        |                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+      s"""WITH h AS (SELECT user_id,
+        |                 ${ExactSql.HourDuck} AS hr,
         |                 CAST(count(*) AS BIGINT) AS cnt
         |          FROM events GROUP BY 1, 2),
         |st AS (SELECT user_id, hr, cnt,
@@ -402,7 +394,7 @@ object AnalyticsOps {
         // the sum is then exact at any group size and in any partial-
         // aggregation order (summing raw doubles and scaling after could
         // flip the floored integer on very large groups)
-        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("traded_e2"))
+        sum(expr(ExactSql.ValueE2)).as("traded_e2"))
       .select(expr("unix_timestamp(day)").as("day_epoch"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("traded_e2"))
@@ -431,9 +423,12 @@ object AnalyticsOps {
     * den = n·Σx² − (Σx)². Everything is INTEGER — x is the epoch day, y
     * the 2-decimal value scaled ×100 — so the moments are exact and the
     * numerator/denominator hash-match (the division is left to the
-    * consumer: signed integer division TRUNCATES in Spark but FLOORS in
-    * DuckDB, so a quotient column would be the one cross-engine-unsafe
-    * step). Magnitudes: n·Σxy ≲ n²·x·y — fine in long through ~10⁹ rows
+    * consumer: a slope QUOTIENT is a float whose rounding would need a
+    * cross-engine policy, and emitting the exact integer pair lets the
+    * consumer pick precision — note both engines' integer division
+    * truncates toward zero, `div` and `//` alike, verified empirically:
+    * an earlier revision of this comment wrongly claimed DuckDB floors).
+    * Magnitudes: n·Σxy ≲ n²·x·y — fine in long through ~10⁹ rows
     * per group; beyond that the same aggregate runs on decimal(38,0).
     */
   def trendMoments(events: DataFrame): DataFrame =
@@ -441,7 +436,7 @@ object AnalyticsOps {
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long").as("x"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+        expr(ExactSql.ValueE2).as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
         sum("y").as("sum_y_e2"),
@@ -488,7 +483,7 @@ object AnalyticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col("event_type"), col("event_id"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        expr(ExactSql.ValueE2).as("v"))
       .withColumn("peak", max("v").over(w))
       .groupBy("event_type")
       .agg(max(col("peak") - col("v")).as("max_drawdown_e2"))
@@ -529,8 +524,8 @@ object AnalyticsOps {
       .rangeBetween(-TrailRangeSec, Window.currentRow)
     events
       .select(col("user_id"), col("event_id"),
-        expr("CAST(floor(to_unix_timestamp(ts)) AS BIGINT)").as("ts_sec"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        expr(ExactSql.TsSecSpark).as("ts_sec"),
+        expr(ExactSql.ValueE2).as("v"))
       .withColumn("trail24h_e2", sum("v").over(w))
       .select("user_id", "event_id", "ts_sec", "trail24h_e2")
   }
@@ -573,7 +568,7 @@ object AnalyticsOps {
     // bounded by types × hours, not by row count.
     val b = graft.Materialize.stage(events
       .groupBy(col("event_type"),
-        expr("CAST(floor(to_unix_timestamp(ts)) AS BIGINT) div 3600").as("hr"))
+        expr(ExactSql.HourSpark).as("hr"))
       .agg(count(lit(1)).as("cnt"),
         expr("max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), struct(ts, event_id))")
           .as("last_e2")))
@@ -592,12 +587,12 @@ object AnalyticsOps {
     "timeseries_gapfill",
     (s, d) => timeseriesGapfill(Tables.events(s, d)),
     oracle = Some(
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_type,
-        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |         ${ExactSql.HourDuck} AS hr,
         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
         |         row_number() OVER (
-        |           PARTITION BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        |           PARTITION BY event_type, ${ExactSql.HourDuck}
         |           ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events),
         |b AS (SELECT event_type, hr, count(*) AS cnt,

@@ -47,7 +47,7 @@ object EventOps {
   /** The exact-cents summand — ONE definition for the Spark side and the
     * DuckDB oracles (the identical SQL parses in both dialects), so the
     * e2 scaling cannot drift between a query and its oracle. */
-  private val ValueE2Sql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+  private val ValueE2Sql = ExactSql.ValueE2
   private def valueE2 = expr(ValueE2Sql)
 
   /** events → game-shaped columns; filters/aggregates push below this projection. */

@@ -57,7 +57,7 @@ object StreamingAnomaly {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .select(col("user_id"), expr(graft.operators.ExactSql.HourSpark).as("hr"))
       .as[HourEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[BurstState, BurstFlag](
