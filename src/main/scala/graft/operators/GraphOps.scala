@@ -51,6 +51,11 @@ object GraphOps {
     val iu = events
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
         col("user_id"), col("ts"))
+      // same no-match guard as the co-occurrence incidence: without it an
+      // event lacking a numeric k chains every such user through one
+      // item=NULL window partition (and the oracle's CAST('' AS BIGINT)
+      // would hard-error instead — divergent in BOTH directions)
+      .filter(col("item").isNotNull)
       .groupBy("item", "user_id")
       .agg(min("ts").as("t0"))
     iu.withColumn("dst",
@@ -65,13 +70,14 @@ object GraphOps {
     * iteration is one user-keyed join (ranks onto edge sources) and one
     * map-side-combinable sum onto destinations; nodes with no in-edges
     * keep the damping base via the left join. The edge frame is
-    * materialized ONCE (localCheckpoint — executor-local storage, no
-    * driver collect), exactly what a 100 TB run does: without it every
+    * materialized ONCE (Materialize.stage: localCheckpoint locally, a
+    * reliable checkpoint dir under spark.graft.checkpoint.dir — the
+    * 100 TB posture): without it every
     * iteration re-derives the first-touch aggregate and chain window,
     * tripling the shuffle count of the unrolled plan.
     */
   def pagerank(events: DataFrame): DataFrame =
-    ranks(temporalEdges(events).localCheckpoint())
+    ranks(graft.Materialize.stage(temporalEdges(events)))
       .orderBy(col("r").desc, col("u"))
       .limit(10)
       .select(col("u").as("user_id"), col("r").as("rank_e6"))
@@ -104,7 +110,9 @@ object GraphOps {
   private val EdgeCte =
     """iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
       |                  user_id, min(ts) AS t0
-      |           FROM events GROUP BY 1, 2),
+      |           FROM events
+      |           WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+      |           GROUP BY 1, 2),
       |ch AS (SELECT item, user_id AS src,
       |              lead(user_id) OVER (PARTITION BY item
       |                                  ORDER BY t0, user_id) AS dst
@@ -177,8 +185,8 @@ object GraphOps {
         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin))
 
   /** Distinct-user cap for the co-occurrence projection feeding
-    * [[graphTriangles]]: items touched by more than this many distinct
-    * users are dropped before the pair join — the [[DedupOps.LshBucketCap]]
+    * [[graphTriangles]]: every item contributes at most this many
+    * distinct users to the pair join — the [[DedupOps.LshBucketCap]]
     * idea on the interaction graph. An item with n users emits n²/2
     * edges into one reducer; a hub item (the corpus's "front page") is
     * degree structure, not community structure, and is exactly what makes
@@ -186,35 +194,41 @@ object GraphOps {
     * per-item pair generation is bounded at cap²/2. */
   final val TriItemCap = 64L
 
-  /** The hub-capped (item, user) incidence frame both edge builders
-    * project — the cap is a broadcast anti-join on the (tiny, ≤ n/cap
-    * keys) hot-item set, mirrored by the oracle's HAVING. */
+  /** The hub-BOUNDED (item, user) incidence frame both edge builders
+    * project: each item keeps its [[TriItemCap]] SMALLEST user ids — a
+    * deterministic bounded sample via the graft_topk bounded heap
+    * (map-side combinable, ≤ cap entries per item cross the shuffle),
+    * mirrored by the oracle's row_number qualify. Hubs are bounded, not
+    * DROPPED: the earlier drop-the-hub anti-join silently emptied the
+    * whole projection on dense domains — at the sf0.1 bench scale every
+    * one of the testbed's 100 items exceeds the cap, so four benched
+    * graph queries were timing an EMPTY graph (the vacuous-check lesson,
+    * at benchmark grade). Bounding keeps the quadratic hazard capped
+    * while every scale factor exercises a real graph. */
   private def keptItemUsers(events: DataFrame): DataFrame = {
-    val iu = events
+    graft.functions.TopKAggregate.ensureRegistered(events.sparkSession)
+    events
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
         col("user_id"))
       .filter(col("item").isNotNull)
       .distinct()
-    val hot = iu.groupBy("item").agg(count(lit(1)).as("n"))
-      .filter(col("n") > TriItemCap)
-      .select("item")
-    iu.join(broadcast(hot), Seq("item"), "left_anti")
+      .groupBy("item")
+      .agg(expr(s"graft_topk(-user_id, CAST(user_id AS STRING), $TriItemCap)")
+        .as("top"))
+      .select(col("item"),
+        explode(expr("transform(top, t -> CAST(t.key AS BIGINT))")).as("user_id"))
   }
 
   /** Undirected co-occurrence edges {u, v} (u < v, deduplicated): users
-    * sharing a non-hub item. Unlike [[temporalEdges]]' linear chain —
-    * which is triangle-free by construction within an item — the
+    * sharing a (hub-bounded) item. Unlike [[temporalEdges]]' linear
+    * chain — which is triangle-free by construction within an item — the
     * co-occurrence projection is the graph whose closed wedges MEAN
-    * something ("my neighbors also know each other"). */
-  private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame = {
-    val kept = keptItemUsers(events)
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.item") === col("b.item") &&
-          col("a.user_id") < col("b.user_id"))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-      .distinct()
-  }
+    * something ("my neighbors also know each other"). ONE pair-join
+    * implementation: this is [[weightedCoocEdges]] minus its count (the
+    * groupBy keys already equal the distinct pairs), so the two edge
+    * builders cannot drift. */
+  private[graft] def cooccurrenceEdges(events: DataFrame): DataFrame =
+    weightedCoocEdges(events).select("u", "v")
 
   /** Weighted co-occurrence edges (u, v, cnt): same pair projection as
     * [[cooccurrenceEdges]] but keeping the shared-item count — the
@@ -244,7 +258,7 @@ object GraphOps {
     * (triangles-per-wedge, ppm) hash-matches exactly.
     */
   def triangles(events: DataFrame): DataFrame =
-    triangleStats(cooccurrenceEdges(events).localCheckpoint())
+    triangleStats(graft.Materialize.stage(cooccurrenceEdges(events)))
 
   /** The orientation/wedge/close pipeline over an undirected edge frame
     * (u, v) with u < v, deduplicated — separated from the edge derivation
@@ -263,16 +277,15 @@ object GraphOps {
     val wd = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), "v")
+    // the orientation predicate bound ONCE: all three projections must
+    // agree about which endpoint won or the wedge and closing joins see
+    // edges whose src/dst/ddg contradict each other
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     graft.Materialize.stage(wd.select(
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")), col("u"))
-        .otherwise(col("v")).as("src"),
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst"),
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")), col("dv"))
-        .otherwise(col("du")).as("ddg")))
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddg")))
   }
 
   /** Closed wedges (src, a, b) — one row per triangle, the minimum-
@@ -312,30 +325,39 @@ object GraphOps {
       |              user_id
       |       FROM events
       |       WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
-      |keep AS (SELECT item FROM iu GROUP BY item
-      |         HAVING count(*) <= $TriItemCap),
-      |ki AS (SELECT iu.item, iu.user_id FROM iu JOIN keep ON iu.item = keep.item),
+      |ki AS (SELECT item, user_id FROM (
+      |         SELECT item, user_id,
+      |                row_number() OVER (PARTITION BY item
+      |                                   ORDER BY user_id) AS rn
+      |         FROM iu) WHERE rn <= $TriItemCap),
       |und AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
       |        FROM ki a JOIN ki b
       |          ON a.item = b.item AND a.user_id < b.user_id)""".stripMargin
+
+  /** The degree + degree-ordered-orientation CTEs over `und` — shared
+    * VERBATIM by the triangle and LCC oracles (the file's stated
+    * principle: one copy per derivation, so the orientation tie-break
+    * cannot drift between the two). */
+  private val DegOriCte =
+    """deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+      |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      |        GROUP BY 1),
+      |ori AS (SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+      |                    THEN e.u ELSE e.v END AS src,
+      |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+      |                    THEN e.v ELSE e.u END AS dst,
+      |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+      |                    THEN dv.dg ELSE du.dg END AS ddg
+      |        FROM und e
+      |        JOIN deg du ON e.u = du.x
+      |        JOIN deg dv ON e.v = dv.x)""".stripMargin
 
   val graphTriangles = GQuery(
     "graph_triangles",
     (s, d) => triangles(Tables.events(s, d)),
     oracle = Some(
       s"""WITH $CoocCte,
-        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
-        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
-        |        GROUP BY 1),
-        |ori AS (SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN e.u ELSE e.v END AS src,
-        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN e.v ELSE e.u END AS dst,
-        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN dv.dg ELSE du.dg END AS ddg
-        |        FROM und e
-        |        JOIN deg du ON e.u = du.x
-        |        JOIN deg dv ON e.v = dv.x),
+        |$DegOriCte,
         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
         |        FROM ori e1
         |        JOIN ori e2 ON e1.src = e2.src
@@ -361,7 +383,7 @@ object GraphOps {
     * where many nodes tie at 10⁶.
     */
   def lccTopk(events: DataFrame): DataFrame =
-    lccFromEdges(cooccurrenceEdges(events).localCheckpoint())
+    lccFromEdges(graft.Materialize.stage(cooccurrenceEdges(events)))
 
   /** The lcc ranking over an explicit undirected edge frame — the seam
     * GraphSpec pins against hand-computed K4 coefficients. */
@@ -385,18 +407,7 @@ object GraphOps {
     (s, d) => lccTopk(Tables.events(s, d)),
     oracle = Some(
       s"""WITH $CoocCte,
-        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
-        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
-        |        GROUP BY 1),
-        |ori AS (SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN e.u ELSE e.v END AS src,
-        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN e.v ELSE e.u END AS dst,
-        |               CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |                    THEN dv.dg ELSE du.dg END AS ddg
-        |        FROM und e
-        |        JOIN deg du ON e.u = du.x
-        |        JOIN deg dv ON e.v = dv.x),
+        |$DegOriCte,
         |tri3 AS (SELECT e1.src AS w, e1.dst AS a, e2.dst AS b
         |         FROM ori e1
         |         JOIN ori e2 ON e1.src = e2.src
@@ -431,7 +442,7 @@ object GraphOps {
     * by user_id.
     */
   def bfsHops(events: DataFrame): DataFrame =
-    bfsFromEdges(cooccurrenceEdges(events).localCheckpoint())
+    bfsFromEdges(graft.Materialize.stage(cooccurrenceEdges(events)))
 
   /** The frontier loop over an explicit undirected edge frame — the seam
     * GraphSpec pins against hand-traced hop distances. */
@@ -498,7 +509,7 @@ object GraphOps {
     * in-plan like BFS.
     */
   def ssspWeighted(events: DataFrame): DataFrame =
-    ssspFromEdges(weightedCoocEdges(events).localCheckpoint())
+    ssspFromEdges(graft.Materialize.stage(weightedCoocEdges(events)))
 
   /** The delta-relaxation loop over an explicit weighted edge frame
     * (u, v, cnt) — the seam GraphSpec pins against hand-traced costs. */

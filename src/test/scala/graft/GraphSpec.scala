@@ -143,18 +143,29 @@ class GraphSpec extends SparkSuite {
     assert(got.getLong(2) === 3L) // C(3,2) wedges at the hub
   }
 
-  test("co-occurrence edges: shared items pair users; hub items are capped out") {
-    val hubUsers = (100L until 100L + GraphOps.TriItemCap + 1).toSeq
+  test("co-occurrence edges: shared items pair users; hubs are BOUNDED, not dropped") {
+    val cap = GraphOps.TriItemCap
+    val hubUsers = (100L until 100L + cap + 1).toSeq
     val e = eventsDf(
       // item 1: three users → the full C(3,2) pair set
       Seq((1L, 1L, "2024-01-01 10:00:00"),
         (2L, 1L, "2024-01-01 11:00:00"),
         (3L, 1L, "2024-01-01 12:00:00")) ++
-        // hub item 99: cap+1 users → contributes NOTHING
+        // hub item 99: cap+1 users → the cap SMALLEST ids contribute
+        // their full pair set; the (cap+1)-th user is excluded (the
+        // old drop-the-hub form emptied the whole projection on dense
+        // domains — the sf0.1 vacuous-bench lesson)
         hubUsers.map(u => (u, 99L, "2024-01-02 10:00:00")))
     val got = GraphOps.cooccurrenceEdges(e)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val keptHub = hubUsers.sorted.take(cap.toInt)
+    val hubPairs = (for {
+      a <- keptHub; b <- keptHub if a < b
+    } yield (a, b)).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)) ++ hubPairs)
+    val overflow = 100L + cap
+    assert(!got.exists(p => p._1 == overflow || p._2 == overflow),
+      "the user past the cap must not appear in any pair")
   }
 
   test("registry wiring: triangle stats are internally consistent") {
