@@ -59,12 +59,21 @@ object EventOps {
     * (graft.streaming): one derivation, two execution modes (SURVEY §3.2).
     */
   def gameColumns(e: DataFrame): DataFrame = {
+    // a broker source already carries the REAL room (parsed from the
+    // topic by EventStream.normalize) — keep it; fabricate the testbed's
+    // user-derived room only when none exists, so the "Pulsar swap is a
+    // config change" claim holds for every per-room pipeline downstream
+    // (dropping the topic room and re-deriving from user_id would key
+    // scoreboards/windows/sessions wrongly on a real deployment)
+    val room =
+      if (e.columns.contains("room")) col("room")
+      else concat(lit("room"), col("user_id") % 8)
     e.select(
       col("event_id").as("seq"),
       col("ts"),
       col("value"),
       col("event_type"),
-      concat(lit("room"), col("user_id") % 8).as("room"),
+      room.as("room"),
       concat(lit("u"), col("user_id")).as("victim"),
       concat(lit("u"), propK(col("props")) % 30).as("killer"))
   }

@@ -20,14 +20,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Wire schema of the events table for the file stream source (`ts` is a
-    * nanos long on disk — see Tables.events; converted after read).
+  /** Wire schema of the events table for the file stream source. `ts`
+    * declares the MODERN µs-timestamp generation; readEvents re-resolves
+    * the field from the actual footer when files exist (nanos-long
+    * generations override it to LongType). The start-before-producer
+    * fallback therefore reads a µs generation correctly and fails LOUDLY
+    * (reader type mismatch) on a nanos one — the previous nanos-long
+    * default inverted that: a µs generation misread as nanos divided
+    * every timestamp by 1000 with no error.
     */
   val EventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-long generation default; readEvents
-                                 // re-resolves this field from the footer
-                                 // (µs-timestamp generations override it)
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -270,7 +274,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
       .agg(count(lit(1)).as("n"),
-        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_value_e2"))
+        sum(expr(graft.operators.ExactSql.ValueE2)).as("sum_value_e2"))
       .select(
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
@@ -331,7 +335,16 @@ object EventStream {
           } else {
             // bomb already lit: re-arrivals are suppressed, mirroring the
             // reference's existence guard (event.go:118-121) — no duplicate
-            // explode/undo pairs reach the derived-event stream
+            // explode/undo pairs reach the derived-event stream. The
+            // timeout MUST be re-armed for the REMAINING ttl: Spark
+            // clears a group's pending timeout on every invocation with
+            // data, so returning without re-setting it would leave the
+            // flame lit forever (no UndoExplodeEvent, state never freed).
+            state.getOption.foreach { st =>
+              val remaining =
+                math.max(1L, st.litAtMs + ttlMs - System.currentTimeMillis())
+              state.setTimeoutDuration(remaining)
+            }
             Iterator.empty
           }
       }
@@ -343,12 +356,14 @@ object EventStream {
     * NOTE: without the event-time column among the keys, dropDuplicates
     * state grows with the number of distinct ids for the stream's
     * lifetime — use [[dedupedWithinWatermark]] for unbounded streams; this
-    * variant exists for exact global dedup over bounded replays.
+    * variant exists for exact global dedup over bounded replays, and
+    * deliberately carries NO watermark: a watermark here would buy no
+    * state eviction (ts is not a dedup key) while silently DROPPING any
+    * row later batches deliver behind it — an out-of-order replay file
+    * would lose events from the "exact" output.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    events.dropDuplicates("event_id")
 
   /** Stricter state bound: duplicates only matter within the watermark
     * delay, so state for an id is dropped as soon as the watermark passes
@@ -369,12 +384,17 @@ object EventStream {
     * so election is structural, not code; the job itself is a rate-source
     * stream mapped through [[mapRegenEvents]].
     */
-  def periodicMapRegen(spark: SparkSession, intervalSec: Int): DataFrame =
+  def periodicMapRegen(spark: SparkSession, intervalSec: Int): DataFrame = {
+    // pmod(value, 0) is NULL in Spark: a non-positive interval would
+    // start a healthy-looking query that never emits a tick — fail at
+    // construction instead (the pulsar() factory's require style)
+    require(intervalSec > 0, s"intervalSec must be positive, got $intervalSec")
     mapRegenEvents(
       spark.readStream.format("rate")
         .option("rowsPerSecond", "1") // rate accepts whole rows/sec only
         .load()
         .filter(pmod(col("value"), lit(intervalSec.toLong)) === 0))
+  }
 
   /** tick rows → UpdateMapEvent rows: the obstacle list is derived
     * DETERMINISTICALLY from the tick via the graft_polyhash rolling hash
@@ -414,10 +434,16 @@ object EventStream {
   def admitLossy(batch: DataFrame, keyCols: Seq[String], seqCol: String,
                  capacity: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // namespaced rank column: a pass-through payload column named "__rn"
+    // must not be clobbered. NOTE: the two returned frames each
+    // re-evaluate the ranking — a foreachBatch caller materializing BOTH
+    // should cache the batch first, or the sink path pays the
+    // window-sort twice per trigger.
+    val rn = "__graft_admit_rn"
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
-    val ranked = batch.withColumn("__rn", row_number().over(w))
-    val admitted = ranked.filter(col("__rn") <= capacity).drop("__rn")
-    val dropped = ranked.filter(col("__rn") > capacity)
+    val ranked = batch.withColumn(rn, row_number().over(w))
+    val admitted = ranked.filter(col(rn) <= capacity).drop(rn)
+    val dropped = ranked.filter(col(rn) > capacity)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_abandoned"))
     (admitted, dropped)
@@ -463,7 +489,9 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop on BOTH paths: a drain-time failure must not leak a running
+    // query (and its checkpoint threads) on the shared session
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

@@ -93,6 +93,24 @@ class StreamingSpec extends SparkSuite {
       ("room3", 0L, 7L, "error"), ("room4", 0L, 8L, "signup")))
   }
 
+  test("gameColumns keeps a broker-derived room instead of re-fabricating it") {
+    import spark.implicits._
+    // normalize's output carries the TOPIC room; the game derivation must
+    // pass it through (re-deriving from user_id % 8 would key every
+    // per-room pipeline wrongly on a real deployment)
+    val raw = Seq(
+      ("persistent://public/default/roomX-event-topic", 5L, 1700000000000L,
+        """{"user_id": 7, "event_type": "error", "value": 1.5, "props": "{\"k\": 3}"}"""))
+      .toDF("__topic", "__sequenceId", "__publishTime", "value")
+    val normalized = EventStream.normalize(
+      EventStream.EventSourceConfig.pulsar("p://b", "h://b", ".*"), raw)
+    val game = graft.operators.EventOps.gameColumns(normalized)
+      .select("room", "seq", "victim").collect().head
+    assert(game.getString(0) === "roomX") // NOT "room7" (user_id % 8)
+    assert(game.getLong(1) === 5L)
+    assert(game.getString(2) === "u7")
+  }
+
   test("periodic map regen: deterministic obstacle lists per tick") {
     import spark.implicits._
     val ticks = Seq(0L, 1L, 2L, 1L).toDF("value")
@@ -425,6 +443,10 @@ class StreamingSpec extends SparkSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
       .format("memory").queryName("timers").start()
     input.addData("A-b1", "A-b2")
+    // duplicate re-arrival WITHIN the TTL: Spark clears a group's pending
+    // timeout on any invocation with data, so the suppression branch must
+    // re-arm it — without that, b1's undo never fires (regression pin)
+    input.addData("A-b1")
     val deadline = System.currentTimeMillis() + 60000
     def undone = spark.table("timers").as[EventStream.DerivedEvent].collect()
       .filter(_.event_type == "UndoExplodeEvent").map(_.bomb_name).toSet
@@ -434,6 +456,10 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(Set("A-b1", "A-b2").subsetOf(undone),
       s"expected TTL-derived undo events within deadline, got $undone")
+    // suppression held: exactly ONE explode per bomb despite the re-arrival
+    val explodes = spark.table("timers").as[EventStream.DerivedEvent].collect()
+      .filter(_.event_type == "ExplodeEvent").map(_.bomb_name).toList
+    assert(explodes.sorted === List("A-b1", "A-b2"))
   }
 
   test("streaming dropDuplicates removes duplicate event_ids under watermark") {
