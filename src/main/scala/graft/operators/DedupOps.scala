@@ -551,7 +551,9 @@ object DedupOps {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-         |  FROM embeddings)
+         |  FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(list_sum(list_transform(generate_series(1, len(a.v)),
          |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
@@ -1212,7 +1214,9 @@ object DedupOps {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e),
          |wc AS (
          |  SELECT wb.vec_id, wb.v, wb.nrm, wb.bucket FROM wb
@@ -1384,7 +1388,9 @@ object DedupOps {
       s"""WITH de_e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |de_wb AS (SELECT vec_id, v, nrm, $bandCols FROM de_e),
          |de_bb AS (
          |  SELECT vec_id, u.band, u.bucket FROM de_wb,
@@ -1421,7 +1427,9 @@ object DedupOps {
     s"""${p}e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
        |${p}wb AS (SELECT vec_id, v, nrm, $bandCols FROM ${p}e),
        |${p}bb AS (
        |  SELECT vec_id, u.band, u.bucket FROM ${p}wb,
@@ -1458,6 +1466,15 @@ object DedupOps {
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // degenerate embeddings are EXCLUDED, identically on both engines
+      // (every vec oracle CTE carries the matching WHERE): a zero vector
+      // makes cosine 0/0 — NULL in Spark (row silently dropped from
+      // top-k) but nan/inf in DuckDB (sorts FIRST under cos DESC) — and
+      // a null ELEMENT null-poisons graft_dot while DuckDB's list_sum
+      // skips nulls; either case was a cross-engine divergence, not a
+      // result. nrm > 0 drops zero vectors; null elements null-poison
+      // nrm itself, so the same predicate drops them too.
+      .filter(col("nrm") > 0)
   }
 
   /** cosine between aliased sides a/b of a self-join on [[normalizedVecs]]. */

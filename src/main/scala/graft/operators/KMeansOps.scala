@@ -163,7 +163,9 @@ object KMeansOps {
       |           x -> x::DOUBLE * x::DOUBLE))) AS nrm,
       |         list_transform(embedding,
       |           x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+      |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < 8)""".stripMargin
 
   /** One unrolled Lloyd's iteration: assignment (cross join + argmin over the

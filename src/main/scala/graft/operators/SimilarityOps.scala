@@ -68,18 +68,18 @@ object SimilarityOps {
         s"j -> v[j] * (${planeDuck(band * r + i)})[j])) > 0 THEN 1::BIGINT << $i ELSE 0 END)"
     }.mkString(" + ")
 
-  /** The DuckDB twin of [[withBucket]]'s bucket expression. */
-  private[operators] def bucketDuck: String =
-    (0 until NumPlanes).map { p =>
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
-        s"i -> v[i] * (${planeDuck(p)})[i])) > 0 THEN 1::BIGINT << $p ELSE 0 END)"
-    }.mkString(" + ")
+  /** The DuckDB twin of [[withBucket]]'s bucket expression — delegates to
+    * the band form exactly as withBucket delegates to withBandBucket, so
+    * the two generators cannot drift. */
+  private[operators] def bucketDuck: String = bandBucketDuck(0, NumPlanes)
 
   private val VecCte =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings
+      |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+      |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)""".stripMargin
 
   // one normalization + one cosine definition, shared with the dedup path
   private def vecs(s: SparkSession, d: String): DataFrame =
@@ -319,8 +319,11 @@ object SimilarityOps {
         col("a.key") === col("b.key") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       // verify BEFORE distinct: levenshtein is row-local and cuts the
-      // distinct's shuffle to the true pairs (~¼ of the candidates here)
-      .filter(expr("levenshtein(name_a, name_b) <= 1"))
+      // distinct's shuffle to the true pairs (~¼ of the candidates here).
+      // The THRESHOLD form early-exits the DP once the running distance
+      // exceeds 1 (returns −1 past the bound) — most candidates are
+      // rejected, so the bound is where the verification time goes.
+      .filter(expr("levenshtein(name_a, name_b, 1) >= 0"))
       .distinct()
   }
 
