@@ -52,7 +52,7 @@ private[functions] object Tokenize {
   * name (the ShingleKernel rule).
   */
 final class WindowHashKernel(w: Int, base: Long = 131L) extends ShingleKernel {
-  private val Mod = 2147483647L
+  private val Mod = VectorExpressions.HashMod
 
   override def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
@@ -112,6 +112,32 @@ final class WindowHashKernel(w: Int, base: Long = 131L) extends ShingleKernel {
   */
 object VectorExpressions {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+
+  /** Shared rolling-hash modulus 2\u00b3\u00b9\u22121 \u2014 ONE definition for every
+    * kernel (matched by the oracle-side P in DedupOps): cross-kernel hash
+    * compatibility depends on these never diverging. */
+  private[functions] val HashMod = 2147483647L
+
+  /** Analysis-time input validation (the CosineTopKAggregate pattern:
+    * fail at analysis, not with an executor ClassCastException \u2014 or
+    * worse, silent garbage from codegen's unchecked getDouble reads over
+    * a non-double array). */
+  private def requireString(fn: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case StringType => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$fn expects a string input, got ${other.catalogString}")
+    }
+
+  private def requireDoubleArray(fn: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$fn expects array<double>, got ${other.catalogString}")
+    }
+
   /** graft_dot(a, b): Σ a[i]·b[i] over two array<double> columns.
     * Null semantics match `aggregate(zip_with(a,b,*), 0d, +)` EXACTLY
     * (sequential order; unequal lengths or a null element ⇒ null, because
@@ -120,6 +146,10 @@ object VectorExpressions {
     */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(left, right).map(requireDoubleArray("graft_dot", _))
+        .find(_ != TypeCheckSuccess).getOrElse(TypeCheckSuccess)
 
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -181,7 +211,10 @@ object VectorExpressions {
   case class PolyHash(child: Expression)
       extends UnaryExpression {
 
-    private val Mod = 2147483647L
+    private val Mod = HashMod
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString("graft_polyhash", child)
 
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -228,6 +261,9 @@ object VectorExpressions {
   case class ShingleHashes(child: Expression)
       extends UnaryExpression {
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString("graft_shingle_hashes", child)
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -247,7 +283,7 @@ object VectorExpressions {
   }
 
   object ShingleHashes extends ShingleKernel {
-    private val Mod = 2147483647L
+    private val Mod = VectorExpressions.HashMod
 
     /** Called from both interpreted eval and generated Java. */
     override def compute(s: UTF8String): ArrayData = {
@@ -291,6 +327,9 @@ object VectorExpressions {
     */
   case class ShingleRows(child: Expression)
       extends Generator with CodegenFallback {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString("graft_shingle_rows", child)
 
     override def children: Seq[Expression] = Seq(child)
 
@@ -474,6 +513,9 @@ object VectorExpressions {
   case class WindowHashes(child: Expression, width: Int, base: Long = 131L)
       extends UnaryExpression {
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString("graft_window_hashes", child)
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -496,9 +538,13 @@ object VectorExpressions {
     * c[i] = floor(v[i] · 127 / s) with s = max|v[i]| (all-zero or empty
     * vector ⇒ all-zero codes). Codes are emitted as array<double> so the
     * existing [[DotProduct]] kernel scores them: every code is an integer
-    * in [−127, 127], so a 64-dim code dot product (|Σ| ≤ ~10⁶) is
-    * EXACTLY representable in double — the "integer" arithmetic rides
-    * the compiled double loop and both engines agree bit-for-bit.
+    * in [−128, 127] — floor is asymmetric, and FP rounding in v·127/s
+    * can nudge the most-negative element to −128 (the oracle's identical
+    * floor(x·127/s) reproduces the same value, so parity holds; a
+    * consumer packing codes into signed bytes must allow −128) — so a
+    * 64-dim code dot product (|Σ| ≤ ~10⁶) is EXACTLY representable in
+    * double: the "integer" arithmetic rides the compiled double loop and
+    * both engines agree bit-for-bit.
     * Semantically identical to the HOF encoding
     *   transform(v, x -> floor(x * 127 / aggregate-max-abs))
     * but one compiled pass, no interpreted lambdas (the 25× lesson at
@@ -506,6 +552,9 @@ object VectorExpressions {
     */
   case class Quantize8(child: Expression)
       extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireDoubleArray("graft_q8", child)
 
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
@@ -551,7 +600,11 @@ object VectorExpressions {
   }
 
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_dot" -> (es => es match {
+      case Seq(a, b) => DotProduct(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_dot expects 2 arguments, got ${other.length}")
+    }),
     "graft_q8" -> (es => Quantize8(es.head)),
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
@@ -560,10 +613,13 @@ object VectorExpressions {
       case Literal(w: Int, IntegerType) if w >= 1 =>
         es.drop(2) match {
           case Seq() => WindowHashes(es.head, w)
-          case Seq(Literal(b: Int, IntegerType)) if b > 1 =>
+          // base must stay BELOW the modulus: base % Mod == 0 collapses
+          // every prefix power to zero and every window hash to its last
+          // byte — silent signal destruction, not an error
+          case Seq(Literal(b: Int, IntegerType)) if b > 1 && b < HashMod =>
             WindowHashes(es.head, w, b.toLong)
           case other => throw new IllegalArgumentException(
-            s"graft_window_hashes base must be an int literal > 1, got $other")
+            s"graft_window_hashes base must be an int literal in (1, $HashMod), got $other")
         }
       case other => throw new IllegalArgumentException(
         s"graft_window_hashes width must be a positive int literal, got $other")
