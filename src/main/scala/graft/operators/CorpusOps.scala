@@ -325,7 +325,9 @@ object CorpusOps {
     * Scale shape: fully row-local — tokenize, `sequence()` the starts,
     * explode, slice; no shuffle at all (the plan is scan→generate→project),
     * and output rows are bounded at ~n/stride per doc. The oracle mirrors
-    * with a lateral generate_series.
+    * with unnest(range(...)) — range, not generate_series: range's end
+    * bound is EXCLUSIVE like Spark's stepped sequence here, where
+    * generate_series would emit an extra start when stride divides n.
     */
   val chunkDocuments = GQuery(
     "chunk_documents",

@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** The Knuth doc-admission hash family — ONE definition per shape,
+    * parsed identically by both dialects and interpolated into the Spark
+    * expressions AND the oracle SQL (a mistyped digit in any hand copy
+    * would break engine/oracle admission parity undetectably; the
+    * constants appeared in three syntaxes across ten sites before this).
+    * The % 1000003 pre-mod bounds the product at ~2.7e15 < 2\u2076\u00b3. */
+  private def knuthProduct(c: String): String =
+    s"(($c % 1000003) * 2654435761)"
+
+  /** Admission rate hash onto [0, 10\u2076). */
+  private def admitHash(c: String): String =
+    s"${knuthProduct(c)} % 1000000"
+
+  /** Shard id from the hash image's HIGH bits (2\u00b3\u00b2 div 2\u00b2\u2079 = 8 shards \u2014
+    * the multiplier is \u2261 1 mod 8, so low bits would degenerate). */
+  private def shardHash(c: String): String =
+    s"${knuthProduct(c)} % 4294967296 div 536870912"
+
+
   private def tokArr(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
   /** Gopher-style repetition signals per document: duplicate-bigram fraction
@@ -21,6 +40,11 @@ object PipelineOps {
     * (doc_id, bigram) — per-doc bounded, corpus-size independent. All ratios
     * are scaled integers (floor division): round(double) is not
     * cross-engine-safe on terminating decimals.
+    *
+    * OUTPUT CONTRACT: documents with fewer than 2 tokens have no bigrams
+    * and emit NO row (mirrored by the oracle). A consumer deciding
+    * retention must LEFT-join these flags and treat absence as
+    * not-repetitive — an inner join would silently drop short docs.
     */
   val textRepetition = GQuery(
     "text_repetition",
@@ -150,8 +174,11 @@ object PipelineOps {
     * prime 1000003 BEFORE the Knuth multiply: the worst product is
     * 1000002·2654435761 ≈ 2.7e15 < 2⁶³, so the expression never wraps for
     * any BIGINT doc_id — an unreduced doc_id·2654435761 overflows past
-    * doc_id ≈ 3.5e9, where Spark wraps silently while DuckDB widens, i.e.
-    * engine/oracle admission would diverge exactly at corpus scale.
+    * doc_id ≈ 3.5e9, where Spark (ANSI mode — this build's default) throws
+    * ARITHMETIC_OVERFLOW while DuckDB widens to HUGEINT: a crash on one
+    * engine and an answer on the other, exactly at corpus scale. (An
+    * earlier note here claimed Spark wraps silently — true only with
+    * ANSI off.)
     */
   val sampleWeights = GQuery(
     "sample_weights",
@@ -165,14 +192,14 @@ object PipelineOps {
         .agg(sum(col("src_chars")).cast("long").as("total_chars"),
           count(lit(1)).as("n_sources")))
       val weighted = perSrc.crossJoin(totals)
-        .withColumn("share_e6", expr("src_chars * 1000000 div total_chars"))
+        .withColumn("share_e6", expr("src_chars * 1000000 div nullif(total_chars, 0)"))
         .withColumn("weight_e6",
-          least(expr("total_chars * 1000000 div (n_sources * src_chars)"),
+          least(expr("total_chars * 1000000 div nullif(n_sources * src_chars, 0)"),
             lit(3000000L)))
       val admitted = perDoc
         .join(broadcast(weighted.select(col("source"), col("weight_e6"))),
           Seq("source"))
-        .filter(expr("((doc_id % 1000003) * 2654435761) % 1000000 < weight_e6"))
+        .filter(expr(s"${admitHash("doc_id")} < weight_e6"))
         .groupBy("source").agg(count(lit(1)).as("n_admitted"))
       weighted
         .join(admitted, Seq("source"), "left")
@@ -181,7 +208,7 @@ object PipelineOps {
           col("share_e6"), col("weight_e6"), col("n_admitted"))
     },
     oracle = Some(
-      """WITH mix_src AS (
+      s"""WITH mix_src AS (
         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_chars
         |  FROM documents GROUP BY source),
         |mix_tot AS (
@@ -189,14 +216,14 @@ object PipelineOps {
         |         count(*) AS n_sources FROM mix_src),
         |mix_w AS (
         |  SELECT source, n_docs, src_chars,
-        |         src_chars * 1000000 // total_chars AS share_e6,
-        |         least(total_chars * 1000000 // (n_sources * src_chars),
+        |         src_chars * 1000000 // nullif(total_chars, 0) AS share_e6,
+        |         least(total_chars * 1000000 // nullif(n_sources * src_chars, 0),
         |               3000000) AS weight_e6
         |  FROM mix_src CROSS JOIN mix_tot),
         |mix_adm AS (
         |  SELECT d.source, count(*) AS n_admitted
         |  FROM documents d JOIN mix_w w USING (source)
-        |  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < w.weight_e6
+        |  WHERE ${admitHash("d.doc_id")} < w.weight_e6
         |  GROUP BY d.source)
         |SELECT source, n_docs, src_chars, share_e6,
         |       CAST(weight_e6 AS BIGINT) AS weight_e6,
@@ -231,7 +258,7 @@ object PipelineOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(tokArr(col("text"))).cast("long").as("n_tokens"),
-          expr("((doc_id % 1000003) * 2654435761) % 4294967296 div 536870912")
+          expr(shardHash("doc_id"))
             .as("shard"))
       val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("doc_id"))
@@ -246,7 +273,7 @@ object PipelineOps {
       s"""WITH pk AS (
          |  SELECT doc_id, source,
          |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
-         |         ((doc_id % 1000003) * 2654435761) % 4294967296 // 536870912 AS shard
+         |         ${shardHash("doc_id").replace(" div ", " // ")} AS shard
          |  FROM documents),
          |pkcum AS (
          |  SELECT doc_id, source, shard, n_tokens,
@@ -276,7 +303,7 @@ object PipelineOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           expr(TextOps.bpeCountSql("text")).as("n_tokens"),
-          expr("((doc_id % 1000003) * 2654435761) % 4294967296 div 536870912")
+          expr(shardHash("doc_id"))
             .as("shard"))
       val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("doc_id"))
@@ -291,7 +318,7 @@ object PipelineOps {
       s"""WITH pb AS (
          |  SELECT doc_id, source,
          |         ${TextOps.bpeCountDuck("text")} AS n_tokens,
-         |         ((doc_id % 1000003) * 2654435761) % 4294967296 // 536870912 AS shard
+         |         ${shardHash("doc_id").replace(" div ", " // ")} AS shard
          |  FROM documents),
          |pbcum AS (
          |  SELECT doc_id, source, shard, n_tokens,
@@ -323,7 +350,7 @@ object PipelineOps {
       graft.functions.CosineTopKAggregate.ensureRegistered(s)
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          (-((col("doc_id") % 1000003L) * 2654435761L).cast("double")).as("score"))
+          (-expr(knuthProduct("doc_id")).cast("double")).as("score"))
         .groupBy("source")
         .agg(expr(s"graft_cosine_topk(score, doc_id, $StratumSampleK)").as("topk"))
         .select(col("source"), posexplode(col("topk")).as(Seq("pos", "kv")))
@@ -334,7 +361,7 @@ object PipelineOps {
       s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
          |FROM (SELECT source, doc_id,
          |             row_number() OVER (PARTITION BY source
-         |               ORDER BY (doc_id % 1000003) * 2654435761, doc_id) AS rn
+         |               ORDER BY ${knuthProduct("doc_id")}, doc_id) AS rn
          |      FROM documents)
          |WHERE rn <= $StratumSampleK""".stripMargin))
 
@@ -365,13 +392,13 @@ object PipelineOps {
         Tables.documents(s, d).select(
           col("source"),
           size(tokArr(col("text"))).cast("long").as("ntok"),
-          ((col("doc_id") % 1000003L) * 2654435761L % 1000000L).as("h")))
+          expr(admitHash("doc_id")).as("h")))
       val per = perDoc.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
       val rates = per
         .crossJoin(broadcast(per.agg(min("n_tokens").as("min_tok"))))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("min_tok * 1000000 div n_tokens").as("rate_ppm"))
+          expr("min_tok * 1000000 div nullif(n_tokens, 0)").as("rate_ppm"))
       perDoc.join(broadcast(rates), Seq("source"))
         .groupBy("source")
         .agg(
@@ -385,16 +412,16 @@ object PipelineOps {
         .orderBy("source")
     },
     oracle = Some(
-      """WITH mb_dt AS (
+      s"""WITH mb_dt AS (
         |  SELECT source,
         |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ntok,
-        |         ((doc_id % 1000003) * 2654435761) % 1000000 AS h
+        |         ${admitHash("doc_id")} AS h
         |  FROM documents),
         |mb_per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |                  CAST(sum(ntok) AS BIGINT) AS n_tokens
         |           FROM mb_dt GROUP BY 1),
         |mb_rates AS (SELECT source, n_docs, n_tokens,
-        |                    (SELECT min(n_tokens) FROM mb_per) * 1000000 // n_tokens AS rate_ppm
+        |                    (SELECT min(n_tokens) FROM mb_per) * 1000000 // nullif(n_tokens, 0) AS rate_ppm
         |             FROM mb_per)
         |SELECT r.source, r.n_docs, r.n_tokens, r.rate_ppm,
         |       CAST(count(*) FILTER (d.h < r.rate_ppm) AS BIGINT) AS n_docs_kept,
