@@ -34,8 +34,10 @@ object SketchOps {
     * domains uses RewriteApproxDistinct's full xxhash64 mix (which DuckDB
     * cannot replay, hence the split).
     */
-  private[graft] val UserHash =
-    "((user_id % 1000003) * 2654435761) % 4294967296"
+  private[graft] def knuthHash(c: String): String =
+    s"(($c % 1000003) * 2654435761) % 4294967296"
+
+  private[graft] val UserHash = knuthHash("user_id")
 
   /** The KMV estimate SQL over a `mins` column named `c`: exact size
     * below k, else (k−1)·2³² div kth-min. One definition for batch and
@@ -59,17 +61,12 @@ object SketchOps {
     */
   val sketchDistinctKmv = GQuery(
     "sketch_distinct_kmv",
-    (s, d) => {
-      graft.functions.KmvSketchAggregate.ensureRegistered(s)
-      Tables.events(s, d)
-        .select(col("event_type"), expr(UserHash).as("h"))
-        .groupBy("event_type")
-        .agg(expr(s"graft_kmv(h, $KmvK)").as("mins"))
+    (s, d) =>
+      perTypeSketch(s, d)
         .select(
           col("event_type"),
           size(col("mins")).cast("long").as("n_kept"),
-          expr(kmvEstimateSql("mins")).as("kmv_est"))
-    },
+          expr(kmvEstimateSql("mins")).as("kmv_est")),
     oracle = Some(
       s"""WITH h AS (SELECT DISTINCT event_type,
         |                  $UserHash AS h
@@ -88,27 +85,40 @@ object SketchOps {
         |FROM s""".stripMargin),
     bench = true)
 
-  /** Count-min geometry: depth 3 (independent hash rows) × width 64
-    * buckets — 192 counters total, whatever the corpus size.
-    */
+  /** Count-min geometry: depth × width counters total, whatever the
+    * corpus size. */
   final val CmsDepth = 3
-  final val CmsWidth = 64
+  /** 1024 buckets per row: the width must EXCEED the inverse of the
+    * reporting threshold (total/128) or the sketch reports everything —
+    * the average bucket already carries total/width, so with width 64
+    * every user's estimate passed a total/128 bar (verified empirically:
+    * all 1500 users "heavy" at sf0.1 where 0 truly were). At 1024 the
+    * N/width error bound is 8× below the threshold and the candidate
+    * set is genuinely selective. 3×1024 counters is still corpus-
+    * independent. */
+  final val CmsWidth = 1024
 
-  /** Row-j bucket of user_id: Knuth product under three different mod
-    * primes, HIGH bits (2³² div 2²⁶ = 64 buckets) per the repo's
-    * high-bits convention — the low bits of a multiplicative hash are a
-    * bijection of the input's low bits.
+  /** Row-j bucket of user_id: Knuth-style product with a DIFFERENT odd
+    * multiplier per row, HIGH bits (2³² div 2²² = 1024 buckets) per the
+    * repo's high-bits convention — the low bits of a multiplicative hash
+    * are a bijection of the input's low bits. The multiplier (not the
+    * pre-mod prime) must vary per row: the earlier prime-only variation
+    * was the IDENTITY below the smallest prime, so all three "independent"
+    * rows computed the same bucket for every realistic id and the depth-3
+    * sketch silently degenerated to depth 1 (verified: zero rows differed
+    * on the whole testbed). Product bound: (10⁶)·3266489917 ≈ 3.3·10¹⁵,
+    * well inside BIGINT on both engines.
     */
-  private val CmsPrimes = Seq(1000003L, 999983L, 999979L)
+  private val CmsMults = Seq(2654435761L, 2246822519L, 3266489917L)
   private[graft] def bucketSql(j: Int): String =
-    s"((user_id % ${CmsPrimes(j)}) * 2654435761) % 4294967296 div 67108864"
+    s"((user_id % 1000003) * ${CmsMults(j)}) % 4294967296 div ${4294967296L / CmsWidth}"
 
   /** Count-min-sketch heavy hitters: per-user event-count estimates from
-    * a 3×64 counter matrix, reporting users whose estimate reaches
+    * a 3×1024 counter matrix, reporting users whose estimate reaches
     * total/128. Scale shape: the WHOLE counter matrix builds in ONE
     * corpus scan — the d bucket ids explode row-locally and a single
-    * map-side-combinable (row, bucket) aggregate yields the 192-row
-    * matrix, which is staged once and re-sliced per row (its broadcast is
+    * map-side-combinable (row, bucket) aggregate yields the counter
+    * matrix (3072 rows), staged once and re-sliced per row (its broadcast is
     * by construction: the matrix size is corpus-independent, and the
     * total falls out of row 0 rather than a second scan). A user's
     * estimate is row-independent, so the threshold filter runs row-local
@@ -186,6 +196,10 @@ object SketchOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val h = Tables.events(s, d)
+        // null values carry no quantile information, and a NULL bin would
+        // sort FIRST in Spark's window but LAST in DuckDB's — shifting
+        // every cumulative sum differently per engine
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("CAST(floor(value * 100) AS BIGINT) div 100").as("bin"))
         .groupBy("event_type", "bin")
@@ -204,7 +218,7 @@ object SketchOps {
       """WITH h AS (SELECT event_type,
         |                 CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
         |                 CAST(count(*) AS BIGINT) AS c
-        |          FROM events GROUP BY 1, 2),
+        |          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |cw AS (SELECT event_type, bin,
         |              CAST(sum(c) OVER (PARTITION BY event_type
         |                                ORDER BY bin) AS BIGINT) AS cum,
@@ -225,8 +239,7 @@ object SketchOps {
   /** Knuth multiplicative row hash of event_id (the unique row key) —
     * same BIGINT-exact construction as [[UserHash]], so the sample
     * membership is replayable in DuckDB. */
-  private[graft] val EventIdHash =
-    "((event_id % 1000003) * 2654435761) % 4294967296"
+  private[graft] val EventIdHash = knuthHash("event_id")
 
   /** Quantile q = num/den over a value-sorted kept array `c`: the value
     * at 1-indexed rank ⌈q·n⌉, computed in pure integer arithmetic
@@ -292,8 +305,7 @@ object SketchOps {
   /** The integral lineitem columns profiled by [[statsColumns]]. */
   private val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
-  private def statHash(c: String): String =
-    s"(($c % 1000003) * 2654435761) % 4294967296"
+  private def statHash(c: String): String = knuthHash(c)
 
   /** ANALYZE-style column statistics in ONE pass: per-column min / max /
     * null count / NDV estimate over the integral lineitem columns — the
@@ -354,6 +366,10 @@ object SketchOps {
                             d: String): DataFrame = {
     graft.functions.KmvSketchAggregate.ensureRegistered(s)
     Tables.events(s, d)
+      // mirror every oracle's null guard: a type whose rows are ALL null
+      // users would otherwise emit an empty sketch (and phantom pairs in
+      // the jaccard self-join) that the oracles lack
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"), expr(UserHash).as("h"))
       .groupBy("event_type")
       .agg(expr(s"graft_kmv(h, $KmvK)").as("mins"))
@@ -416,7 +432,10 @@ object SketchOps {
   val sketchKmvJaccard = GQuery(
     "sketch_kmv_jaccard",
     (s, d) => {
-      val sk = perTypeSketch(s, d)
+      // staged: BOTH self-join sides consume it — unstaged, Catalyst
+      // duplicates the subplan and the corpus scan + KMV aggregation run
+      // twice for a frame of k longs per type
+      val sk = graft.Materialize.stage(perTypeSketch(s, d))
       sk.as("a")
         .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
         .select(
