@@ -12,11 +12,15 @@ package graft
   *    Concurrent cold builds of the same key race benignly — both compute,
   *    the first insert wins, the loser's value is dropped (and for staged
   *    frames the dropped reference is reclaimed by the ContextCleaner);
-  *  - superseded fingerprints for the same (applicationId, dir) are
-  *    evicted on insert, so an in-place dataset rewrite both invalidates
-  *    (new fingerprint ⇒ cache miss) and garbage-collects (old entry
-  *    removed) in one step, and a long-lived application holds at most
-  *    one artifact per dataset dir.
+  *  - eviction on insert drops (a) superseded fingerprints for the same
+  *    dir — an in-place dataset rewrite both invalidates (new fingerprint
+  *    ⇒ cache miss) and garbage-collects (old entry removed) in one
+  *    step — and (b) every entry from a DIFFERENT applicationId: an
+  *    artifact built by a stopped SparkSession is never reusable (staged
+  *    frames pin blocks of a dead SparkContext), so keeping it would leak
+  *    for the JVM's lifetime in any process that restarts sessions (test
+  *    suites, long-lived drivers). A live application therefore holds at
+  *    most one artifact per dataset dir, all its own.
   */
 final class DatasetMemo[V] {
 
@@ -35,7 +39,7 @@ final class DatasetMemo[V] {
         val built = build // outside the lock — may run Spark jobs
         synchronized {
           entries.keys
-            .filter(k => k._1 == key._1 && k._2 == key._2 && k != key)
+            .filter(k => (k._1 != key._1 || k._2 == key._2) && k != key)
             .toSeq.foreach(entries.remove)
           entries.getOrElseUpdate(key, built)
         }

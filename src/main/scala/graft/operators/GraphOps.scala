@@ -213,7 +213,12 @@ object GraphOps {
       .filter(col("item").isNotNull)
       .distinct()
       .groupBy("item")
-      .agg(expr(s"graft_topk(-user_id, CAST(user_id AS STRING), $TriItemCap)")
+      // smallest-k via bitwise NOT, not negation: ~x = −x−1 reverses the
+      // order of ALL longs with no overflow (−Long.MinValue throws under
+      // ANSI; ~Long.MinValue is just Long.MaxValue), so the bound holds
+      // for arbitrary key domains, matching TopKAggregate's own
+      // comparator note
+      .agg(expr(s"graft_topk(~user_id, CAST(user_id AS STRING), $TriItemCap)")
         .as("top"))
       .select(col("item"),
         explode(expr("transform(top, t -> CAST(t.key AS BIGINT))")).as("user_id"))

@@ -40,35 +40,52 @@ object LayoutOps {
         s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
-  /** z-range width per bucket: z < 2^(2·ZBits), divided evenly. */
-  private val BucketWidth = (1L << (2 * ZBits)) / ZBuckets
-
   /** Raw Morton codes over any (l_partkey, l_suppkey) frame — the test
     * seam, and the single place the interleave select lives. */
   private[graft] def zCodes(df: org.apache.spark.sql.DataFrame) =
     df.select(col("l_partkey"), col("l_suppkey"),
       expr(zSpark("l_partkey", "l_suppkey")).as("z"))
 
+  /** Per-bucket z-width from the OBSERVED max code, not the static 2⁶²
+    * domain: `max(z) div ZBuckets + 1`. A static width (2⁶²/64 = 2⁵⁶)
+    * collapses every realistic key scale into bucket 0 — any pair below
+    * 2²⁸ z-codes under 2⁵⁶, and TPC-H partkey reaches only 2·10⁷ at
+    * sf100 — which makes the clustering audit vacuous (one full-domain
+    * bbox), the same silent-degeneration class as the round-11 empty
+    * graph bench. The `+1` (rather than a greatest(…,1) floor) keeps the
+    * bucket index strictly below ZBuckets: w = ⌊m/64⌋+1 > m/64 ⇒
+    * ⌊m/w⌋ ≤ 63 for every z ≤ m, so all indices land in [0, 64) and the
+    * full bucket range is exercised at ANY key scale — while ZBits=31
+    * still guards the interleave itself against >2¹⁶ key aliasing. */
+  private val WidthSpark = s"(max(z) div $ZBuckets + 1)"
+  private val WidthDuck = s"((SELECT max(z) // $ZBuckets + 1 FROM z))"
+
   /** Q:layout_zorder_stats — the clustering-quality readout of a z-order
     * layout: bucket lineitem by the Morton code of (partkey, suppkey)
     * and emit each bucket's row count and per-column bounding box plus
     * its area — the quantity file-skipping actually depends on (a point
     * predicate touches only buckets whose box contains it; box area ∝
-    * expected false-positive scans). Everything is row-local integer
-    * arithmetic plus ONE bucket-keyed aggregate; at 100 TB this same
-    * query is the post-OPTIMIZE audit that tells you whether re-sorting
-    * bought anything. The interleave is exact in both engines, so the
-    * stats hash-match.
+    * expected false-positive scans). Row-local integer arithmetic, a
+    * 1-row width aggregate broadcast back over the codes, and ONE
+    * bucket-keyed aggregate; at 100 TB this same query is the
+    * post-OPTIMIZE audit that tells you whether re-sorting bought
+    * anything. The interleave is exact in both engines, so the stats
+    * hash-match.
     */
-  private[graft] def zorderStats(df: org.apache.spark.sql.DataFrame) =
-    zCodes(df)
-      .groupBy(expr(s"CAST(z div $BucketWidth AS BIGINT)").as("zbucket"))
+  private[graft] def zorderStats(df: org.apache.spark.sql.DataFrame) = {
+    val z = zCodes(df)
+    // the observed-range width is a 1-row broadcast (the audit's second
+    // scan touches the same two pruned int columns — cheap even at 100 TB)
+    val width = z.agg(expr(WidthSpark).as("zw"))
+    z.crossJoin(broadcast(width))
+      .groupBy(expr("CAST(z div zw AS BIGINT)").as("zbucket"))
       .agg(count(lit(1)).as("n"),
         min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
         min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
       .withColumn("bbox_area",
         (col("max_pk") - col("min_pk") + 1) *
           (col("max_sk") - col("min_sk") + 1))
+  }
 
   val layoutZorderStats = GQuery(
     "layout_zorder_stats",
@@ -77,7 +94,7 @@ object LayoutOps {
       s"""WITH z AS (SELECT l_partkey, l_suppkey,
         |                  ${zDuck("l_partkey", "l_suppkey")} AS z
         |           FROM lineitem)
-        |SELECT z // $BucketWidth AS zbucket, count(*) AS n,
+        |SELECT z // $WidthDuck AS zbucket, count(*) AS n,
         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
         |       (max(l_partkey) - min(l_partkey) + 1) *

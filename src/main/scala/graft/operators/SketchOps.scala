@@ -26,16 +26,28 @@ object SketchOps {
     */
   final val KmvK = 32
 
-  /** Knuth multiplicative hash of user_id onto [0, 2³²) — BIGINT-exact in
-    * both engines (the pre-mod keeps the product under 2⁶³). Shared with
-    * the streaming twin so the two sketches cannot drift. The `% 1000003`
-    * pre-mod caps the hash image at ~10⁶ distinct values — fine for the
-    * oracle-mirrored testbed domains profiled here; estimation over wider
-    * domains uses RewriteApproxDistinct's full xxhash64 mix (which DuckDB
-    * cannot replay, hence the split).
+  /** Knuth multiplicative hash of a BIGINT key onto [0, 2³²) — exact in
+    * both engines. Shared with the streaming twin so the two sketches
+    * cannot drift. The pre-mod prime is 2³¹−1, which bounds the worst
+    * product at (2³¹−2)·2654435761 ≈ 5.7·10¹⁸ < 2⁶³−1 (no wrap in either
+    * engine) while giving the hash a ~2.1·10⁹-value image. The image
+    * width matters for two distinct reasons: (a) KMV's NDV estimate
+    * saturates at the image size, so a 10⁶ image (the old `% 1000003`
+    * pre-mod) silently capped every NDV readout at ~10⁶ — useless for a
+    * 150M-orderkey stats job at sf100; (b) the qsketch bottom-k sample
+    * is uniform only while rows-per-hash-class ≈ 1 — beyond ~10⁶ rows
+    * per group the old boundary class dominated and the "sample"
+    * collapsed toward one residue class's smallest values. 2³¹ distinct
+    * images push both failure modes past any per-group cardinality this
+    * engine will meet (a 100 TB table has < 2³¹ rows per aggregate group
+    * long before memory does). The multiplier is odd, so x → x·M mod 2³²
+    * is injective on the pre-mod residues — the pre-mod is the only
+    * collision source. Estimation over domains wider than 2³¹ uses
+    * RewriteApproxDistinct's full xxhash64 mix (which DuckDB cannot
+    * replay, hence the split).
     */
   private[graft] def knuthHash(c: String): String =
-    s"(($c % 1000003) * 2654435761) % 4294967296"
+    s"(($c % 2147483647) * 2654435761) % 4294967296"
 
   private[graft] val UserHash = knuthHash("user_id")
 
@@ -106,12 +118,16 @@ object SketchOps {
     * was the IDENTITY below the smallest prime, so all three "independent"
     * rows computed the same bucket for every realistic id and the depth-3
     * sketch silently degenerated to depth 1 (verified: zero rows differed
-    * on the whole testbed). Product bound: (10⁶)·3266489917 ≈ 3.3·10¹⁵,
-    * well inside BIGINT on both engines.
+    * on the whole testbed). The pre-mod prime is 2³¹−1 (same width as
+    * [[knuthHash]]): a narrower pre-mod is a SHARED collision source —
+    * users u and u+p alias in every row at once, which depth cannot
+    * repair, so past ~10⁶ distinct users a `% 1000003` pre-mod would
+    * systematically inflate the aliased users' estimates. Product bound:
+    * (2³¹−2)·3266489917 ≈ 7.0·10¹⁸ < 2⁶³−1, exact in both engines.
     */
   private val CmsMults = Seq(2654435761L, 2246822519L, 3266489917L)
   private[graft] def bucketSql(j: Int): String =
-    s"((user_id % 1000003) * ${CmsMults(j)}) % 4294967296 div ${4294967296L / CmsWidth}"
+    s"((user_id % 2147483647) * ${CmsMults(j)}) % 4294967296 div ${4294967296L / CmsWidth}"
 
   /** Count-min-sketch heavy hitters: per-user event-count estimates from
     * a 3×1024 counter matrix, reporting users whose estimate reaches
@@ -316,8 +332,8 @@ object SketchOps {
     * aggregation; the melt to (col_name, …) rows is driver-free.
     *
     * The NDV hash is the oracle-mirrorable Knuth form — exact below k,
-    * estimator-accurate up to its ~10⁶ hash image (plenty for the
-    * testbed's key ranges; a production stats job on wider domains uses
+    * estimator-accurate up to its 2³¹ hash image (covers sf100's 150M
+    * orderkeys with 14× headroom; a stats job on domains past 2³¹ uses
     * the rule's xxhash64 variant, which DuckDB cannot replay).
     */
   val statsColumns = GQuery(

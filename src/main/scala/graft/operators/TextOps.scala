@@ -714,7 +714,7 @@ object TextOps {
     * collect_list/sort/slice materializes the FULL posting list (millions
     * of ids for "the" at 100 TB) on one reducer before truncating. Here
     * the truncation is the aggregate itself: graft_topk keeps a bounded
-    * K-element heap per term (score = −doc_id ⇒ K smallest ids), merges
+    * K-element heap per term (score = ~doc_id ⇒ K smallest ids), merges
     * heaps map-side, and ships only K entries per term across the
     * shuffle — the same bounded-state pattern as the scoreboard top-k.
     * The df count rides the same aggregate; the preceding (doc, word)
@@ -728,7 +728,9 @@ object TextOps {
       .groupBy("word")
       .agg(
         count(lit(1)).as("df"),
-        expr(s"graft_topk(-doc_id, CAST(doc_id AS STRING), $PostingCap)")
+        // ~doc_id, not -doc_id: order-reversing on ALL longs with no
+        // ANSI overflow at Long.MinValue (see GraphOps.keptItemUsers)
+        expr(s"graft_topk(~doc_id, CAST(doc_id AS STRING), $PostingCap)")
           .as("top"))
       .select(col("word"), col("df"),
         array_join(expr("transform(top, t -> t.key)"), ",").as("postings"))

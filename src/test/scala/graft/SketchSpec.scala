@@ -46,7 +46,7 @@ class SketchSpec extends SparkSuite {
     // replay: exact distinct hashes per type, k smallest, same formula
     val ev = Tables.events(spark, smokeDir)
       .select(col("event_type"),
-        expr("((user_id % 1000003) * 2654435761) % 4294967296").as("h"))
+        expr("((user_id % 2147483647) * 2654435761) % 4294967296").as("h"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val byType = ev.groupBy(_._1).map { case (t, rows) =>
       val distinct = rows.map(_._2).distinct.sorted
@@ -75,7 +75,7 @@ class SketchSpec extends SparkSuite {
       assert(mx === present.max, s"$c max")
       assert(nn === vals.count(_.isEmpty).toLong, s"$c nulls")
       val hashes = present.map(v =>
-        ((v % 1000003) * 2654435761L) % 4294967296L).distinct.sorted
+        ((v % 2147483647) * 2654435761L) % 4294967296L).distinct.sorted
       val kept = hashes.take(SketchOps.KmvK)
       val expect =
         if (kept.size < SketchOps.KmvK) kept.size.toLong
@@ -143,7 +143,7 @@ class SketchSpec extends SparkSuite {
         (1001 to 1200).map(i => "c" -> i.toLong)
     val hashed = rows.toDF("event_type", "u")
       .select(col("event_type"),
-        expr("((u % 1000003) * 2654435761) % 4294967296").as("h"))
+        expr("((u % 2147483647) * 2654435761) % 4294967296").as("h"))
     graft.functions.KmvSketchAggregate.ensureRegistered(spark)
     val sk = hashed.groupBy("event_type")
       .agg(expr(s"graft_kmv(h, ${SketchOps.KmvK})").as("mins"))
