@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * typed rows — the Scala analog of `mapInPandas` (mapPartitions with an
   * explicit micro-batch shape, so a vectorized decoder drops in without
   * changing the plan). The decoder is pluggable:
-  *   - [[RealDecoder]] is the production seam — it requires imaging/audio
-  *     libraries not present in this container and raises a typed,
-  *     actionable error naming the missing codecs and the config key;
+  *   - [[RealDecoder]] decodes real bytes with what every JDK ships:
+  *     header-only ImageIO reads for PNG/JPEG/GIF/BMP (no pixel decode —
+  *     width/height come off the image header) and a RIFF chunk walk for
+  *     WAV audio. Video stays a typed, actionable error (the JDK has no
+  *     MP4 demuxer; the message names the binding to wire);
   *   - [[FakeDecoder]] is a deterministic stand-in (shapes derived from a
-  *     byte checksum) so the plumbing — schema, partitioning, batch shape,
-  *     null/mime handling — is fully testable and oracle-checkable.
+  *     byte checksum) so the registry queries stay oracle-checkable over
+  *     the testbed's text-bytes payloads, which are not real media.
   *
   * Scale posture: payload bytes never shuffle — metadata extraction happens
   * at the scan, and downstream ops (frame sampling, resize planning) work on
@@ -29,7 +31,12 @@ object MultimodalOps {
       doc_id: Long, mime: String, n_bytes: Long, checksum: Long,
       width: Long, height: Long, n_frames: Long)
 
-  /** Decoder seam — one call per payload; implementations may batch. */
+  /** Decoder seam — one call per payload; implementations may batch.
+    * The (width, height, n_frames) triple is mime-family-typed:
+    * images → (pixel width, pixel height, 1); audio → (sample rate,
+    * channel count, sample frames); video → (pixel width, pixel
+    * height, frame count).
+    */
   trait MediaDecoder extends Serializable {
     /** @return (width, height, n_frames) */
     def decode(mime: String, payload: Array[Byte]): (Long, Long, Long)
@@ -41,17 +48,99 @@ object MultimodalOps {
     */
   val DecoderConfKey = "spark.graft.multimodal.decoder"
 
-  /** Production decoder seam: requires javax.imageio / ffmpeg bindings not
-    * present in this container. Calling it without the codecs wired produces
-    * a typed, actionable error (not a bare NotImplementedError).
+  /** Production decoder over real bytes, JDK-only — no extra codecs:
+    *
+    *  - image: a HEADER-ONLY ImageIO read. `getImageReaders` sniffs
+    *    the magic bytes (so a payload whose bytes aren't a known format
+    *    fails typed, whatever its declared mime), and `getWidth(0)` /
+    *    `getHeight(0)` come off the header without decoding pixels —
+    *    the right cost profile for a metadata pass over 100 TB of
+    *    payloads. PNG/JPEG/GIF/BMP/WBMP readers ship in every JDK.
+    *  - `audio/wav`: a RIFF chunk walk (pure little-endian arithmetic):
+    *    `fmt ` gives sample rate + channels + block align, `data` gives
+    *    payload bytes, frames = data bytes / block align. Chunks are
+    *    word-aligned per the RIFF spec (odd sizes carry a pad byte).
+    *  - video: typed unsupported error — the JDK has no MP4/ISO-BMFF
+    *    demuxer; the message names the seam to wire (an ffmpeg binding)
+    *    and the config key that selects the deterministic decoder.
+    *
+    * Failure semantics: one bad payload throws a typed error that fails
+    * only its task (extractMeta wraps it with the doc_id), preserving
+    * Spark's retry/skip story rather than poisoning the whole stage
+    * with a bare NPE.
     */
   object RealDecoder extends MediaDecoder {
-    def decode(mime: String, payload: Array[Byte]): (Long, Long, Long) =
-      throw new UnsupportedOperationException(
-        s"RealDecoder: no media codecs on the classpath (need javax.imageio " +
-          s"for image/*, an ffmpeg binding for audio/video; got mime=$mime). " +
-          s"Wire an implementation here, or set $DecoderConfKey=fake to use " +
-          "the deterministic test decoder.")
+    def decode(mime: String, payload: Array[Byte]): (Long, Long, Long) = {
+      val m = if (mime == null) "" else mime
+      if (m.startsWith("image/")) decodeImageHeader(m, payload)
+      else if (m == "audio/wav" || m == "audio/x-wav" || m == "audio/wave")
+        decodeWavHeader(payload)
+      else
+        throw new UnsupportedOperationException(
+          s"RealDecoder: mime '$m' needs a codec the JDK does not ship " +
+            "(video wants an ffmpeg binding; non-WAV audio wants a " +
+            s"demuxer). Wire one here, or set $DecoderConfKey=fake for " +
+            "the deterministic test decoder.")
+    }
+
+    private def decodeImageHeader(mime: String, payload: Array[Byte]): (Long, Long, Long) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"RealDecoder: undecodable image payload (mime=$mime, " +
+              s"${payload.length} bytes) — no installed ImageReader " +
+              "recognizes its header")
+        val reader = readers.next()
+        try {
+          // seekForwardOnly + ignoreMetadata: header fields only
+          reader.setInput(iis, true, true)
+          (reader.getWidth(0).toLong, reader.getHeight(0).toLong, 1L)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Little-endian unsigned int at `off` (RIFF sizes are uint32). */
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def decodeWavHeader(b: Array[Byte]): (Long, Long, Long) = {
+      def bad(why: String) = throw new IllegalArgumentException(
+        s"RealDecoder: undecodable WAV payload (${b.length} bytes) — $why")
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        bad("missing RIFF/WAVE magic")
+      var off = 12
+      var sampleRate = -1L; var channels = -1L; var blockAlign = -1L
+      var dataBytes = -1L
+      while (off + 8 <= b.length && (sampleRate < 0 || dataBytes < 0)) {
+        val id = tag(b, off)
+        val size = u32(b, off + 4)
+        if (id == "fmt ") {
+          if (off + 8 + 16 > b.length) bad("truncated fmt chunk")
+          channels = u16(b, off + 10).toLong
+          sampleRate = u32(b, off + 12)
+          blockAlign = u16(b, off + 20).toLong
+        } else if (id == "data") {
+          // size may overrun a truncated buffer; frames come from the
+          // bytes actually present, like any streaming-tolerant reader
+          dataBytes = math.min(size, (b.length - off - 8).toLong)
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+      }
+      if (sampleRate < 0) bad("no fmt chunk")
+      if (dataBytes < 0) bad("no data chunk")
+      if (blockAlign <= 0) bad(s"non-positive block align $blockAlign")
+      (sampleRate, channels, dataBytes / blockAlign)
+    }
   }
 
   /** Resolve the decoder from session conf (`fake` default). */
@@ -109,7 +198,12 @@ object MultimodalOps {
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val (w, h, f) = decoder.decode(r.mime, r.payload)
+          val (w, h, f) =
+            try decoder.decode(r.mime, r.payload)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
+            }
           MediaMeta(r.doc_id, r.mime, r.payload.length.toLong,
             FakeDecoder.checksum(r.payload), w, h, f)
         }
@@ -152,15 +246,17 @@ object MultimodalOps {
     * every 30th frame index per video (the downstream "extract keyframes"
     * work-list). Metadata-only: no payload bytes move.
     */
+  /** Every 30th frame index per video — shared by the registry query and
+    * the Real-seam spec, so the planned work-list logic has ONE home. */
+  private[graft] def framePlan(meta: DataFrame): DataFrame =
+    meta
+      .filter(col("mime") === "video/mp4")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))).as("frame_idx"))
+
   val multimodalFrameSample = GQuery(
     "multimodal_frame_sample",
-    (s, d) => {
-      val meta = extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
-      meta
-        .filter(col("mime") === "video/mp4")
-        .select(col("doc_id"), col("n_frames"),
-          explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))).as("frame_idx"))
-    },
+    (s, d) => framePlan(extractMeta(mediaTable(s, d), decoderFor(s)).toDF()),
     oracle = Some(
       s"""$MetaCte
          |SELECT doc_id, n_frames,
@@ -171,16 +267,21 @@ object MultimodalOps {
     * preserving aspect ratio (integer arithmetic, floor semantics in both
     * engines). The actual pixel work is the decoder seam's job.
     */
+  /** Aspect-preserving 256-box resize targets (integer floor semantics) —
+    * shared by the registry query and the Real-seam spec. */
+  private[graft] def resizePlan(meta: DataFrame, mimePrefix: String = "image/"): DataFrame =
+    meta
+      .filter(col("mime").startsWith(mimePrefix))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(256L))
+          .otherwise(expr("width * 256 div height")).as("target_w"),
+        when(col("width") >= col("height"), expr("height * 256 div width"))
+          .otherwise(lit(256L)).as("target_h"))
+
   val multimodalResizePlan = GQuery(
     "multimodal_resize_plan",
     (s, d) =>
-      extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
-        .filter(col("mime") === "image/png")
-        .select(col("doc_id"), col("width"), col("height"),
-          when(col("width") >= col("height"), lit(256L))
-            .otherwise(expr("width * 256 div height")).as("target_w"),
-          when(col("width") >= col("height"), expr("height * 256 div width"))
-            .otherwise(lit(256L)).as("target_h")),
+      resizePlan(extractMeta(mediaTable(s, d), decoderFor(s)).toDF(), "image/png"),
     oracle = Some(
       s"""$MetaCte
          |SELECT doc_id, width, height,
@@ -196,19 +297,22 @@ object MultimodalOps {
     * the work-list is planned from typed metadata, payload bytes move only
     * inside the decoder seam. Pure integer arithmetic, oracle-exact.
     */
+  /** One window per 16k samples (ceil) — shared by the registry query
+    * (n_samples approximated from payload bytes, the only thing the fake
+    * decoder knows) and the Real-seam spec. */
+  private[graft] def audioWindowPlan(meta: DataFrame): DataFrame =
+    meta
+      .filter(col("mime").startsWith("audio/"))
+      .withColumn("n_samples", expr("n_bytes div 2"))
+      .withColumn("n_windows", expr("(n_samples + 15999) div 16000"))
+      .filter(col("n_windows") > 0)
+      .select(col("doc_id"), col("n_samples"), col("n_windows"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
+      .withColumn("start_sample", col("window_idx") * 16000L)
+
   val multimodalAudioWindows = GQuery(
     "multimodal_audio_windows",
-    (s, d) => {
-      val meta = extractMeta(mediaTable(s, d), decoderFor(s)).toDF()
-      meta
-        .filter(col("mime") === "audio/wav")
-        .withColumn("n_samples", expr("n_bytes div 2"))
-        .withColumn("n_windows", expr("(n_samples + 15999) div 16000"))
-        .filter(col("n_windows") > 0)
-        .select(col("doc_id"), col("n_samples"), col("n_windows"),
-          explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
-        .withColumn("start_sample", col("window_idx") * 16000L)
-    },
+    (s, d) => audioWindowPlan(extractMeta(mediaTable(s, d), decoderFor(s)).toDF()),
     oracle = Some(
       s"""$MetaCte,
          |aw AS (

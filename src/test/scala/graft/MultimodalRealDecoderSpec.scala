@@ -1,0 +1,159 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{MediaRow, RealDecoder}
+import org.apache.spark.sql.functions._
+
+/** The Real decoder seam on REAL bytes: payloads produced by the JDK's own
+  * encoders (ImageIO writers for PNG/JPEG/GIF/BMP, AudioSystem's WAVE
+  * writer for audio) decoded back through `RealDecoder` — directly, and
+  * end-to-end through extractMeta → frame/resize/audio plans with
+  * `spark.graft.multimodal.decoder=real`. This is the round-12 closure of
+  * "the production seam claim is untested against a single real byte
+  * stream": every assertion below runs a genuine header parse, while the
+  * registry queries keep the deterministic FakeDecoder oracle (the
+  * testbed's payloads are text bytes, not media).
+  */
+class MultimodalRealDecoderSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Real image bytes: a deterministic gradient rendered by the JDK's own
+    * format writer — the same byte stream a real ingest would carry. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  /** Real WAV bytes via javax.sound.sampled's WAVE writer. */
+  private def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmtA = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val raw = Array.tabulate(frames * channels * 2)(i => (i * 13).toByte)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmtA, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("image headers decode for every JDK-shipped format, pixel-exact dims") {
+    for ((fmt, mime) <- Seq(
+        "png" -> "image/png", "jpg" -> "image/jpeg",
+        "gif" -> "image/gif", "bmp" -> "image/bmp")) {
+      val (w, h, f) = RealDecoder.decode(mime, imageBytes(fmt, 37, 21))
+      assert((w, h, f) === ((37L, 21L, 1L)), s"format $fmt")
+    }
+  }
+
+  test("decode sniffs bytes, not the declared mime") {
+    // a PNG payload mislabeled as JPEG still decodes from its magic bytes
+    val (w, h, _) = RealDecoder.decode("image/jpeg", imageBytes("png", 5, 9))
+    assert((w, h) === ((5L, 9L)))
+  }
+
+  test("wav header yields (sample rate, channels, data frames)") {
+    assert(RealDecoder.decode("audio/wav", wavBytes(16000, 1, 777)) ===
+      ((16000L, 1L, 777L)))
+    assert(RealDecoder.decode("audio/wav", wavBytes(8000, 2, 100)) ===
+      ((8000L, 2L, 100L)))
+  }
+
+  test("hand-rolled RIFF with an extra chunk before fmt/data still parses") {
+    // word-aligned chunk walk: a 3-byte LIST-style chunk (odd size → pad
+    // byte) precedes fmt and data; 4 frames of 16-bit mono at 22050 Hz
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(0).put("WAVE".getBytes("ASCII"))
+    bb.put("junk".getBytes("ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(22050).putInt(44100).putShort(2).putShort(16)
+    bb.put("data".getBytes("ASCII")).putInt(8).put(Array.fill[Byte](8)(5))
+    assert(RealDecoder.decode("audio/wav", bb.array()) === ((22050L, 1L, 4L)))
+  }
+
+  test("undecodable bytes fail typed, naming the problem") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 17 + 3).toByte)
+    val eImg = intercept[IllegalArgumentException](
+      RealDecoder.decode("image/png", garbage))
+    assert(eImg.getMessage.contains("undecodable image"))
+    val eWav = intercept[IllegalArgumentException](
+      RealDecoder.decode("audio/wav", garbage))
+    assert(eWav.getMessage.contains("RIFF"))
+    val eVid = intercept[UnsupportedOperationException](
+      RealDecoder.decode("video/mp4", garbage))
+    assert(eVid.getMessage.contains("ffmpeg"))
+    assert(eVid.getMessage.contains(MultimodalOps.DecoderConfKey))
+  }
+
+  private def realMediaRows: Seq[MediaRow] = Seq(
+    MediaRow(1L, "image/png", imageBytes("png", 640, 480)),
+    MediaRow(2L, "image/jpeg", imageBytes("jpg", 120, 300)),
+    MediaRow(3L, "image/bmp", imageBytes("bmp", 256, 16)),
+    MediaRow(4L, "audio/wav", wavBytes(16000, 1, 40000)),
+    MediaRow(5L, "audio/wav", wavBytes(8000, 2, 12345)))
+
+  test("extractMeta end-to-end with spark.graft.multimodal.decoder=real") {
+    spark.conf.set(MultimodalOps.DecoderConfKey, "real")
+    try {
+      val decoder = MultimodalOps.decoderFor(spark)
+      assert(decoder eq RealDecoder) // the conf seam actually selects it
+      val meta = MultimodalOps.extractMeta(
+          spark.createDataset(realMediaRows).repartition(3), decoder)
+        .collect().map(m => m.doc_id -> m).toMap
+      assert(meta(1L).width === 640L && meta(1L).height === 480L)
+      assert(meta(2L).width === 120L && meta(2L).height === 300L)
+      assert(meta(3L).width === 256L && meta(3L).height === 16L)
+      assert(meta(4L) === MultimodalOps.MediaMeta(
+        4L, "audio/wav", meta(4L).n_bytes,
+        MultimodalOps.FakeDecoder.checksum(realMediaRows(3).payload),
+        16000L, 1L, 40000L))
+      assert(meta(5L).width === 8000L && meta(5L).height === 2L &&
+        meta(5L).n_frames === 12345L)
+      // n_bytes is the real payload size, not the raw sample count
+      assert(meta(4L).n_bytes > 80000L)
+    } finally spark.conf.unset(MultimodalOps.DecoderConfKey)
+  }
+
+  test("resize plan over real-decoded image metadata") {
+    val meta = MultimodalOps.extractMeta(
+      spark.createDataset(realMediaRows), RealDecoder).toDF()
+    val plan = MultimodalOps.resizePlan(meta)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(plan(1L) === ((256L, 192L)))  // 640x480 landscape → 256 x 480*256/640
+    assert(plan(2L) === ((102L, 256L)))  // 120x300 portrait → 120*256/300 x 256
+    assert(plan(3L) === ((256L, 16L)))   // 256x16 → already bounded
+    assert(!plan.contains(4L))           // audio rows excluded
+  }
+
+  test("audio window plan over real-decoded wav metadata") {
+    val meta = MultimodalOps.extractMeta(
+      spark.createDataset(realMediaRows), RealDecoder).toDF()
+    val win = MultimodalOps.audioWindowPlan(meta)
+    // doc 4: 40000 mono 16-bit frames ≈ 80044 payload bytes → n_samples
+    // from bytes; windows = ceil(n_samples/16000); every index present
+    val byDoc = win.groupBy("doc_id")
+      .agg(max("n_windows").as("nw"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((d, (nw, rows)) <- byDoc) assert(nw === rows, s"doc $d")
+    assert(byDoc.keySet === Set(4L, 5L))
+  }
+
+  test("a corrupt payload in a real-decoder run fails its task with doc context") {
+    val rows = Seq(MediaRow(9L, "image/png", Array[Byte](1, 2, 3, 4)))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractMeta(spark.createDataset(rows), RealDecoder).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("doc_id=9")), chain.mkString(" | "))
+    assert(chain.exists(_.contains("undecodable image")))
+  }
+}
