@@ -20,28 +20,46 @@ package graft
   *    frames pin blocks of a dead SparkContext), so keeping it would leak
   *    for the JVM's lifetime in any process that restarts sessions (test
   *    suites, long-lived drivers). A live application therefore holds at
-  *    most one artifact per dataset dir, all its own.
+  *    most one artifact per dataset dir, all its own;
+  *  - an optional [[ArtifactStore.Persistence]] writes each built artifact
+  *    through to parquet and serves a fingerprint-matching persisted copy
+  *    to fresh sessions — the cross-restart story for builds that take
+  *    hours at 100 TB (see [[ArtifactStore]]).
   */
-final class DatasetMemo[V] {
+final class DatasetMemo[V](
+    persistence: Option[ArtifactStore.Persistence[V]] = None) {
 
   private val entries =
     scala.collection.mutable.Map.empty[(String, String, String), V]
 
   /** The memoized artifact for `table` under `dir`, building it on first
-    * use (or after an in-place rewrite changed the fingerprint). */
+    * use (or after an in-place rewrite changed the fingerprint). With a
+    * [[ArtifactStore.Persistence]] attached AND the store enabled
+    * (`spark.graft.artifacts.dir` set), a cold in-memory miss first tries
+    * the persisted copy keyed by the same fingerprint — a fresh session
+    * then pays one parquet read instead of the build — and a genuine
+    * build is written through for the next session. */
   def get(spark: org.apache.spark.sql.SparkSession, dir: String,
           table: String)(build: => V): V = {
-    val key =
-      (spark.sparkContext.applicationId, dir, DatasetFingerprint.of(dir, table))
+    val fingerprint = DatasetFingerprint.of(dir, table)
+    val key = (spark.sparkContext.applicationId, dir, fingerprint)
     synchronized(entries.get(key)) match {
       case Some(v) => v
       case None =>
-        val built = build // outside the lock — may run Spark jobs
+        // outside the lock — load and build may both run Spark jobs
+        val value = persistence
+          .flatMap(p => ArtifactStore.load(spark, p, dir, fingerprint))
+          .getOrElse {
+            val built = build
+            persistence.foreach(p =>
+              ArtifactStore.save(spark, p, dir, fingerprint, built))
+            built
+          }
         synchronized {
           entries.keys
             .filter(k => (k._1 != key._1 || k._2 == key._2) && k != key)
             .toSeq.foreach(entries.remove)
-          entries.getOrElseUpdate(key, built)
+          entries.getOrElseUpdate(key, value)
         }
     }
   }

@@ -158,7 +158,8 @@ object DedupOps {
     * `spark.graft.checkpoint.dir` (reliable storage) where executor loss
     * does not invalidate the artifact.
     */
-  private val cappedShingleFrames = new graft.DatasetMemo[DataFrame]
+  private val cappedShingleFrames = new graft.DatasetMemo[DataFrame](
+    Some(graft.ArtifactStore.frame("capped_shingles")))
 
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
     cappedShingleFrames.get(s, d, "documents.parquet") {
@@ -254,7 +255,8 @@ object DedupOps {
     hashedShinglesOf(
       Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
 
-  private val hashedShingleFrames = new graft.DatasetMemo[DataFrame]
+  private val hashedShingleFrames = new graft.DatasetMemo[DataFrame](
+    Some(graft.ArtifactStore.frame("hashed_shingles")))
 
   /** Memoized STAGED full hashed-shingle corpus per dataset — the third
     * index artifact to join the [[cappedShingles]] / [[bloomWordsFor]]
@@ -702,7 +704,8 @@ object DedupOps {
     * (app, dir) are evicted on insert so a long-lived application holds at
     * most one filter per dataset dir.
     */
-  private val bloomWords = new graft.DatasetMemo[Array[Long]]
+  private val bloomWords = new graft.DatasetMemo[Array[Long]](
+    Some(graft.ArtifactStore.longArray("bloom_words")))
 
   /** The packed filter for the benchmark shingles at `d`, building (and
     * memoizing) it from `benchRows` on first use. The build is a
@@ -1303,7 +1306,8 @@ object DedupOps {
     * [[LshBucketCap]] hot-bucket drop, per-key self-join, exact-cosine
     * verify, UNION-dedup across bands.
     */
-  private val bandBucketFrames = new graft.DatasetMemo[DataFrame]
+  private val bandBucketFrames = new graft.DatasetMemo[DataFrame](
+    Some(graft.ArtifactStore.frame("band_buckets")))
 
   /** Memoized staged exploded (vec_id, v, nrm, band, bucket) rows — the
     * B×r-plane sign-LSH signature pass over the embeddings corpus, built

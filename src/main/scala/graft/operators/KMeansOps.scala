@@ -114,6 +114,35 @@ object KMeansOps {
   private val models =
     scala.collection.mutable.Map.empty[(String, String, String), Vector[Seq[(Int, Array[Long], Long)]]]
 
+  /** Cross-session persistence of the iteration-state sequence: one row
+    * per (iteration, centroid), order restored from explicit columns. A
+    * fresh session with `spark.graft.artifacts.dir` set loads the trained
+    * sequence and only runs Lloyd iterations BEYOND what the persisted
+    * model already has — the quantizer is an index artifact, and its
+    * training cost should survive a driver restart (see
+    * [[graft.ArtifactStore]]). */
+  private val modelPersistence =
+    graft.ArtifactStore.Persistence[Vector[Seq[(Int, Array[Long], Long)]]](
+      "ivf_model",
+      save = (spark, path, states) => {
+        import spark.implicits._
+        states.zipWithIndex
+          .flatMap { case (st, it) =>
+            st.map { case (cid, cv, cnt) => (it, cid, cv.toSeq, cnt) }
+          }
+          .toDF("iter", "cid", "cv", "cnt")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      },
+      load = (spark, path) => {
+        val rows = spark.read.parquet(path)
+          .select("iter", "cid", "cv", "cnt").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray,
+            r.getLong(3)))
+        rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
+        }.toVector
+      })
+
   /** Metadata fingerprint of `d`/embeddings.parquet — see
     * [[graft.DatasetFingerprint]] for the tradeoffs. Superseded
     * fingerprints for the same (app, dir) are evicted on insert in
@@ -130,19 +159,30 @@ object KMeansOps {
     * outside-the-lock race would lose extensions. */
   private[operators] def lloyd(pts: DataFrame, d: String, iters: Int): Seq[(Int, Array[Long], Long)] =
     synchronized {
+      val spark = pts.sparkSession
       val key =
-        (pts.sparkSession.sparkContext.applicationId, d, datasetFingerprint(d))
-      var states = models.getOrElse(key, {
-        val seeds = pts.filter(col("vec_id") < K).select(col("vec_id"), col("qv")).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 0L))
-          .sortBy(_._1).toSeq
-        Vector(seeds)
-      })
+        (spark.sparkContext.applicationId, d, datasetFingerprint(d))
+      var states = models.getOrElse(key,
+        graft.ArtifactStore.load(spark, modelPersistence, d, key._3)
+          .getOrElse {
+            val seeds = pts.filter(col("vec_id") < K)
+              .select(col("vec_id"), col("qv")).collect()
+              .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 0L))
+              .sortBy(_._1).toSeq
+            Vector(seeds)
+          })
+      val persistedLen = states.length
       while (states.length <= iters) {
         val cur = states.last
         val rows = sums(withCid(pts, cur.map(c => (c._1, c._2)))).collect()
         states = states :+ nextCents(cur, rows)
       }
+      // write through only when this call actually extended the sequence;
+      // the store's rename-no-overwrite keeps the first complete artifact
+      // if one already exists (a later, deeper save is dropped benignly —
+      // the next session extends from the persisted prefix)
+      if (states.length > persistedLen)
+        graft.ArtifactStore.save(spark, modelPersistence, d, key._3, states)
       // an in-place rewrite changes the fingerprint: drop entries the new
       // fingerprint supersedes for the same (app, dir) so stale models
       // don't accumulate over a long-lived application
