@@ -31,6 +31,19 @@ object SqlParityProbe {
       .toSeq.sorted
   }
 
+  /** Run `f` with DuckDB-style RAW string literals (no backslash escape
+    * processing) — the translated oracle texts assume them. */
+  def withRawLiterals[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -43,21 +56,39 @@ object SqlParityProbe {
     Tables.registerViews(spark, dir)
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
     val results = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, sql) =>
-      val status =
+      def attempt(text: String, tag: String): Either[String, String] =
         try {
-          val oracle = canon(spark.sql(sql))
+          val oracle = canon(spark.sql(text))
           val engine = canon(byName(name).run(spark, dir))
-          if (oracle == engine) "PARITY"
-          else s"MISMATCH engine=${engine.size} oracle=${oracle.size}"
+          if (oracle == engine) Right(tag)
+          else Left(s"MISMATCH$tag engine=${engine.size} oracle=${oracle.size}")
         } catch {
           case e: Throwable =>
-            s"NOSQL ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next().take(90)}"
+            val msg = String.valueOf(e.getMessage).linesIterator
+              .filter(_.trim.nonEmpty).take(2).mkString(" / ").take(160)
+            Left(s"NOSQL$tag ${e.getClass.getSimpleName}: $msg")
         }
+      // verbatim first; on any failure retry through the DuckDB→Spark
+      // dialect translation (SqlParitySpec runs the same two-step). The
+      // translated text parses with RAW string literals — DuckDB does not
+      // process backslash escapes, and the oracles' regexes rely on that.
+      val status = attempt(sql, "") match {
+        case Right(t) => s"PARITY$t"
+        case Left(err1) =>
+          val r = withRawLiterals(spark)(
+            attempt(DuckSqlDialect.toSpark(sql), "_XLATE"))
+          r match {
+            case Right(t) => s"PARITY$t"
+            case Left(err2) => s"$err1 || $err2"
+          }
+      }
       println(s"[parity] $name $status")
       name -> status
     }
-    val parity = results.count(_._2 == "PARITY")
-    println(s"[parity] summary: $parity/${results.size} run through spark.sql with identical results")
+    val parity = results.count(_._2.startsWith("PARITY"))
+    val verbatim = results.count(_._2 == "PARITY")
+    println(s"[parity] summary: $parity/${results.size} run through spark.sql " +
+      s"with identical results ($verbatim verbatim, ${parity - verbatim} translated)")
     spark.stop()
   }
 }

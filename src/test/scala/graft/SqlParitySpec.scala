@@ -1,22 +1,39 @@
 package graft
 
+import graft.tools.{DuckSqlDialect, SqlParityProbe}
 import graft.tools.SqlParityProbe.canon
 
 /** The temp-view catalog contract: `Tables.registerViews` + `spark.sql` runs
-  * the ANSI subset of the oracle SQL with results identical to the engine's
-  * DataFrame queries. The pinned list is every oracle whose SQL parses in
-  * Spark's dialect (probed by graft.tools.SqlParityProbe — the rest use
-  * DuckDB-only list lambdas / unnest / `//`); parity here means a THIRD
-  * independent evaluation (Spark SQL planner over the same text DuckDB
-  * hash-verifies) agrees with the DataFrame plan.
+  * the oracle SQL with results identical to the engine's DataFrame queries —
+  * a THIRD independent evaluation of each query's semantics (Spark's SQL
+  * planner over the same text DuckDB hash-verifies).
+  *
+  * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
+  *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
+  *    verbatim;
+  *  - [[TranslatedSubset]] (107): the text runs after the mechanical
+  *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
+  *    subscripts→element_at, list literals→array, function renames, …),
+  *    parsed with raw string literals the way DuckDB reads them.
+  *
+  * Together: 150 of the registry's 180 oracles (83%) re-evaluate through
+  * spark.sql. Per-family coverage: all 21 TPC-H; the full text/quality
+  * family; sketches; multimodal; windows/top-k; replay/schema/stream
+  * batch twins; graph scores (pagerank/lcc/sssp/triangles). The 30 still
+  * excluded need semantics Spark's dialect lacks: recursive-CTE UNION
+  * (graph bfs/components), ordered list() aggregates (ann_ivf family,
+  * kmeans, inverted index), HUGEINT arithmetic (lcg family, q8), struct
+  * literals (substring/boilerplate family), zipped unnest
+  * (multimodal_audio_windows), engine-specific date arithmetic
+  * (join_interval_overlap).
   */
 class SqlParitySpec extends SparkSuite {
 
   private val AnsiSubset = Seq(
     "agg_above_type_avg", "agg_distinct_cells", "agg_mode_exact",
-    "agg_salted_skew", "cdc_snapshot_diff", "dedup_exact", "dq_referential",
-    "filter_event_type", "funnel_stages", "funnel_windowed",
-    "fuzzy_name_pairs", "join_anti", "join_broadcast",
+    "agg_salted_skew", "cdc_snapshot_diff", "dedup_exact",
+    "dq_referential", "filter_event_type", "funnel_stages",
+    "funnel_windowed", "fuzzy_name_pairs", "join_anti", "join_broadcast",
     "join_followup_window", "join_hash_equi", "join_left_display",
     "join_semi", "next_position", "obstacle_density", "q10_returned_items",
     "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
@@ -29,17 +46,76 @@ class SqlParitySpec extends SparkSuite {
     "setop_obstacle_build", "skyline_pareto", "tableview_tombstone",
     "window_drawdown", "window_ntile_quartiles")
 
-  test("every ANSI-subset oracle runs through spark.sql with identical results") {
+  private val TranslatedSubset = Seq(
+    "agg_cube", "agg_global_scoreboard", "agg_grouping_sets",
+    "agg_kill_count", "agg_percentiles", "agg_pivot", "agg_priority_count",
+    "agg_rollup", "agg_word_count", "ann_cosine_topk",
+    "ann_ivf_label_topk", "ann_quantized_topk", "ann_topk_per_query",
+    "anomaly_burst", "anti_join_occupied", "anti_join_spawn_clear",
+    "array_membership", "assoc_lift_daily", "churn_accounting",
+    "cohort_retention", "conversion_latency_histogram", "dau_cumulative",
+    "decontam_bloom", "decontam_ngram_exact", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "encode_decode_roundtrip", "event_transitions",
+    "filter_bounds", "filter_self_kill", "flame_blocking", "flame_cells",
+    "gen_id_suffix", "graph_lcc_topk", "graph_pagerank",
+    "graph_sssp_weighted", "graph_triangles", "ingest_roundtrip",
+    "join_asof_last_map", "join_range_bucketed", "json_extract",
+    "latest_event_per_room", "layout_zorder_stats", "lossy_admission",
+    "map_regen_grid", "mixture_balance", "multimodal_frame_sample",
+    "multimodal_meta_extract", "multimodal_resize_plan",
+    "obstacle_list_explode", "offset_tail_read", "ohlc_daily",
+    "pack_sequences", "parse_room_name", "pii_redact", "prefix_filter",
+    "q14_promo_share", "q17_small_quantity_revenue", "q18_large_orders",
+    "q1_agg", "q3_shipping_priority", "quality_source_filter",
+    "quality_source_filter_salted", "quantile_histogram",
+    "replay_alive_status", "replay_room_digest", "replay_scan",
+    "sample_weights", "scd2_asof_snapshot", "schema_enforce",
+    "schema_evolution", "session_path_topk", "shuffle_shards",
+    "sketch_distinct_kmv", "sketch_heavy_hitters_cms",
+    "sketch_kmv_jaccard", "sketch_kmv_union", "sketch_quantile_rank",
+    "skew_report", "stats_columns", "stickiness_ratio",
+    "stream_tumbling_count", "tableview_last_per_key",
+    "text_bigram_logfreq", "text_bm25_topk", "text_bpe_token_count",
+    "text_fingerprint", "text_lang_id", "text_length_histogram",
+    "text_normalize", "text_quality_score", "text_repetition",
+    "text_tfidf_topk", "text_token_count", "text_top_bigrams",
+    "text_unigram_entropy", "time_add", "timeseries_gapfill",
+    "topk_global_rank", "topk_per_room_agg", "topk_recent_scores",
+    "trend_slope_moments", "window_lag_delta", "window_latest_per_key",
+    "window_running_sum", "window_session", "window_trailing_range")
+
+  private def assertParity(names: Seq[String], sqlFor: String => String,
+                           run: (=> Seq[String]) => Seq[String]): Unit = {
     Tables.registerViews(spark, smokeDir)
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
-    val failures = AnsiSubset.flatMap { name =>
-      val viaSql = canon(spark.sql(SparkEntry.oracleSql(name)))
+    val failures = names.flatMap { name =>
+      val viaSql = run(canon(spark.sql(sqlFor(name))))
       val viaDf = canon(byName(name).run(spark, smokeDir))
       if (viaSql == viaDf) None
       else Some(s"$name: sql=${viaSql.size} rows, df=${viaDf.size} rows, " +
         s"first diff: ${viaSql.zip(viaDf).find(p => p._1 != p._2)}")
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every ANSI-subset oracle runs through spark.sql with identical results") {
+    assertParity(AnsiSubset, SparkEntry.oracleSql, body => body)
+  }
+
+  test("every translated-subset oracle runs through spark.sql with identical results") {
+    assertParity(
+      TranslatedSubset,
+      name => DuckSqlDialect.toSpark(SparkEntry.oracleSql(name)),
+      body => SqlParityProbe.withRawLiterals(spark)(body))
+  }
+
+  test("the two parity tiers cover at least 150 of the registry's oracles") {
+    val all = (AnsiSubset ++ TranslatedSubset).toSet
+    assert(all.size === AnsiSubset.size + TranslatedSubset.size, "overlap")
+    assert(all.size >= 150)
+    // every pinned name still exists in the registry
+    val known = SparkEntry.oracleSql.keySet
+    assert(all.subsetOf(known), (all -- known).mkString(", "))
   }
 
   test("registerViews exposes all ten testbed tables") {
