@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   *  - update: per-dimension integer mean `floorDiv(Σqv_i, n)`; an empty
   *    cluster keeps its previous centroid (n = 0).
   *
+  * Input domain (exactness bound): the binding budget is the composite
+  * argmin `dist·1000 + cid`, which is exact only while it stays under
+  * 2⁵³ in doubles — dist ≤ 9·10¹², i.e. per-dimension |Δqv| ≤ 3.7·10⁵,
+  * i.e. component magnitudes |x| ≲ 15 after the e4 quantization (two
+  * opposite-extreme components double the Δ). Beyond that the double
+  * argmin can pick a different centroid than DuckDB's exact integer
+  * one (observed with a ±10³ probe: one flipped assignment cascades
+  * into different centroids); far beyond (|x| ≳ 3·10⁴) the qq sum
+  * overflows BIGINT outright and ANSI mode throws CAST_OVERFLOW rather
+  * than corrupting silently (observed with a ±10⁶ probe). Real
+  * embedding pipelines normalize to |x| ≈ 1, an order of magnitude
+  * inside the exactness bound; SelfcheckHostile pins a ±10 probe.
+  *
   * Scale shape (the MLlib KMeans pattern): the corpus NEVER reaches the
   * driver — each iteration is one row-local assignment map (centroids
   * broadcast as literals) plus one (cid, dim)-keyed partial aggregation;

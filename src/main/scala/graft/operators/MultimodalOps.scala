@@ -220,7 +220,7 @@ object MultimodalOps {
       |  SELECT doc_id,
       |         (['image/png','audio/wav','video/mp4'])[(doc_id % 3 + 1)::INT] AS mime,
       |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |         CAST(list_sum(${DuckUtf8.byteList("text")})
+      |         CAST(COALESCE(list_sum(${DuckUtf8.byteList("text")}), 0)
       |           % 2147483647 AS BIGINT) AS checksum
       |  FROM documents),
       |m2 AS (

@@ -1,0 +1,174 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** The standing hostile-corpus gate (round 12; promoted from round 11's
+  * one-off probes, which found three latent bug families the ASCII/clean
+  * testbed could never show: UTF-8-bytes-vs-code-points in the text
+  * oracles, Java-vs-RE2 control-character regex semantics, and
+  * degenerate-embedding NULL/nan divergence). This tool writes a FULL
+  * testbed directory whose `documents` and `embeddings` tables are
+  * purpose-built hostile — non-ASCII scripts (German/French/Chinese),
+  * astral-plane code points (surrogate pairs), control characters
+  * (CR/VT/NEL/LS/TAB), empty and single-token texts, exact and near
+  * duplicates, long repetitive spans, PII shapes, zero-norm /
+  * null-element / near-duplicate / tiny-norm / large-magnitude vectors —
+  * while the other eight tables are byte-copies of the smoke testbed, so
+  * the ENTIRE 180-query registry runs against it through the ordinary
+  * gate:
+  *
+  *   sbt "runMain graft.tools.SelfcheckHostile /tmp/graft_hostile/data"
+  *   sbt "runMain graft.Verify /tmp/graft_hostile/data /tmp/graft_hostile/out"
+  *   python3 scripts/selfcheck.py /tmp/graft_hostile/data /tmp/graft_hostile/out
+  *
+  * Expected: 180/180 PASS. Any FAIL is an engine/oracle divergence the
+  * standard corpus masks — exactly the class of bug this gate exists to
+  * catch each round.
+  */
+object SelfcheckHostile {
+
+  /** Source testbed whose non-document tables are copied verbatim. */
+  val SourceDir = "/root/testdata/sf0.001"
+
+  private val CopiedTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events")
+
+  // ---- hostile documents ---------------------------------------------------
+
+  final case class Doc(doc_id: Long, text: String, lang: String,
+                       source: String, n_chars: Long)
+
+  private def doc(id: Long, text: String, lang: String, source: String): Doc =
+    // n_chars = CODE POINTS (both engines' length()), not UTF-16 units —
+    // the astral rows exist precisely to catch a utf16-units writer
+    Doc(id, text, lang, source, text.codePointCount(0, text.length).toLong)
+
+  private[tools] def hostileDocs: Seq[Doc] = {
+    val ascii1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val ascii2 = "pack my box with five dozen liquor jugs before the long winter"
+    val spam = Seq.fill(80)("spam").mkString(" ")
+    val repeatRun = "abc abc abc " * 30
+    Seq(
+      doc(0, ascii1, "en", "src0"),
+      doc(1, ascii1, "en", "src1"), // exact dup of 0, different source
+      doc(2, ascii1 + " today", "en", "src2"), // near dup of 0
+      doc(3, ascii2, "en", "src3"),
+      doc(4, "Größenwahn überall: die Bäume blühen früh — ein schönes Gefühl für März",
+        "de", "src4"),
+      doc(5, "l'été dernier, à Noël, ça coûtait déjà très cher près de chez François",
+        "fr", "src5"),
+      doc(6, "数据处理引擎需要正确处理多字节字符 否则散列就会发散 这是一个测试文档",
+        "zh", "src6"),
+      doc(7, "mixed ascii with émojis 😀😀 and music 𝄞 plus math 𝒜𝒷𝒸 inside one line",
+        "en", "src7"),
+      doc(8, "line one\r\nline two\u000Bvertical\u0085nel\u2028ls\tend", "en", "src8"),
+      doc(9, "", "en", "src9"), // empty text
+      doc(10, "single", "en", "src0"),
+      doc(11, spam, "en", "src1"), // maximal repetition
+      doc(12, repeatRun.trim, "en", "src2"), // periodic run for substring ops
+      doc(13, "contact john.doe@example.com or call 555-123-4567 for details now",
+        "en", "src3"),
+      doc(14, "Üppige ölige Äpfel — ähnlich übel wie ößige Prüfung Straße",
+        "de", "src4"),
+      doc(15, ascii2, "en", "src5"), // exact dup of 3
+      doc(16, ascii2.replace("winter", "summer"), "en", "src6"), // near dup of 3
+      doc(17, "ça va? ÇA VA! Casing across accents: É é È è Ü ü ß", "fr", "src7"),
+      doc(18, "𠀀𠀁𠀂 astral-only CJK extension block text 𠀃𠀄", "zh", "src8"),
+      doc(19, "tabs\tand\tmore\ttabs\tbetween\tevery\tword\there", "en", "src9"),
+      doc(20, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "src0"),
+      doc(21, "'quotes' \"double\" `back` and $dollar %percent &amp; <tag>", "en", "src1"),
+      doc(22, ("z" * 300) + " " + ("y" * 200), "en", "src2"), // giant tokens
+      doc(23, "Der schnelle braune Fuchs springt über den faulen Hund am Fluss",
+        "de", "src3"),
+      doc(24, "le renard brun rapide saute par dessus le chien paresseux du fleuve",
+        "fr", "src4"),
+      doc(25, ascii1.split(" ").reverse.mkString(" "), "en", "src5") // anagram doc
+    )
+  }
+
+  // ---- hostile embeddings --------------------------------------------------
+
+  final case class Vec(vec_id: Long, embedding: Array[java.lang.Float], label: Int)
+
+  private def mk(id: Long, f: Int => Float, label: Int): Vec =
+    Vec(id, Array.tabulate(64)(j => java.lang.Float.valueOf(f(j))), label)
+
+  private[tools] def hostileVecs: Seq[Vec] = {
+    def base(i: Long)(j: Int): Float =
+      (((i * 31 + j * 7) % 13).toInt - 6) / 3.0f
+    val normals = (0L until 30L).map(i => mk(i, base(i), (i % 10).toInt))
+    val nullElem = {
+      val a = Array.tabulate(64)(j => java.lang.Float.valueOf(base(31L)(j)))
+      a(17) = null // one null element: excluded identically by both engines
+      Vec(31L, a, 1)
+    }
+    normals ++ Seq(
+      mk(30L, _ => 0.0f, 0), // zero norm: excluded from cosine everywhere
+      nullElem,
+      mk(32L, base(32L), 2),
+      mk(33L, j => base(32L)(j) * 1.0001f, 3), // near-dup of 32 (cos ≈ 1)
+      mk(34L, j => -base(32L)(j), 4), // opposite of 32 (cos = −1)
+      mk(35L, _ => 1e-8f, 5), // tiny but nonzero norm
+      // large magnitude, but inside the IVF quantizer's documented
+      // exactness domain (|x| ≲ 15: the composite argmin must stay under
+      // 2^53 in doubles — see KMeansOps object doc). Probing BEYOND it
+      // is what established the bound: ±10³ flips a double-vs-integer
+      // argmin, ±10⁶ overflows BIGINT with an ANSI CAST_OVERFLOW throw.
+      mk(36L, j => if (j % 2 == 0) 10f else -10f, 6)
+    )
+  }
+
+  // ---- writing -------------------------------------------------------------
+
+  /** Write `df` as ONE plain parquet FILE at `target` (DuckDB's view
+    * registration reads a file path, not a Spark part-file directory). */
+  private def writeSingleFile(spark: SparkSession,
+                              df: org.apache.spark.sql.DataFrame,
+                              target: Path): Unit = {
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".staging")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    // drop the staging dir remnants
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  def writeDataset(spark: SparkSession, dataDir: String): Unit = {
+    import spark.implicits._
+    val dir = Paths.get(dataDir)
+    Files.createDirectories(dir)
+    for (t <- CopiedTables)
+      Files.copy(Paths.get(SourceDir, s"$t.parquet"),
+        dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    writeSingleFile(spark, hostileDocs.toDF(),
+      dir.resolve("documents.parquet"))
+    writeSingleFile(spark,
+      hostileVecs.toDF("vec_id", "embedding", "label")
+        .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding",
+          "CAST(label AS int) AS label"),
+      dir.resolve("embeddings.parquet"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/graft_hostile/data")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    writeDataset(spark, dataDir)
+    println(s"[hostile] dataset written to $dataDir " +
+      s"(${hostileDocs.size} docs, ${hostileVecs.size} vectors); next:")
+    println(s"[hostile]   sbt 'runMain graft.Verify $dataDir <outDir>'")
+    println(s"[hostile]   python3 scripts/selfcheck.py $dataDir <outDir>")
+    spark.stop()
+  }
+}
