@@ -66,7 +66,7 @@ object DumpPlans {
       "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",
       "cdc_snapshot_diff" -> "CDC diff: two prefix-scanned last-per-key states (ts predicate pushed into each scan) joined on the shared user key — the T1 pass reads a prefix of the log, not all of it",
       "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query",
-      "layout_zorder_stats" -> "z-order audit: 62-term Morton interleave fully inside whole-stage codegen, ONE bucket-keyed hash aggregate — the write-side clustering readout",
+      "layout_zorder_stats" -> "z-order audit: 62-term Morton interleave fully inside whole-stage codegen; the observed-range bucket width is a 1-row broadcast over a second pruned 2-int-column scan, then ONE bucket-keyed hash aggregate — the write-side clustering readout",
       "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) and ONE co-keyed full-outer join + conditional aggregate yields all four counts — one scan per table, not three",
       "q21_suppliers_kept_waiting" -> "TPC-H Q21 decorrelated: ONE lineitem scan → (order,supplier)-grain agg → order-keyed window counts replace BOTH correlated subqueries — the naive plan scans the fact three times",
       "q22_global_sales_opportunity" -> "TPC-H Q22: broadcast 1-row balance stats with integer cross-multiplied threshold; NOT EXISTS as LeftAnti over the pushed recent-orders projection",
