@@ -35,8 +35,13 @@ object DuckUtf8 {
       s"cp -> ${bytesOfCp("cp")}))"
 
   /** Base-`base` rolling hash of `c`'s UTF-8 bytes mod `p` — the DuckDB
-    * fold bit-identical to the native graft_polyhash family. */
+    * fold bit-identical to the native graft_polyhash family, INCLUDING
+    * null propagation: the kernel returns NULL on NULL input, while a
+    * bare `list_prepend(0, NULL)` here would yield `[0]` and fold to 0
+    * (the hostile-gate null probe caught exactly that on
+    * text_fingerprint). */
   def polyFold(c: String, base: Int, p: Long): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${byteList(c)}), " +
-      s"(acc, x) -> (acc * $base + x) % $p)"
+    s"CASE WHEN $c IS NULL THEN NULL ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${byteList(c)}), " +
+      s"(acc, x) -> (acc * $base + x) % $p) END"
 }

@@ -175,8 +175,12 @@ object MultimodalOps {
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    // single-row-group file → spread decode work across the cluster
+    // single-row-group file → spread decode work across the cluster.
+    // A null text means no media payload: excluded at ingest (a real
+    // pipeline drops missing media rather than handing every decoder a
+    // null buffer) — mirrored by MetaCte's `WHERE text IS NOT NULL`.
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
@@ -222,7 +226,7 @@ object MultimodalOps {
       |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |         CAST(COALESCE(list_sum(${DuckUtf8.byteList("text")}), 0)
       |           % 2147483647 AS BIGINT) AS checksum
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |m2 AS (
       |  SELECT doc_id, mime, n_bytes, checksum,
       |         CAST(64 + checksum % 512 AS BIGINT) AS width,

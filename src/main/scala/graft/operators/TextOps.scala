@@ -308,15 +308,21 @@ object TextOps {
        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
   }
 
-  /** DuckDB twin of [[bpeCountSql]]. */
+  /** DuckDB twin of [[bpeCountSql]]. The coalesce maps an EMPTY token
+    * list to 0 (list_sum of [] is NULL in DuckDB, while the Spark
+    * aggregate's 0 initial value makes it 0) — but a NULL text must stay
+    * NULL, like Spark's split/aggregate null propagation (the hostile
+    * gate's null-text row diverged here before the CASE guard).
+    */
   private[operators] def bpeCountDuck(textCol: String): String = {
     val duckChain = bpeChain("regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')")
-    s"""CAST(coalesce(list_sum(list_transform(
+    s"""CASE WHEN $textCol IS NULL THEN NULL ELSE
+       |CAST(coalesce(list_sum(list_transform(
        |  list_transform(list_filter(string_split($textCol, ' '),
        |                             w -> w <> ''),
        |                 w -> $duckChain),
        |  m -> (length(m) - length(replace(m, ' ', ''))) // 2)), 0)
-       |AS BIGINT)""".stripMargin
+       |AS BIGINT) END""".stripMargin
   }
 
   val textBpeExact = GQuery(

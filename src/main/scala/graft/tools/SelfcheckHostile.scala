@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   * purpose-built hostile — non-ASCII scripts (German/French/Chinese),
   * astral-plane code points (surrogate pairs), control characters
   * (CR/VT/NEL/LS/TAB), empty and single-token texts, exact and near
-  * duplicates, long repetitive spans, PII shapes, zero-norm /
-  * null-element / near-duplicate / tiny-norm / large-magnitude vectors —
+  * duplicates, long repetitive spans, PII shapes, NULL text and NULL
+  * lang/source rows, zero-norm / null-element / whole-vector-NULL /
+  * near-duplicate / tiny-norm / large-magnitude vectors —
   * while the other eight tables are byte-copies of the smoke testbed, so
   * the ENTIRE 180-query registry runs against it through the ordinary
   * gate:
@@ -85,7 +86,13 @@ object SelfcheckHostile {
         "de", "src3"),
       doc(24, "le renard brun rapide saute par dessus le chien paresseux du fleuve",
         "fr", "src4"),
-      doc(25, ascii1.split(" ").reverse.mkString(" "), "en", "src5") // anagram doc
+      doc(25, ascii1.split(" ").reverse.mkString(" "), "en", "src5"), // anagram doc
+      // null rows (standing since round 12): the null-text probe found
+      // three divergence families the non-null corpus masked — multimodal
+      // ingest NPE'd on a null payload, and the fingerprint/BPE oracles
+      // folded NULL to 0 where the native kernels null-propagate
+      Doc(26, null, "en", "src6", 0L), // null text
+      Doc(27, "null lang and source", null, null, 20L) // null lang+source
     )
   }
 
@@ -117,7 +124,8 @@ object SelfcheckHostile {
       // 2^53 in doubles — see KMeansOps object doc). Probing BEYOND it
       // is what established the bound: ±10³ flips a double-vs-integer
       // argmin, ±10⁶ overflows BIGINT with an ANSI CAST_OVERFLOW throw.
-      mk(36L, j => if (j % 2 == 0) 10f else -10f, 6)
+      mk(36L, j => if (j % 2 == 0) 10f else -10f, 6),
+      Vec(37L, null, 7) // whole-vector NULL: excluded like zero-norm rows
     )
   }
 
