@@ -412,11 +412,20 @@ object GameLog {
 
   def derive(spark: SparkSession, dir: String): Dataset[GameEvent] = {
     import spark.implicits._
+    // only the five known wire types derive game events — the reference's
+    // replay switch silently skips unrecognized message kinds (watch.go's
+    // typed handlers), and mapping null/'ERROR'/non-ASCII strays through
+    // the `otherwise` branch would fabricate deaths from garbage rows
+    // (the hostile events tail caught exactly that)
     val e = graft.Tables.events(spark, dir)
-    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      .filter(col("event_type")
+        .isin("signup", "click", "view", "purchase", "error"))
+    // try_cast like EventOps.propK: malformed payloads (no k match → '',
+    // 20+ digits → overflow) derive NULL, not a query-killing ANSI error
+    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("long")
     val cell = col("event_id") % 750
     val ux = (col("user_id") % 30).cast("int")
-    val uy = ((col("user_id") * 7) % 25).cast("int")
+    val uy = (((col("user_id") % 25) * 7) % 25).cast("int")
     val owner = concat(lit("u"), col("user_id"))
     val bombName = concat(lit("u"), k % 30, lit("-b"), cell % 20)
 

@@ -179,6 +179,10 @@ object AnalyticsOps {
   def transitions(events: DataFrame): DataFrame = {
     val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val tr = events
+      // an un-timestamped event has no sequence position (and its spot
+      // under ORDER BY ts is engine-defined: Spark NULLS FIRST, DuckDB
+      // NULLS LAST — it would rewrite its neighbors' transitions)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("next_type", lead("event_type", 1).over(seqW))
       .filter(col("next_type").isNotNull)
@@ -197,14 +201,16 @@ object AnalyticsOps {
       """WITH tr AS (SELECT event_type AS prev_type,
         |                  lead(event_type) OVER (PARTITION BY user_id
         |                                         ORDER BY ts, event_id) AS next_type
-        |           FROM events),
+        |           FROM events WHERE ts IS NOT NULL),
         |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
         |      FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS tot
         |      FROM c GROUP BY 1)
         |SELECT c.prev_type, c.next_type, c.n_trans,
         |       c.n_trans * 10000 // t.tot AS p_e4
-        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin),
+        |-- null-safe join: a NULL prev_type is a real matrix row (the
+        |-- engine window PARTITION BY groups NULLs); plain = drops it
+        |FROM c JOIN t ON c.prev_type IS NOT DISTINCT FROM t.prev_type""".stripMargin),
     bench = true)
 
   /** Q:anomaly_burst — per-user activity-burst detection: hour buckets
@@ -340,6 +346,11 @@ object AnalyticsOps {
     */
   def dauCumulative(events: DataFrame): DataFrame = {
     val dayUser = events
+      // a dateless event belongs to no day: left in, the NULL day group's
+      // position under the cumulative ORDER BY day is engine-defined
+      // (Spark NULLS FIRST vs DuckDB NULLS LAST) and its join behavior
+      // fabricates a zero-new-users day
+      .filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
@@ -359,7 +370,7 @@ object AnalyticsOps {
     (s, d) => dauCumulative(Tables.events(s, d)),
     oracle = Some(
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
-        |            FROM events),
+        |            FROM events WHERE ts IS NOT NULL),
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
         |fs AS (SELECT min(day) AS day FROM du GROUP BY user_id),
         |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
@@ -430,6 +441,11 @@ object AnalyticsOps {
     * an earlier revision of this comment wrongly claimed DuckDB floors).
     * Magnitudes: n·Σxy ≲ n²·x·y — fine in long through ~10⁹ rows
     * per group; beyond that the same aggregate runs on decimal(38,0).
+    * Per-row domain: |value| ≲ 10¹¹ (y = cents ≤ 10¹³, x ≤ ~10⁵ days ⇒
+    * x·y ≤ 10¹⁸ < 2⁶³) — established by a hostile-gate probe at 10¹⁵,
+    * where Spark's long Σxy overflows under ANSI while DuckDB silently
+    * widens to HUGEINT; a money column beyond that bound needs the
+    * decimal variant, not a bigger long.
     */
   def trendMoments(events: DataFrame): DataFrame =
     events

@@ -38,11 +38,17 @@ object EventOps {
       |         event_type,
       |         'room' || CAST(user_id % 8 AS VARCHAR) AS room,
       |         'u' || CAST(user_id AS VARCHAR) AS victim,
-      |         'u' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 30 AS VARCHAR) AS killer
+      |         'u' || CAST(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 30 AS VARCHAR) AS killer
       |  FROM events)""".stripMargin
 
+  /** The payload's k field via the generator-shaped regex. try_cast, not
+    * cast: under ANSI a props without the pattern extracts '' and a
+    * 20+-digit run overflows BIGINT — either would crash the whole query
+    * on one malformed payload (a 100 TB log guarantees some). NULL is
+    * the malformed-payload result on both engines (oracle: TRY_CAST).
+    */
   private def propK(c: Column): Column =
-    regexp_extract(c, "\"k\": (\\d+)", 1).cast("long")
+    regexp_extract(c, "\"k\": (\\d+)", 1).try_cast("long")
 
   /** The exact-cents summand — ONE definition for the Spark side and the
     * DuckDB oracles (the identical SQL parses in both dialects), so the
@@ -270,11 +276,23 @@ object EventOps {
     (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
+                get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .filter(col("k") > 90),
+    // The oracle must replay JSON semantics, not the generator regex:
+    // '{"k":95}' (no space) parses as JSON but misses the regex, and
+    // invalid JSON that happens to CONTAIN '"k": 96' matches the regex
+    // but not the parser — the hostile events tail carries both shapes.
+    // json_valid guards DuckDB's throwing json_extract the way
+    // get_json_object's null-on-invalid behaves; TRY_CAST handles digit
+    // runs that overflow BIGINT.
     oracle = Some(
-      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-        |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 90""".stripMargin))
+      """SELECT event_id, k FROM (
+        |  SELECT event_id,
+        |         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+        |                       THEN json_extract_string(props, '$.k') END
+        |                  AS BIGINT) AS k
+        |  FROM events)
+        |WHERE k > 90""".stripMargin))
 
   /** C10/C9: topic-name round trip — derive `{room}-event-topic` then parse the
     * room back out (ScoreboardFunction.java:60-74), proving the concat/extract
@@ -341,7 +359,9 @@ object EventOps {
       s"""$GameCte
          |SELECT room, count(*) AS n,
          |       CAST(sum($ValueE2Sql) AS BIGINT) AS sum_value_e2
-         |FROM game GROUP BY room""".stripMargin))
+         |-- schema rejection: a payload whose room decodes NULL (null
+         |-- user_id) fails enforcement on the Spark side; mirror the drop
+         |FROM game WHERE room IS NOT NULL GROUP BY room""".stripMargin))
 
   /** Q:schema_evolution — S10's evolution facet: schema-compatible reads
     * across producer generations. The reference evolves EventMessage by
@@ -462,6 +482,9 @@ object EventOps {
     "stream_tumbling_count",
     (s, d) =>
       gameView(s, d)
+        // explicit: Spark's window() silently DROPS null-ts rows — spell
+        // the exclusion so the oracle states the same set, not by accident
+        .filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "1 minute"), col("room"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("window.start")).cast("long").as("bucket"),
@@ -470,7 +493,7 @@ object EventOps {
       s"""$GameCte
          |SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket,
          |       room, count(*) AS n
-         |FROM game GROUP BY bucket, room""".stripMargin))
+         |FROM game WHERE ts IS NOT NULL GROUP BY bucket, room""".stripMargin))
 
   /** Sessionization: session_window(ts, 30 min) per victim — the gap-based
     * session assignment a training pipeline uses to segment event streams.
@@ -482,12 +505,17 @@ object EventOps {
     "window_session",
     (s, d) =>
       gameView(s, d)
+        // session_window drops null-ts rows; explicit for the oracle twin
+        .filter(col("ts").isNotNull)
         .groupBy(session_window(col("ts"), "30 minutes"), col("victim"))
         .agg(count(lit(1)).as("n"),
           sum(valueE2).as("sum_value_e2"))
+        // trunc-to-second first: a session starting on a fractional
+        // PRE-epoch timestamp reads −1 under floor but 0 under
+        // unix_timestamp's truncation (ExactSql.TsSec rationale)
         .select(
-          unix_timestamp(col("session_window.start")).as("session_start"),
-          unix_timestamp(col("session_window.end")).as("session_end"),
+          expr(ExactSql.tsSecSpark("session_window.start")).as("session_start"),
+          expr(ExactSql.tsSecSpark("session_window.end")).as("session_end"),
           col("victim"), col("n"), col("sum_value_e2")),
     oracle = Some(
       s"""$GameCte,
@@ -495,14 +523,14 @@ object EventOps {
          |  SELECT victim, ts, seq, value,
          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY victim ORDER BY ts, seq)
          |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-         |  FROM game),
+         |  FROM game WHERE ts IS NOT NULL),
          |sess AS (
          |  SELECT victim, ts, value,
          |         sum(brk) OVER (PARTITION BY victim ORDER BY ts, seq
          |                        ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM marked)
-         |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-         |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+         |SELECT ${ExactSql.tsSecDuck("min(ts)")} AS session_start,
+         |       ${ExactSql.tsSecDuck("max(ts) + INTERVAL 30 MINUTE")} AS session_end,
          |       victim, count(*) AS n,
          |       CAST(sum($ValueE2Sql) AS BIGINT) AS sum_value_e2
          |FROM sess GROUP BY victim, sid""".stripMargin))
@@ -703,13 +731,21 @@ object EventOps {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // an un-timestamped changelog write has no place on a version
+      // timeline — and left in, its position under ORDER BY ts is
+      // engine-defined (Spark sorts NULLS FIRST, DuckDB LAST), shifting
+      // every neighbor's valid_to
+      .filter(col("ts").isNotNull)
       .withColumn("next_ts", lead("ts", 1).over(w))
       .filter(col("ts") <= lit(AsofCutoff).cast("timestamp") &&
         (col("next_ts").isNull ||
           col("next_ts") > lit(AsofCutoff).cast("timestamp")))
+      // whole-second truncation BEFORE the epoch read: fractional
+      // pre-epoch timestamps split unix_timestamp's truncate from the
+      // oracle's floor (ExactSql.TsSec rationale, applied per column)
       .select(col("user_id"), col("value"),
-        expr("unix_timestamp(ts)").as("valid_from_epoch"),
-        expr("unix_timestamp(next_ts)").as("valid_to_epoch"))
+        expr(ExactSql.tsSecSpark("ts")).as("valid_from_epoch"),
+        expr(ExactSql.tsSecSpark("next_ts")).as("valid_to_epoch"))
   }
 
   val scd2AsofSnapshot = GQuery(
@@ -719,10 +755,10 @@ object EventOps {
       s"""WITH v AS (SELECT user_id, value, ts,
         |                 lead(ts) OVER (PARTITION BY user_id
         |                                ORDER BY ts, event_id) AS next_ts
-        |          FROM events)
+        |          FROM events WHERE ts IS NOT NULL)
         |SELECT user_id, value,
-        |       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
-        |       CAST(floor(epoch(next_ts)) AS BIGINT) AS valid_to_epoch
+        |       ${ExactSql.tsSecDuck("ts")} AS valid_from_epoch,
+        |       ${ExactSql.tsSecDuck("next_ts")} AS valid_to_epoch
         |FROM v
         |WHERE ts <= TIMESTAMP '$AsofCutoff'
         |  AND (next_ts IS NULL OR next_ts > TIMESTAMP '$AsofCutoff')""".stripMargin),

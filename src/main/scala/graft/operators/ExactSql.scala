@@ -19,6 +19,13 @@ object ExactSql {
   val TsSecSpark = "unix_timestamp(date_trunc('second', ts))"
   val TsSecDuck = "CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)"
 
+  /** The same floor-safe epoch-seconds pair for an arbitrary timestamp
+    * column/expression (scd2's next_ts, session_window bounds — anywhere
+    * a fractional pre-epoch value would split truncate-vs-floor). */
+  def tsSecSpark(c: String): String = s"unix_timestamp(date_trunc('second', $c))"
+  def tsSecDuck(c: String): String =
+    s"CAST(floor(epoch(date_trunc('second', $c))) AS BIGINT)"
+
   /** Event-time hour bucket, same floor-safety argument: the truncated
     * hour's epoch is exactly divisible by 3600, so the integer division
     * is exact and sign-safe on both engines. */

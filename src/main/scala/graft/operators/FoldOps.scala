@@ -62,8 +62,11 @@ object FoldOps {
     oracle = Some(
       """WITH ev AS (
         |  SELECT user_id, event_id AS seq, event_type,
-        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-        |  FROM events),
+        |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events
+        |  -- the GameLog known-type gate: unrecognized/null wire types
+        |  -- never become game events, so they must not count here either
+        |  WHERE event_type IN ('signup', 'click', 'view', 'purchase', 'error')),
         |rooms AS (
         |  SELECT 'room' || CAST(user_id % 8 AS VARCHAR) AS room,
         |         count(*) AS n_events, max(seq) AS last_seq
@@ -122,7 +125,7 @@ object FoldOps {
         |  SELECT user_id, event_id AS seq,
         |         CASE WHEN event_type = 'signup' THEN 'join'
         |              WHEN event_type = 'error'
-        |                   AND CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 4 = 0
+        |                   AND TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 4 = 0
         |                THEN 'revive'
         |              ELSE 'dead' END AS act
         |  FROM events WHERE event_type IN ('signup', 'error')),

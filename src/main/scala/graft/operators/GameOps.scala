@@ -24,8 +24,10 @@ object GameOps {
   private val Cells = W * H // 750 (game.go:30-32)
   private val RayLen = 6L // bombLength (game.go:34)
 
+  // try_cast like EventOps.propK: a malformed payload (no match → '',
+  // or 20+ digits → BIGINT overflow) must yield NULL, not crash the query
   private def propK(c: Column): Column =
-    regexp_extract(c, "\"k\": (\\d+)", 1).cast("long")
+    regexp_extract(c, "\"k\": (\\d+)", 1).try_cast("long")
 
   /** Bomb placements derived from purchase events (SetBombEvent analog,
     * event.go:85-109). bomb_name follows the reference's `{owner}-{suffix}`
@@ -54,7 +56,7 @@ object GameOps {
       .select(
         concat(lit("u"), col("user_id")).as("player"),
         (col("user_id") % W).as("px"),
-        ((col("user_id") * 7) % H).as("py"))
+        (((col("user_id") % H) * 7) % H).as("py"))
 
   /** Direction table — always broadcast (4 rows). */
   /** The four rays with their per-direction start distance: the reference's
@@ -74,7 +76,7 @@ object GameOps {
   private val GridCte =
     """WITH bombs AS (
       |  SELECT event_id AS bomb_seq,
-      |         'u' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 30 AS VARCHAR) AS owner,
+      |         'u' || CAST(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 30 AS VARCHAR) AS owner,
       |         event_id % 750 AS cell
       |  FROM events WHERE event_type = 'purchase'),
       |b2 AS (
@@ -88,7 +90,7 @@ object GameOps {
       |  FROM range(750) t(r) WHERE r % 7 = 3),
       |players AS (
       |  SELECT 'u' || CAST(user_id AS VARCHAR) AS player,
-      |         user_id % 30 AS px, (user_id * 7) % 25 AS py
+      |         user_id % 30 AS px, ((user_id % 25) * 7) % 25 AS py
       |  FROM (SELECT DISTINCT user_id FROM events)),
       |cand AS (
       |  SELECT b.bomb_name, b.owner, d.dir, g.dist,
@@ -234,8 +236,13 @@ object GameOps {
          |SELECT ocell AS cell, ocell % 30 AS x, ocell // 30 AS y, destructible
          |FROM obstacles
          |WHERE ocell NOT IN (
-         |  SELECT (py + oy) * 30 + px + ox FROM players
-         |  CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(ox, oy))""".stripMargin))
+         |  -- the IS NOT NULL guard matters: one NULL protected cell (null
+         |  -- user_id player) would turn NOT IN into all-UNKNOWN and empty
+         |  -- the result, where the engine left_anti correctly ignores it
+         |  SELECT pcell FROM (
+         |    SELECT (py + oy) * 30 + px + ox AS pcell FROM players
+         |    CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(ox, oy))
+         |  WHERE pcell IS NOT NULL)""".stripMargin))
 
   /** Q:anti_join_occupied (F5): bombs may not land on obstacle cells
     * (event.go:92-95) — anti-join of bomb placements against the obstacle map.
@@ -335,7 +342,7 @@ object GameOps {
       val e = Tables.events(s, d).select(
         col("event_id").as("seq"),
         (col("user_id") % W).as("x"),
-        ((col("user_id") * 7) % H).as("y"),
+        (((col("user_id") % H) * 7) % H).as("y"),
         when(col("event_type") === "click", "L")
           .when(col("event_type") === "view", "R")
           .when(col("event_type") === "purchase", "U")
@@ -355,7 +362,7 @@ object GameOps {
         |       greatest(0, least(29, x + CASE dir WHEN 'R' THEN 1 WHEN 'L' THEN -1 ELSE 0 END)) AS nx,
         |       greatest(0, least(24, y + CASE dir WHEN 'D' THEN 1 WHEN 'U' THEN -1 ELSE 0 END)) AS ny
         |FROM (
-        |  SELECT event_id AS seq, user_id % 30 AS x, (user_id * 7) % 25 AS y,
+        |  SELECT event_id AS seq, user_id % 30 AS x, ((user_id % 25) * 7) % 25 AS y,
         |         CASE event_type WHEN 'click' THEN 'L' WHEN 'view' THEN 'R'
         |              WHEN 'purchase' THEN 'U' WHEN 'signup' THEN 'D' ELSE 'N' END AS dir
         |  FROM events)""".stripMargin))
@@ -375,7 +382,7 @@ object GameOps {
     oracle = Some(
       """SELECT seq, x, y FROM (
         |  SELECT event_id AS seq,
-        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 40 - 5 AS x,
+        |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 40 - 5 AS x,
         |         user_id % 30 AS y
         |  FROM events)
         |WHERE x BETWEEN 0 AND 29 AND y BETWEEN 0 AND 24""".stripMargin))

@@ -41,6 +41,19 @@ object GraphOps {
   /** Damping base (1−d)·PrUnit, derived — 150000 at the defaults. */
   final val PrBase = PrUnit * (PrDampDen - PrDampNum) / PrDampDen
 
+  /** The item id from the props payload, DuckDB side — JSON semantics to
+    * mirror the engine's get_json_object exactly: '{"k":95}' (no space)
+    * must parse, invalid JSON that still CONTAINS '"k": 96' must not
+    * (both were regex-vs-JSON divergences the hostile events tail
+    * exposed), and a 20+-digit k becomes NULL via TRY_CAST instead of a
+    * hard conversion error. json_valid guards DuckDB's throwing
+    * json_extract the way get_json_object nulls on invalid input.
+    */
+  private val ItemDuck =
+    """TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+      |              THEN json_extract_string(props, '$.k') END
+      |         AS BIGINT)""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
   /** Directed temporal-adjacency edges (src, dst), deduplicated. The
     * first-touch aggregate is map-side combinable on (item, user); the
     * per-item chain window's partition is bounded by the item's distinct
@@ -49,13 +62,15 @@ object GraphOps {
     * per-room running windows, PLANS.md header). */
   def temporalEdges(events: DataFrame): DataFrame = {
     val iu = events
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+      .select(get_json_object(col("props"), "$.k").try_cast("long").as("item"),
         col("user_id"), col("ts"))
-      // same no-match guard as the co-occurrence incidence: without it an
-      // event lacking a numeric k chains every such user through one
-      // item=NULL window partition (and the oracle's CAST('' AS BIGINT)
-      // would hard-error instead — divergent in BOTH directions)
-      .filter(col("item").isNotNull)
+      // no-match guard: without it an event lacking a numeric k chains
+      // every such user through one item=NULL window partition. try_cast:
+      // a 20+-digit k would otherwise ANSI-crash before the filter.
+      // user_id: a NULL is no node identity — and inside the chain
+      // window's ORDER BY its position is engine-defined (Spark NULLS
+      // FIRST vs DuckDB NULLS LAST), rewiring real users' edges.
+      .filter(col("item").isNotNull && col("user_id").isNotNull)
       .groupBy("item", "user_id")
       .agg(min("ts").as("t0"))
     iu.withColumn("dst",
@@ -108,10 +123,9 @@ object GraphOps {
     * VERBATIM by both graph oracles so they can never describe different
     * edge sets. */
   private val EdgeCte =
-    """iu AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item,
-      |                  user_id, min(ts) AS t0
-      |           FROM events
-      |           WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+    s"""iu AS (SELECT item, user_id, min(ts) AS t0
+      |           FROM (SELECT $ItemDuck AS item, user_id, ts FROM events)
+      |           WHERE item IS NOT NULL AND user_id IS NOT NULL
       |           GROUP BY 1, 2),
       |ch AS (SELECT item, user_id AS src,
       |              lead(user_id) OVER (PARTITION BY item
@@ -208,9 +222,9 @@ object GraphOps {
   private def keptItemUsers(events: DataFrame): DataFrame = {
     graft.functions.TopKAggregate.ensureRegistered(events.sparkSession)
     events
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+      .select(get_json_object(col("props"), "$.k").try_cast("long").as("item"),
         col("user_id"))
-      .filter(col("item").isNotNull)
+      .filter(col("item").isNotNull && col("user_id").isNotNull)
       .distinct()
       .groupBy("item")
       // smallest-k via bitwise NOT, not negation: ~x = −x−1 reverses the
@@ -325,11 +339,9 @@ object GraphOps {
   /** The co-occurrence edge derivation as a CTE prefix (the oracle twin
     * of [[cooccurrenceEdges]]). */
   private val CoocCte =
-    s"""iu AS (SELECT DISTINCT
-      |              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item,
-      |              user_id
-      |       FROM events
-      |       WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+    s"""iu AS (SELECT DISTINCT item, user_id
+      |       FROM (SELECT $ItemDuck AS item, user_id FROM events)
+      |       WHERE item IS NOT NULL AND user_id IS NOT NULL),
       |ki AS (SELECT item, user_id FROM (
       |         SELECT item, user_id,
       |                row_number() OVER (PARTITION BY item

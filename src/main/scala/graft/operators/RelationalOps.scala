@@ -281,7 +281,10 @@ object RelationalOps {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted count columns: a bare na.fill(0L) would
+        // also rewrite a NULL user_id KEY to user 0, fabricating a second
+        // user-0 row (caught by the hostile events tail's null-user row)
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .select(col("user_id"), col("click").as("n_click"),
           col("view").as("n_view"), col("purchase").as("n_purchase"),
           col("signup").as("n_signup"), col("error").as("n_error")),

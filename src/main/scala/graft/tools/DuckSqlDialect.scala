@@ -39,6 +39,9 @@ object DuckSqlDialect {
     "generate_series" -> "sequence",
     "arg_min" -> "min_by",
     "arg_max" -> "max_by",
+    // same $-path semantics; Spark returns the raw string like DuckDB's
+    // _string variant (the plain json_extract would quote it)
+    "json_extract_string" -> "get_json_object",
     "unnest" -> "explode")
 
   /** Placeholder delimiter for shielded string literals — a char that
@@ -145,6 +148,16 @@ object DuckSqlDialect {
       if (splitParts(args).length == 2) s"regexp_extract_all($args, 0)"
       else s"regexp_extract_all($args)"
     }
+    // 8aa. json_valid has no Spark spelling; a whole-document $ probe is
+    //      its twin for the oracles' use (non-NULL input, validity test):
+    //      get_json_object returns NULL exactly on unparseable input
+    s = rewriteCall(s, "json_valid") { arg =>
+      s"(get_json_object($arg, '$$') IS NOT NULL)"
+    }
+    // 8ab. null-safe equality: Spark's parser has no IS [NOT] DISTINCT
+    //      FROM; <=> is its null-safe-equal twin
+    s = s.replaceAll("(?i)(\\S+)\\s+IS\\s+NOT\\s+DISTINCT\\s+FROM\\s+(\\S+)",
+      "$1 <=> $2")
     // 8b. aggregate FILTER (cond): Spark requires FILTER (WHERE cond)
     s = s.replaceAll("(?i)\\bFILTER\\s*\\(\\s*(?!WHERE\\b)", "FILTER (WHERE ")
     // 9. window-function null treatment: DuckDB puts IGNORE NULLS inside

@@ -15,10 +15,14 @@ import org.apache.spark.sql.SparkSession
   * (CR/VT/NEL/LS/TAB), empty and single-token texts, exact and near
   * duplicates, long repetitive spans, PII shapes, NULL text and NULL
   * lang/source rows, zero-norm / null-element / whole-vector-NULL /
-  * near-duplicate / tiny-norm / large-magnitude vectors —
-  * while the other eight tables are byte-copies of the smoke testbed, so
-  * the ENTIRE 180-query registry runs against it through the ordinary
-  * gate:
+  * near-duplicate / tiny-norm / large-magnitude vectors — and (round 12)
+  * an `events` table carrying the source rows plus a hostile tail
+  * (null/malformed/regex-vs-JSON-ambiguous props, null/empty/non-ASCII
+  * event types, null/negative/Long.MaxValue user ids, null/epoch/
+  * pre-epoch/far-future timestamps, identical-timestamp runs, null/−0.0/
+  * extreme values) — while the seven TPC-H-only tables are byte-copies of
+  * the smoke testbed, so the ENTIRE 180-query registry runs against it
+  * through the ordinary gate:
   *
   *   sbt "runMain graft.tools.SelfcheckHostile /tmp/graft_hostile/data"
   *   sbt "runMain graft.Verify /tmp/graft_hostile/data /tmp/graft_hostile/out"
@@ -35,7 +39,7 @@ object SelfcheckHostile {
 
   private val CopiedTables = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events")
+    "lineitem")
 
   // ---- hostile documents ---------------------------------------------------
 
@@ -129,6 +133,75 @@ object SelfcheckHostile {
     )
   }
 
+  // ---- hostile events ------------------------------------------------------
+
+  /** One events row; boxed field types so any column can be NULL. */
+  final case class Ev(event_id: java.lang.Long, ts: java.sql.Timestamp,
+                      user_id: java.lang.Long, event_type: String,
+                      value: java.lang.Double, props: String)
+
+  private def t(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  /** Appended to the source events (ids 2000+, far above the source's
+    * 0..999): every field takes a turn being null, malformed, extreme, or
+    * ambiguous — the shapes a 100 TB production log is guaranteed to
+    * contain. Most rows are normal except for ONE hostile field, so they
+    * flow deep into the per-room/per-user pipelines instead of dying at
+    * the first projection.
+    */
+  private[tools] def hostileEventRows: Seq[Ev] = {
+    def ts(off: Int) = t(f"2024-01-20T00:00:${off}%02dZ")
+    val tdup = t("2024-01-21T12:00:00Z")
+    Seq(
+      // --- props: missing / malformed / mismatched payloads
+      Ev(2000L, ts(0), 3L, "error", 10.0, null), // null props
+      Ev(2001L, ts(1), 3L, "error", 10.0, "{}"), // no k key
+      Ev(2002L, ts(2), 4L, "error", 10.0, "{\"j\": 5}"), // wrong key
+      // no space after the colon: JSON parsers extract 95, the generator-
+      // shaped regex '"k": (\d+)' does not — k > 90 so any json-vs-regex
+      // disagreement between a query and its oracle becomes visible
+      Ev(2003L, ts(3), 5L, "error", 10.0, "{\"k\":95}"),
+      Ev(2004L, ts(4), 6L, "error", 10.0,
+        "{\"k\": 999999999999999999999}"), // digits overflow BIGINT
+      // invalid JSON that still MATCHES the regex: json path → NULL,
+      // regex path → 96
+      Ev(2005L, ts(5), 7L, "purchase", 10.0, "not json \"k\": 96 {{{"),
+      Ev(2006L, ts(6), 8L, "error", 10.0, ""), // empty props
+      // --- event_type: null / empty / case / non-ASCII
+      Ev(2007L, ts(7), 9L, null, 10.0, "{\"k\": 3}"),
+      Ev(2008L, ts(8), 10L, "", 5.0, "{\"k\": 4}"),
+      Ev(2009L, ts(9), 11L, "ERROR", 5.0, "{\"k\": 5}"),
+      Ev(2010L, ts(10), 12L, "café-購入", 5.0, "{\"k\": 6}"),
+      // --- user_id: null / negative / extreme
+      Ev(2011L, ts(11), null, "error", 5.0, "{\"k\": 7}"),
+      Ev(2012L, ts(12), -5L, "error", 5.0, "{\"k\": 8}"),
+      Ev(2013L, ts(13), Long.MaxValue, "error", 5.0, "{\"k\": 9}"),
+      // --- ts: null / epoch / pre-epoch fractional / far future
+      Ev(2014L, null, 13L, "error", 5.0, "{\"k\": 10}"),
+      Ev(2015L, t("1970-01-01T00:00:00Z"), 14L, "signup", 5.0, "{\"k\": 11}"),
+      Ev(2016L, t("1969-12-31T23:59:59.500Z"), 15L, "signup", 5.0, "{\"k\": 12}"),
+      Ev(2017L, t("2260-01-01T00:00:00Z"), 16L, "signup", 5.0, "{\"k\": 13}"),
+      // --- identical ts, one user: any per-user window ordered by ts
+      // alone is nondeterministic here (a real log ALWAYS has collisions)
+      Ev(2018L, tdup, 17L, "click", 1.0, "{\"k\": 14}"),
+      Ev(2019L, tdup, 17L, "click", 2.0, "{\"k\": 14}"),
+      Ev(2020L, tdup, 17L, "click", 3.0, "{\"k\": 14}"),
+      // --- value: null / negative zero / huge / negative / rounding edge
+      Ev(2021L, ts(21), 18L, "purchase", null, "{\"k\": 15}"),
+      Ev(2022L, ts(22), 19L, "purchase", -0.0, "{\"k\": 16}"),
+      // large but inside the documented money domain (AnalyticsOps
+      // trendMoments: |value| ≲ 10¹¹ keeps the x·y moment in BIGINT for
+      // the testbed's ts span; probing 10¹⁵ is what established that
+      // bound — Σxy overflows long while DuckDB silently widens to
+      // HUGEINT, the same double-vs-integer domain story as the IVF ±10³
+      // probe)
+      Ev(2023L, ts(23), 20L, "purchase", 1.0e9, "{\"k\": 17}"),
+      Ev(2024L, ts(24), 21L, "purchase", -123.456, "{\"k\": 18}"),
+      Ev(2025L, ts(25), 22L, "purchase", 0.005, "{\"k\": 19}")
+    )
+  }
+
   // ---- writing -------------------------------------------------------------
 
   /** Write `df` as ONE plain parquet FILE at `target` (DuckDB's view
@@ -154,6 +227,14 @@ object SelfcheckHostile {
     for (t <- CopiedTables)
       Files.copy(Paths.get(SourceDir, s"$t.parquet"),
         dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // events = source rows (ts normalized to µs by Tables.events) plus the
+    // hostile tail — the whole event/game/analytics family runs over them
+    writeSingleFile(spark,
+      graft.Tables.events(spark, SourceDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(hostileEventRows.toDF()
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")),
+      dir.resolve("events.parquet"))
     writeSingleFile(spark, hostileDocs.toDF(),
       dir.resolve("documents.parquet"))
     writeSingleFile(spark,
