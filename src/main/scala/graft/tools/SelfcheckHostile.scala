@@ -96,7 +96,13 @@ object SelfcheckHostile {
       // ingest NPE'd on a null payload, and the fingerprint/BPE oracles
       // folded NULL to 0 where the native kernels null-propagate
       Doc(26, null, "en", "src6", 0L), // null text
-      Doc(27, "null lang and source", null, null, 20L) // null lang+source
+      Doc(27, "null lang and source", null, null, 20L), // null lang+source
+      // case-mapping probes: code points whose lower() disagrees between
+      // naive per-char folds and full Unicode case mapping (Turkish
+      // dotted İ lowers to i+combining-dot in Java, ẞ to ß, final sigma
+      // stays ς, the ﬁ ligature has no single-char lower)
+      doc(28, "İstanbul ve ısparta: DİYARBAKIR IĞDIR kayık", "tr", "src7"),
+      doc(29, "GROẞE STRAẞE und die ﬁnale Σίσυφος ΟΔΥΣΣΕΥΣ ς σ", "de", "src8")
     )
   }
 
