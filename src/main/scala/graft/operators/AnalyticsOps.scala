@@ -421,7 +421,7 @@ object AnalyticsOps {
         |       min(value) AS low,
         |       arg_max(value, event_id) AS close,
         |       count(*) AS volume,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS traded_e2
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS traded_e2
         |FROM events
         |GROUP BY 1, 2""".stripMargin),
     bench = true)
@@ -477,7 +477,7 @@ object AnalyticsOps {
         |  FROM (SELECT event_type,
         |               CAST(datediff('day', DATE '1970-01-01',
         |                             CAST(ts AS DATE)) AS BIGINT) AS x,
-        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |               TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT) AS y
         |        FROM events)
         |  GROUP BY event_type)
         |SELECT event_type, n, sum_x, sum_y_e2,
@@ -510,7 +510,7 @@ object AnalyticsOps {
     (s, d) => maxDrawdown(Tables.events(s, d)),
     oracle = Some(
       """WITH y AS (SELECT event_type, event_id,
-        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |                  TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT) AS v
         |           FROM events),
         |p AS (SELECT event_type, v,
         |             max(v) OVER (PARTITION BY event_type ORDER BY event_id
@@ -552,7 +552,7 @@ object AnalyticsOps {
     oracle = Some(
       s"""WITH y AS (SELECT user_id, event_id,
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |                  TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT) AS v
         |           FROM events)
         |SELECT user_id, event_id, ts_sec,
         |       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec
@@ -586,7 +586,7 @@ object AnalyticsOps {
       .groupBy(col("event_type"),
         expr(ExactSql.HourSpark).as("hr"))
       .agg(count(lit(1)).as("cnt"),
-        expr("max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), struct(ts, event_id))")
+        expr("max_by(TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT), struct(ts, event_id))")
           .as("last_e2")))
     val grid = b.groupBy("event_type")
       .agg(min("hr").as("h0"), max("hr").as("h1"))
@@ -606,7 +606,7 @@ object AnalyticsOps {
       s"""WITH e AS (
         |  SELECT event_type,
         |         ${ExactSql.HourDuck} AS hr,
-        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+        |         TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT) AS v_e2,
         |         row_number() OVER (
         |           PARTITION BY event_type, ${ExactSql.HourDuck}
         |           ORDER BY ts DESC, event_id DESC) AS rn
@@ -911,10 +911,53 @@ object AnalyticsOps {
         |SELECT event_type, hr AS modal_hour, n AS modal_n
         |FROM r WHERE rk = 1""".stripMargin))
 
+  /** Q:dq_value_domain — the ingest-validation monitor paired with
+    * [[ExactSql.ValueE2]]'s TRY_CAST tolerance: per event type, how many
+    * value doubles are NULL, NaN, ±Inf, or finite-but-outside the
+    * documented money domain (|value| > 10¹¹, the x·y BIGINT bound from
+    * [[trendMoments]]). Tolerant aggregates skip those rows as NULL;
+    * this is the standing count an operator alerts on, so the tolerance
+    * can never become silent data loss. ONE map-side-combinable hash
+    * aggregate on the (event_type) key — the cheapest possible monitor
+    * at any scale. Non-finite tests are spelled with isnan + explicit
+    * ±Infinity equality because both dialects parse them identically
+    * (Spark has no isinf).
+    */
+  def dqValueDomain(events: DataFrame): DataFrame = {
+    val inf = lit(Double.PositiveInfinity)
+    val ninf = lit(Double.NegativeInfinity)
+    val v = col("value")
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(v.isNull, 1)).as("n_null"),
+        count(when(isnan(v), 1)).as("n_nan"),
+        count(when(v === inf || v === ninf, 1)).as("n_inf"),
+        count(when(!isnan(v) && v =!= inf && v =!= ninf && abs(v) > 1e11, 1))
+          .as("n_out_of_domain"))
+  }
+
+  val dqValueDomainQ = GQuery(
+    "dq_value_domain",
+    (s, d) => dqValueDomain(Tables.events(s, d)),
+    oracle = Some(
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       count(*) FILTER (value IS NULL) AS n_null,
+        |       count(*) FILTER (isnan(value)) AS n_nan,
+        |       count(*) FILTER (value = CAST('Infinity' AS DOUBLE)
+        |                        OR value = CAST('-Infinity' AS DOUBLE)) AS n_inf,
+        |       count(*) FILTER (NOT isnan(value)
+        |                        AND value <> CAST('Infinity' AS DOUBLE)
+        |                        AND value <> CAST('-Infinity' AS DOUBLE)
+        |                        AND abs(value) > 1e11) AS n_out_of_domain
+        |FROM events GROUP BY event_type""".stripMargin))
+
   val queries: Seq[GQuery] =
     Seq(funnelStages, funnelWindowedQ, cohortRetention, eventTransitions,
       anomalyBurstQ, assocLiftDailyQ, dauCumulativeQ, ohlcDailyQ,
       trendMomentsQ, maxDrawdownQ, sessionPathTopkQ, stickinessQ,
       followupPairsQ, churnAccountingQ, conversionLatencyQ, modeExactQ,
-      windowTrailingRangeQ, timeseriesGapfillQ)
+      windowTrailingRangeQ, timeseriesGapfillQ, dqValueDomainQ)
 }

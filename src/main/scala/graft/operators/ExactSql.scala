@@ -6,8 +6,26 @@ package graft.operators
   */
 object ExactSql {
 
-  /** The exact-cents summand: identical text parses in both dialects. */
-  val ValueE2 = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+  /** The exact-cents summand: identical text parses in both dialects.
+    * TRY_CAST, not CAST: a NaN/±Inf double in the value column (a 100 TB
+    * log will have some) must degrade to NULL — skipped by every
+    * aggregate identically on both engines — instead of killing the
+    * whole query with an ANSI overflow (Spark) or a conversion error
+    * (DuckDB). The tolerance is not silent: dq_value_domain is the
+    * standing monitor that counts non-finite and out-of-domain values
+    * per event type, the ingest-validation half of this contract. */
+  val ValueE2 = "TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)"
+
+  /** Row filter for value-quantile inputs: NULL and non-finite values
+    * carry no rank information, and left in they diverge the engines
+    * (Spark floor saturates NaN→0 / ±Inf→±Long extreme where DuckDB
+    * conversion-errors; NULL sort position is NULLS FIRST vs LAST). The
+    * 9.0e16 bound is [[ValueE2]]'s representability domain — the same
+    * rows ValueE2 nulls are the rows this predicate drops. Identical
+    * text parses in both dialects (Spark and DuckDB both have isnan;
+    * abs(±Inf) fails the < bound without an isinf spelling). */
+  val ValueFinite =
+    "(value IS NOT NULL AND NOT isnan(value) AND abs(value) < 9.0e16)"
 
   /** Event-time epoch seconds with FLOOR semantics on both engines.
     * Spark's unix_timestamp family truncates toward zero while DuckDB's

@@ -243,12 +243,12 @@ object RelationalOps {
         .withColumn("salt", col("event_id") % 16)
         .groupBy("event_type", "salt")
         .agg(count(lit(1)).as("pn"),
-          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("pv"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)")).as("pv"))
         .groupBy("event_type")
         .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_e2")),
     oracle = Some(
       """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         |FROM events GROUP BY event_type""".stripMargin))
 
   /** W5 completion: intersect — customers that are both MACHINERY-segment

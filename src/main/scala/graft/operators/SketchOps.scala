@@ -212,10 +212,11 @@ object SketchOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val h = Tables.events(s, d)
-        // null values carry no quantile information, and a NULL bin would
-        // sort FIRST in Spark's window but LAST in DuckDB's — shifting
-        // every cumulative sum differently per engine
-        .filter(col("value").isNotNull)
+        // null AND non-finite values carry no quantile information; left
+        // in they diverge the engines (NULL bins sort NULLS FIRST in
+        // Spark but LAST in DuckDB; Spark floor saturates NaN/Inf where
+        // DuckDB conversion-errors) — ExactSql.ValueFinite on both sides
+        .filter(expr(ExactSql.ValueFinite))
         .select(col("event_type"),
           expr("CAST(floor(value * 100) AS BIGINT) div 100").as("bin"))
         .groupBy("event_type", "bin")
@@ -231,10 +232,10 @@ object SketchOps {
           min(when(expr("cum * 100 >= 99 * n"), col("bin"))).as("p99_bin"))
     },
     oracle = Some(
-      """WITH h AS (SELECT event_type,
+      s"""WITH h AS (SELECT event_type,
         |                 CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
         |                 CAST(count(*) AS BIGINT) AS c
-        |          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |          FROM events WHERE ${ExactSql.ValueFinite} GROUP BY 1, 2),
         |cw AS (SELECT event_type, bin,
         |              CAST(sum(c) OVER (PARTITION BY event_type
         |                                ORDER BY bin) AS BIGINT) AS cum,
@@ -284,9 +285,9 @@ object SketchOps {
         // whose rows are all null would otherwise still emit a group with
         // an EMPTY kept array — which the oracle lacks, and whose
         // element_at(…, 1) throws under ANSI mode
-        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .filter(col("event_id").isNotNull && expr(ExactSql.ValueFinite))
         .select(col("event_type"), expr(EventIdHash).as("h"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+          expr("TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)").as("v"))
         .groupBy("event_type")
         .agg(expr(s"graft_qsketch(h, v, $QsK)").as("vs"))
         .select(col("event_type"),
@@ -298,9 +299,9 @@ object SketchOps {
     oracle = Some(
       s"""WITH b AS (SELECT DISTINCT event_type,
         |                  $EventIdHash AS h,
-        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |                  TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT) AS v
         |           FROM events
-        |           WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |           WHERE event_id IS NOT NULL AND ${ExactSql.ValueFinite}),
         |r AS (SELECT event_type, v,
         |             row_number() OVER (PARTITION BY event_type
         |                                ORDER BY h, v) AS rk

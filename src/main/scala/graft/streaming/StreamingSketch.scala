@@ -42,11 +42,13 @@ object StreamingSketch {
     import graft.operators.SketchOps
     graft.functions.QuantileSketchAggregate.ensureRegistered(events.sparkSession)
     events
-      // same null guard as the batch twin: no all-null group may emit an
-      // empty kept array (ANSI element_at would throw on it)
-      .filter(col("event_id").isNotNull && col("value").isNotNull)
+      // same guard as the batch twin (ExactSql.ValueFinite): no all-null
+      // group may emit an empty kept array (ANSI element_at would throw
+      // on it), and non-finite values carry no rank information
+      .filter(col("event_id").isNotNull &&
+        expr(graft.operators.ExactSql.ValueFinite))
       .select(col("event_type"), expr(SketchOps.EventIdHash).as("h"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        expr("TRY_CAST(floor(CASE WHEN isnan(value) OR abs(value) >= 9.0e16 THEN NULL ELSE value END * 100 + 0.5) AS BIGINT)").as("v"))
       .groupBy("event_type")
       .agg(expr(s"graft_qsketch(h, v, ${SketchOps.QsK})").as("vs"))
       .select(col("event_type"),

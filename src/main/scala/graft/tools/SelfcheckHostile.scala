@@ -204,7 +204,13 @@ object SelfcheckHostile {
       // probe)
       Ev(2023L, ts(23), 20L, "purchase", 1.0e9, "{\"k\": 17}"),
       Ev(2024L, ts(24), 21L, "purchase", -123.456, "{\"k\": 18}"),
-      Ev(2025L, ts(25), 22L, "purchase", 0.005, "{\"k\": 19}")
+      Ev(2025L, ts(25), 22L, "purchase", 0.005, "{\"k\": 19}"),
+      // non-finite doubles (standing): one NaN once crashed 6 Spark
+      // queries with ANSI overflow and 8 DuckDB oracles with conversion
+      // errors — ValueE2 is TRY_CAST-tolerant since, with dq_value_domain
+      // as the paired monitor
+      Ev(2026L, ts(26), 23L, "purchase", Double.NaN, "{\"k\": 20}"),
+      Ev(2027L, ts(27), 24L, "purchase", Double.PositiveInfinity, "{\"k\": 21}")
     )
   }
 
