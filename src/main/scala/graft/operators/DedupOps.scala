@@ -38,6 +38,12 @@ object DedupOps {
   private val M64 = "18446744073709551616" // 2^64
   val CosineThreshold = 0.4
 
+  /** The embeddings table's declared vector width — part of the table
+    * contract, like a column type. [[normalizedVecs]] gates on it (and
+    * every vec oracle CTE carries the matching `len(embedding) = 64`):
+    * cosine is only defined within one space. */
+  val EmbeddingDim = 64
+
   /** Stop-shingle document-frequency cap for the n-gram Jaccard path: a
     * shingle occurring in more than this many documents is boilerplate, not
     * a similarity signal, and contributes df² rows to the pair join — the
@@ -554,7 +560,7 @@ object DedupOps {
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
-         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -1218,7 +1224,7 @@ object DedupOps {
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
-         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e),
          |wc AS (
@@ -1393,7 +1399,7 @@ object DedupOps {
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
-         |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |de_wb AS (SELECT vec_id, v, nrm, $bandCols FROM de_e),
          |de_bb AS (
@@ -1432,7 +1438,7 @@ object DedupOps {
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |  FROM embeddings
-       |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+       |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
        |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
        |${p}wb AS (SELECT vec_id, v, nrm, $bandCols FROM ${p}e),
        |${p}bb AS (
@@ -1477,8 +1483,13 @@ object DedupOps {
       // a null ELEMENT null-poisons graft_dot while DuckDB's list_sum
       // skips nulls; either case was a cross-engine divergence, not a
       // result. nrm > 0 drops zero vectors; null elements null-poison
-      // nrm itself, so the same predicate drops them too.
-      .filter(col("nrm") > 0)
+      // nrm itself, so the same predicate drops them too. The dimension
+      // gate keeps only vectors of the table's declared width: a
+      // wrong-length row (partial write, re-ingest of an older model's
+      // vectors) has no cosine against this space, and left in, the
+      // mismatched dot diverges by engine (the kernel walks the shorter
+      // array where DuckDB's 1..len(a) subscripts null-pad the longer).
+      .filter(size(col("v")) === EmbeddingDim && col("nrm") > 0)
   }
 
   /** cosine between aliased sides a/b of a self-join on [[normalizedVecs]]. */

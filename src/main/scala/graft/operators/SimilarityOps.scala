@@ -78,7 +78,7 @@ object SimilarityOps {
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings
-      |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+      |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
       |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)""".stripMargin
 
   // one normalization + one cosine definition, shared with the dedup path

@@ -135,7 +135,14 @@ object SelfcheckHostile {
       // is what established the bound: ±10³ flips a double-vs-integer
       // argmin, ±10⁶ overflows BIGINT with an ANSI CAST_OVERFLOW throw.
       mk(36L, j => if (j % 2 == 0) 10f else -10f, 6),
-      Vec(37L, null, 7) // whole-vector NULL: excluded like zero-norm rows
+      Vec(37L, null, 7), // whole-vector NULL: excluded like zero-norm rows
+      // wrong-length and empty vectors, standing: re-ingest/corruption
+      // shapes — excluded by the declared-dimension gate on both engines
+      // (a 32-dim row once crashed the Lloyd iteration and shifted three
+      // ANN row sets: the kernel walks the shorter array where DuckDB
+      // null-pads the longer)
+      Vec(38L, Array.tabulate(32)(j => java.lang.Float.valueOf(base(38L)(j))), 8),
+      Vec(39L, Array.empty[java.lang.Float], 9)
     )
   }
 
