@@ -561,7 +561,9 @@ object DedupOps {
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
          |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
+         |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(list_sum(list_transform(generate_series(1, len(a.v)),
          |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
@@ -1225,7 +1227,9 @@ object DedupOps {
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
          |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+         |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |wb AS (SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuck} AS bucket FROM e),
          |wc AS (
          |  SELECT wb.vec_id, wb.v, wb.nrm, wb.bucket FROM wb
@@ -1400,7 +1404,9 @@ object DedupOps {
          |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
          |  FROM embeddings
          |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+         |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
          |de_wb AS (SELECT vec_id, v, nrm, $bandCols FROM de_e),
          |de_bb AS (
          |  SELECT vec_id, u.band, u.bucket FROM de_wb,
@@ -1439,7 +1445,9 @@ object DedupOps {
        |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |  FROM embeddings
        |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-       |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+       |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
        |${p}wb AS (SELECT vec_id, v, nrm, $bandCols FROM ${p}e),
        |${p}bb AS (
        |  SELECT vec_id, u.band, u.bucket FROM ${p}wb,
@@ -1489,7 +1497,14 @@ object DedupOps {
       // vectors) has no cosine against this space, and left in, the
       // mismatched dot diverges by engine (the kernel walks the shorter
       // array where DuckDB's 1..len(a) subscripts null-pad the longer).
-      .filter(size(col("v")) === EmbeddingDim && col("nrm") > 0)
+      // NOT a redundant spelling: BOTH engines evaluate NaN > 0 as TRUE
+      // (the NaN-sorts-greatest total order extends to comparisons), so
+      // a NaN-element vector sails through a bare nrm > 0 and crashes
+      // the quantizer/Lloyd kernels downstream — the isnan and Infinity
+      // guards do the real excluding (hostile vec_id 40 pins this).
+      .filter(size(col("v")) === EmbeddingDim &&
+        !isnan(col("nrm")) && col("nrm") < lit(Double.PositiveInfinity) &&
+        col("nrm") > 0)
   }
 
   /** cosine between aliased sides a/b of a self-join on [[normalizedVecs]]. */

@@ -218,7 +218,9 @@ object KMeansOps {
       |           x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
       |  FROM embeddings
       |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-      |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+      |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < 8)""".stripMargin
 
   /** One unrolled Lloyd's iteration: assignment (cross join + argmin over the

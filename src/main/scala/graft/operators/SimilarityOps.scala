@@ -79,7 +79,9 @@ object SimilarityOps {
       |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings
       |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-      |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)""".stripMargin
+      |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)""".stripMargin
 
   // one normalization + one cosine definition, shared with the dedup path
   private def vecs(s: SparkSession, d: String): DataFrame =

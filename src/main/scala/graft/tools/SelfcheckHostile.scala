@@ -142,7 +142,16 @@ object SelfcheckHostile {
       // ANN row sets: the kernel walks the shorter array where DuckDB
       // null-pads the longer)
       Vec(38L, Array.tabulate(32)(j => java.lang.Float.valueOf(base(38L)(j))), 8),
-      Vec(39L, Array.empty[java.lang.Float], 9)
+      Vec(39L, Array.empty[java.lang.Float], 9),
+      // one NaN element: nrm becomes NaN — which BOTH engines evaluate
+      // as > 0 (NaN-sorts-greatest extends to comparisons), so this row
+      // sailed past the old bare nrm > 0 filter and crashed the
+      // quantizer/Lloyd kernels; the explicit isnan guard in
+      // normalizedVecs (and its oracle twin) is what excludes it
+      Vec(40L, {
+        val a = Array.tabulate(64)(j => java.lang.Float.valueOf(base(40L)(j)))
+        a(5) = java.lang.Float.valueOf(Float.NaN); a
+      }, 0)
     )
   }
 
@@ -217,7 +226,13 @@ object SelfcheckHostile {
       // errors — ValueE2 is TRY_CAST-tolerant since, with dq_value_domain
       // as the paired monitor
       Ev(2026L, ts(26), 23L, "purchase", Double.NaN, "{\"k\": 20}"),
-      Ev(2027L, ts(27), 24L, "purchase", Double.PositiveInfinity, "{\"k\": 21}")
+      Ev(2027L, ts(27), 24L, "purchase", Double.PositiveInfinity, "{\"k\": 21}"),
+      // an exact duplicate delivery (at-least-once replay shape): same
+      // event_id, same everything — batch queries must count it twice
+      // IDENTICALLY on both engines (streaming dedup is the dedicated
+      // exactly-once operator; the batch surface does not silently dedup)
+      Ev(2028L, ts(28), 25L, "click", 7.5, "{\"k\": 22}"),
+      Ev(2028L, ts(28), 25L, "click", 7.5, "{\"k\": 22}")
     )
   }
 
