@@ -858,6 +858,46 @@ object RelationalOps {
       }.mkString("", "\nUNION ALL\n", "")))
   }
 
+  /** Q:dq_pk_uniqueness — the primary-key audit completing the dq
+    * family (referential integrity → [[dqReferential]], value domains →
+    * AnalyticsOps.dqValueDomain): per entity table, total rows, distinct
+    * keys, duplicated keys, and the surplus rows a dedup would drop. An
+    * at-least-once ingest WILL deliver duplicates (the hostile corpus
+    * carries one, so this audit is non-vacuous in the gate) and every
+    * keyed operator downstream assumes the key is unique — this is the
+    * monitor that says when that assumption broke. ONE map-side-
+    * combinable aggregate per table over just the key column (pruned
+    * scan), then a 1-row reduction each; unioned audit frame, nothing
+    * driver-side.
+    */
+  val dqPkUniqueness: GQuery = {
+    val tables = Seq(
+      ("events", "event_id"), ("documents", "doc_id"), ("embeddings", "vec_id"))
+    GQuery(
+      "dq_pk_uniqueness",
+      (s, d) => tables.map { case (t, k) =>
+        Tables.table(s, d, t)
+          .groupBy(col(k).as("k")).agg(count(lit(1)).as("n"))
+          .agg(
+            sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+              .as("n_surplus_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("n_keys"),
+            col("n_dup_keys"), col("n_surplus_rows"))
+      }.reduce(_ union _),
+      oracle = Some(tables.map { case (t, k) =>
+        s"""SELECT '$t' AS table_name,
+           |       CAST(sum(n) AS BIGINT) AS n_rows,
+           |       count(*) AS n_keys,
+           |       count(*) FILTER (n > 1) AS n_dup_keys,
+           |       CAST(coalesce(sum(n - 1) FILTER (n > 1), 0) AS BIGINT)
+           |         AS n_surplus_rows
+           |FROM (SELECT $k, count(*) AS n FROM $t GROUP BY $k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")))
+  }
+
   /** Q:q14_promo_share — TPC-H Q14 (promotion effect) as a monthly
     * series: revenue from promoted part types vs total, per ship month.
     * The textbook emits the percentage; here BOTH legs are scaled-integer
@@ -1691,7 +1731,8 @@ object RelationalOps {
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
-    q14PromoShare, reshapeUnpivot, windowNtileQuartiles, skewReport,
+    dqPkUniqueness, q14PromoShare, reshapeUnpivot, windowNtileQuartiles,
+    skewReport,
     q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity,
     q4OrderPriority, q6ForecastRevenue, q13CustomerDistribution,
     q15TopSupplier, q17SmallQuantityRevenue, q2MinCostSupplier,

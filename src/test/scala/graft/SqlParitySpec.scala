@@ -55,6 +55,7 @@ class SqlParitySpec extends SparkSuite {
     "array_membership", "assoc_lift_daily", "churn_accounting",
     "cohort_retention", "conversion_latency_histogram", "dau_cumulative",
     "decontam_bloom", "decontam_ngram_exact", "dedup_embedding_cosine",
+    "dq_pk_uniqueness", "dq_value_domain",
     "dedup_ngram_jaccard", "encode_decode_roundtrip", "event_transitions",
     "filter_bounds", "filter_self_kill", "flame_blocking", "flame_cells",
     "gen_id_suffix", "graph_lcc_topk", "graph_pagerank",
