@@ -288,9 +288,13 @@ object EventOps {
     oracle = Some(
       """SELECT event_id, k FROM (
         |  SELECT event_id,
-        |         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-        |                       THEN json_extract_string(props, '$.k') END
-        |                  AS BIGINT) AS k
+        |         -- integral-only regex before the cast: DuckDB TRY_CAST
+        |         -- ROUNDS a float string (8.5 -> 9) where Spark try_cast
+        |         -- nulls it (see GraphOps.ItemDuck note)
+        |         TRY_CAST(regexp_extract(
+        |             CASE WHEN props IS NOT NULL AND json_valid(props)
+        |                  THEN json_extract_string(props, '$.k') END,
+        |             '^(-?\d+)$', 1) AS BIGINT) AS k
         |  FROM events)
         |WHERE k > 90""".stripMargin))
 

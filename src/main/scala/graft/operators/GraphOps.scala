@@ -50,9 +50,19 @@ object GraphOps {
     * json_extract the way get_json_object nulls on invalid input.
     */
   private val ItemDuck =
-    """TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-      |              THEN json_extract_string(props, '$.k') END
-      |         AS BIGINT)""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    """TRY_CAST(regexp_extract(
+      |           CASE WHEN props IS NOT NULL AND json_valid(props)
+      |                THEN json_extract_string(props, '$.k') END,
+      |           '^(-?\d+)$', 1) AS BIGINT)""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** Why the integral-regex wrapper inside [[ItemDuck]]: DuckDB's
+    * string→BIGINT cast parses '8.5' as a double and ROUNDS to 9, where
+    * Spark's try_cast nulls any non-integral string — a float-valued k
+    * payload fabricated a phantom graph node in every oracle until the
+    * regex pinned integral-only parsing on both engines (regexp_extract
+    * returns ''/NULL on no-match in both dialects, and TRY_CAST nulls
+    * either). */
 
   /** Directed temporal-adjacency edges (src, dst), deduplicated. The
     * first-touch aggregate is map-side combinable on (item, user); the

@@ -232,7 +232,15 @@ object SelfcheckHostile {
       // IDENTICALLY on both engines (streaming dedup is the dedicated
       // exactly-once operator; the batch surface does not silently dedup)
       Ev(2028L, ts(28), 25L, "click", 7.5, "{\"k\": 22}"),
-      Ev(2028L, ts(28), 25L, "click", 7.5, "{\"k\": 22}")
+      Ev(2028L, ts(28), 25L, "click", 7.5, "{\"k\": 22}"),
+      // typed-payload shapes: a quoted k (JSON string, regex no-match), a
+      // negative k (JSON −3; the \d+ regex sees only "3"), a float k
+      // (JSON "8.5" TRY_CASTs to NULL on both engines; the regex stops at
+      // the dot and reads 8) — each family must track ITS OWN parse rule
+      // and its oracle twin, not the other family's
+      Ev(2029L, ts(29), 26L, "error", 2.0, "{\"k\": \"87\"}"),
+      Ev(2030L, ts(30), 27L, "error", 2.0, "{\"k\": -3}"),
+      Ev(2031L, ts(31), 28L, "error", 2.0, "{\"k\": 8.5}")
     )
   }
 
