@@ -21,14 +21,14 @@ import org.apache.spark.sql.SparkSession
   * event types, null/negative/Long.MaxValue user ids, null/epoch/
   * pre-epoch/far-future timestamps, identical-timestamp runs, null/−0.0/
   * extreme values) — while the seven TPC-H-only tables are byte-copies of
-  * the smoke testbed, so the ENTIRE 180-query registry runs against it
+  * the smoke testbed, so the ENTIRE query registry runs against it
   * through the ordinary gate:
   *
   *   sbt "runMain graft.tools.SelfcheckHostile /tmp/graft_hostile/data"
   *   sbt "runMain graft.Verify /tmp/graft_hostile/data /tmp/graft_hostile/out"
   *   python3 scripts/selfcheck.py /tmp/graft_hostile/data /tmp/graft_hostile/out
   *
-  * Expected: 180/180 PASS. Any FAIL is an engine/oracle divergence the
+  * Expected: every registered query PASSES (N/N). Any FAIL is an engine/oracle divergence the
   * standard corpus masks — exactly the class of bug this gate exists to
   * catch each round.
   */
