@@ -102,7 +102,20 @@ object SelfcheckHostile {
       // dotted İ lowers to i+combining-dot in Java, ẞ to ß, final sigma
       // stays ς, the ﬁ ligature has no single-char lower)
       doc(28, "İstanbul ve ısparta: DİYARBAKIR IĞDIR kayık", "tr", "src7"),
-      doc(29, "GROẞE STRAẞE und die ﬁnale Σίσυφος ΟΔΥΣΣΕΥΣ ς σ", "de", "src8")
+      doc(29, "GROẞE STRAẞE und die ﬁnale Σίσυφος ΟΔΥΣΣΕΥΣ ς σ", "de", "src8"),
+      // ~8 KB document (an order of magnitude above every other row):
+      // stresses the per-doc loops without blowing up the GATE itself —
+      // a 100 KB probe ran the ENGINE in normal time (1m50s for all 182)
+      // but the oracle side's DuckUtf8 byte-expansion folds took >10 min,
+      // so the standing row stays at the largest size the DuckDB replay
+      // handles in seconds (per-doc asymptotics beyond this are covered
+      // by the scale smokes with planted exactness, not the oracle gate)
+      doc(30, {
+        val rnd = new scala.util.Random(42)
+        val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+          "zeta", "eta", "theta", "iota", "kappa", "la\u00efc", "m\u00fcde")
+        Seq.fill(1300)(words(rnd.nextInt(words.length))).mkString(" ")
+      }, "en", "src9")
     )
   }
 
