@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cross-session persistence for build-once index artifacts (the
@@ -13,9 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * and a fresh session load-or-builds: fingerprint match ⇒ one parquet
   * read, no recompute; fingerprint miss (in-place dataset rewrite) ⇒
-  * normal build, new artifact written beside the stale one. Parquet via
-  * the session's Hadoop FS means the same code persists to local disk,
-  * HDFS or S3 — wherever the deployment keeps shared state.
+  * normal build, new artifact written beside the stale one. EVERY path
+  * operation — the `_SUCCESS` probe, the publish rename, the race-loser
+  * cleanup — goes through the `org.apache.hadoop.fs.FileSystem` resolved
+  * from the artifact path and the session's Hadoop configuration, the
+  * same resolution the parquet read/write uses. So the same code persists
+  * to local disk, HDFS or S3 — wherever the deployment keeps shared
+  * state — with no silent local-only fallback.
   *
   * Unset (the default, and the posture of Verify/Bench so driver timings
   * keep measuring real builds), nothing is read or written and the memos
@@ -43,6 +48,13 @@ object ArtifactStore {
   private def root(spark: SparkSession): Option[String] =
     spark.conf.getOption(DirConfKey).filter(_.nonEmpty)
 
+  /** The FileSystem serving `path` under the session's Hadoop conf — the
+    * SAME resolution `df.write.parquet(path)` performs, so the probe and
+    * the publish always talk to the store the artifact bytes live on
+    * (local, HDFS, S3A, ...). */
+  private def fsFor(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Artifact path for (`name`, dataset `dir`, `fingerprint`) — the dir
     * hash keeps two datasets with coincidentally equal metadata
     * fingerprints apart. */
@@ -59,40 +71,70 @@ object ArtifactStore {
               fingerprint: String): Option[V] =
     root(spark).flatMap { r =>
       val path = pathFor(r, p.name, dir, fingerprint)
-      // _SUCCESS gates on a COMPLETE write: the rename is atomic, but a
-      // crashed pre-rename session leaves only temp dirs, which we never
-      // read
-      if (new java.io.File(path, "_SUCCESS").exists())
-        try Some(p.load(spark, path))
-        catch { case scala.util.control.NonFatal(_) => None }
-      else None
+      try {
+        // _SUCCESS gates on a COMPLETE write: the rename is atomic, but a
+        // crashed pre-rename session leaves only temp dirs, which we
+        // never read
+        val success = new Path(path, "_SUCCESS")
+        if (fsFor(spark, success).exists(success)) Some(p.load(spark, path))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Persist the artifact (no-op when the store is disabled). Failures are
     * swallowed: the session already holds the in-memory value, and a cache
-    * write must never fail the query that built it. */
+    * write must never fail the query that built it.
+    *
+    * `replace = false` (the default) keeps the incumbent when one exists —
+    * right for artifacts whose content is a pure function of the
+    * fingerprint. `replace = true` swaps the new artifact in over the old
+    * one — for artifacts that EXTEND across sessions (the Lloyd iteration
+    * prefix), where a deeper state must supersede a shallower persisted
+    * one or every fresh session re-pays the deep iterations forever. A
+    * reader racing the swap sees either the old artifact, the new one, or
+    * a missing `_SUCCESS` (⇒ rebuild) — never a torn mix, because the
+    * unit of publish is a whole-directory rename.
+    */
   def save[V](spark: SparkSession, p: Persistence[V], dir: String,
-              fingerprint: String, v: V): Unit =
+              fingerprint: String, v: V, replace: Boolean = false): Unit =
     root(spark).foreach { r =>
       try {
-        val path = pathFor(r, p.name, dir, fingerprint)
-        val tmp = s"$path.tmp-${spark.sparkContext.applicationId}"
-        p.save(spark, tmp, v)
-        val (src, dst) = (new java.io.File(tmp), new java.io.File(path))
-        if (!src.renameTo(dst)) {
+        val dst = new Path(pathFor(r, p.name, dir, fingerprint))
+        val tmp = new Path(
+          s"${dst.toString}.tmp-${spark.sparkContext.applicationId}")
+        p.save(spark, tmp.toString, v)
+        val fs = fsFor(spark, dst)
+        if (replace && fs.exists(dst)) {
+          // swap: move the incumbent aside, publish, drop the old copy.
+          // A crash mid-swap leaves no dst → degrade-to-rebuild.
+          val aside = new Path(
+            s"${dst.toString}.old-${spark.sparkContext.applicationId}")
+          fs.delete(aside, true)
+          if (fs.rename(dst, aside)) {
+            if (publish(fs, tmp, dst)) fs.delete(aside, true): Unit
+            else { fs.rename(aside, dst); fs.delete(tmp, true): Unit }
+          } else fs.delete(tmp, true): Unit
+        } else if (!publish(fs, tmp, dst)) {
           // lost the race (or a stale artifact dir exists): keep the
           // incumbent, drop ours
-          deleteRecursively(src)
+          fs.delete(tmp, true): Unit
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  /** Atomic publish of `tmp` as `dst`; false when an incumbent holds the
+    * slot. Hadoop's `rename(src, dst)` with an EXISTING directory `dst`
+    * moves src INSIDE dst (POSIX `mv` semantics) — so probe first, and if
+    * a racer slips between probe and rename, detect the nested stray and
+    * remove it. */
+  private def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.exists(dst)) false
+    else if (!fs.rename(tmp, dst)) false
+    else {
+      val nested = new Path(dst, tmp.getName)
+      if (fs.exists(nested)) { fs.delete(nested, true); false }
+      else true
+    }
 
   /** A DataFrame artifact: saved as-is, loaded as a plain parquet scan —
     * which doubles as the staging medium, so a loaded artifact needs no
@@ -103,13 +145,22 @@ object ArtifactStore {
     load = (spark, path) => spark.read.parquet(path))
 
   /** A packed-words artifact (the Bloom filter): order carried by an
-    * explicit index column — parquet row order is not a contract. */
+    * explicit index column — parquet row order is not a contract. The
+    * save ships the array once as a broadcast and builds rows on the
+    * executor side: a production Bloom filter is hundreds of MB of packed
+    * longs, and a driver-side boxed `Seq[(Int, Long)]` would be a ~6×
+    * transient heap spike on top of the array itself. */
   def longArray(name: String): Persistence[Array[Long]] = Persistence(
     name,
     save = (spark, path, words) => {
       import spark.implicits._
-      words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
-        .toDF("i", "w").repartition(1).write.mode("overwrite").parquet(path)
+      val bc = spark.sparkContext.broadcast(words)
+      try
+        spark.range(words.length.toLong)
+          .map(i => (i.toInt, bc.value(i.toInt)))
+          .toDF("i", "w").repartition(1)
+          .write.mode("overwrite").parquet(path)
+      finally bc.destroy()
     },
     load = (spark, path) => {
       val rows = spark.read.parquet(path).collect()

@@ -190,12 +190,16 @@ object KMeansOps {
         val rows = sums(withCid(pts, cur.map(c => (c._1, c._2)))).collect()
         states = states :+ nextCents(cur, rows)
       }
-      // write through only when this call actually extended the sequence;
-      // the store's rename-no-overwrite keeps the first complete artifact
-      // if one already exists (a later, deeper save is dropped benignly —
-      // the next session extends from the persisted prefix)
+      // write through only when this call actually extended the sequence,
+      // and REPLACE the persisted artifact: the model extends across
+      // sessions, and a deeper state must supersede a shallower persisted
+      // one or every fresh session permanently re-pays the iterations
+      // beyond the first-ever persisted depth. The swap publishes whole
+      // directories, so a racing reader sees old, new, or missing-⇒rebuild
+      // — never a torn mix.
       if (states.length > persistedLen)
-        graft.ArtifactStore.save(spark, modelPersistence, d, key._3, states)
+        graft.ArtifactStore.save(spark, modelPersistence, d, key._3, states,
+          replace = true)
       // an in-place rewrite changes the fingerprint: drop entries the new
       // fingerprint supersedes for the same (app, dir) so stale models
       // don't accumulate over a long-lived application

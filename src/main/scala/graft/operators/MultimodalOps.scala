@@ -123,7 +123,9 @@ object MultimodalOps {
       var dataBytes = -1L
       while (off + 8 <= b.length && (sampleRate < 0 || dataBytes < 0)) {
         val id = tag(b, off)
-        val size = u32(b, off + 4)
+        val size = u32(b, off + 4) // uint32: NEVER narrow to Int — a
+        // hostile size like 0xFFFFFFF8 would make the advance zero or
+        // negative and hang the walk
         if (id == "fmt ") {
           if (off + 8 + 16 > b.length) bad("truncated fmt chunk")
           channels = u16(b, off + 10).toLong
@@ -134,7 +136,14 @@ object MultimodalOps {
           // bytes actually present, like any streaming-tolerant reader
           dataBytes = math.min(size, (b.length - off - 8).toLong)
         }
-        off += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+        // a non-terminal chunk whose declared size exceeds the remaining
+        // buffer cannot be walked past: either we already have what we
+        // need (loop condition ends us) or the payload is corrupt
+        val advance = 8L + size + (size & 1L) // word-aligned; always ≥ 8
+        if (off.toLong + advance > b.length.toLong &&
+            (sampleRate < 0 || dataBytes < 0))
+          bad(s"chunk '$id' size $size overruns ${b.length}-byte buffer")
+        off = math.min(off.toLong + advance, b.length.toLong).toInt
       }
       if (sampleRate < 0) bad("no fmt chunk")
       if (dataBytes < 0) bad("no data chunk")

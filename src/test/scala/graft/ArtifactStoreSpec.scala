@@ -107,6 +107,78 @@ class ArtifactStoreSpec extends SparkSuite {
     }
   }
 
+  test("path ops run through the artifact path's Hadoop FileSystem") {
+    // The store claims "local disk, HDFS or S3". Registering a counting
+    // FileSystem under a fake countfs:// scheme proves the claim's
+    // mechanism: every probe/publish/cleanup resolves the scheme's
+    // FileSystem (as parquet read/write do) — a java.io.File fallback
+    // (the round-12 fault) would miss every probe and fail every rename.
+    val ds = scratchDataset()
+    val local = tempDir("graft-countfs-store")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    spark.conf.set(ArtifactStore.DirConfKey, s"countfs://$local")
+    try {
+      CountingLocalFs.reset()
+      var builds = 0
+      def build = { builds += 1; spark.range(4).toDF("doc_id") }
+      val p = Some(ArtifactStore.frame("spec_countfs"))
+      new DatasetMemo[org.apache.spark.sql.DataFrame](p)
+        .get(spark, ds, "documents.parquet")(build)
+      assert(builds === 1)
+      // the publish rename reached the countfs FileSystem: the artifact
+      // sits on the backing local disk, complete, with no .tmp- leak
+      val dirs = Option(new java.io.File(s"$local/spec_countfs").listFiles())
+        .getOrElse(Array.empty).toSeq
+      assert(dirs.count(_.isDirectory) === 1,
+        s"expected exactly the published artifact, got $dirs")
+      assert(!dirs.head.getName.contains(".tmp-"), "temp dir leaked")
+      assert(new java.io.File(dirs.head, "_SUCCESS").exists())
+      assert(CountingLocalFs.renameCalls.get() >= 1,
+        "publish rename never reached the scheme's FileSystem")
+      // a fresh memo must HIT through countfs: probe + load, no rebuild
+      val probesBefore = CountingLocalFs.existsCalls.get()
+      val reloaded = new DatasetMemo[org.apache.spark.sql.DataFrame](p)
+        .get(spark, ds, "documents.parquet")(build)
+      assert(builds === 1,
+        "fresh memo rebuilt: the _SUCCESS probe missed through countfs")
+      assert(reloaded.count() === 4)
+      assert(CountingLocalFs.existsCalls.get() > probesBefore,
+        "the _SUCCESS probe never reached the scheme's FileSystem")
+    } finally {
+      spark.conf.unset(ArtifactStore.DirConfKey)
+      hconf.unset("fs.countfs.impl")
+    }
+  }
+
+  test("the race loser keeps the incumbent and leaves no temp dir") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_race")
+      ArtifactStore.save(spark, p, ds, "fixedfp", spark.range(3).toDF("v"))
+      // second writer for the same slot = the race loser
+      ArtifactStore.save(spark, p, ds, "fixedfp", spark.range(9).toDF("v"))
+      assert(ArtifactStore.load(spark, p, ds, "fixedfp").get.count() === 3,
+        "incumbent was overwritten by the race loser")
+      val dirs = new java.io.File(s"$store/spec_race").listFiles().toSeq
+      assert(dirs.count(_.isDirectory) === 1, s"temp dir leaked: $dirs")
+    }
+  }
+
+  test("replace=true swaps the new artifact in with no leftovers") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_replace")
+      ArtifactStore.save(spark, p, ds, "fixedfp", spark.range(2).toDF("v"))
+      ArtifactStore.save(spark, p, ds, "fixedfp", spark.range(7).toDF("v"),
+        replace = true)
+      assert(ArtifactStore.load(spark, p, ds, "fixedfp").get.count() === 7,
+        "replace kept the shallow incumbent")
+      val dirs = new java.io.File(s"$store/spec_replace").listFiles().toSeq
+      assert(dirs.count(_.isDirectory) === 1, s"tmp/old dir leaked: $dirs")
+    }
+  }
+
   test("real call sites write through: bloom words and the IVF model") {
     val ds = scratchDataset()
     withStore { store =>

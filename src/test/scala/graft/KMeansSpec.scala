@@ -48,6 +48,35 @@ class KMeansSpec extends SparkSuite {
     assert(costs.sliding(2).forall { case Seq(a, b) => b <= a })
   }
 
+  test("a deeper Lloyd state supersedes the shallower persisted artifact") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // scratch dataset copy ⇒ a model key no earlier test has memoized, so
+    // both lloyd calls below really hit the store
+    val ds = Files.createTempDirectory("graft-lloyd-ds").toString
+    Files.copy(Paths.get(smokeDir, "embeddings.parquet"),
+      Paths.get(ds, "embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val store = Files.createTempDirectory("graft-lloyd-store").toString
+    spark.conf.set(graft.ArtifactStore.DirConfKey, store)
+    try {
+      val staged = Materialize.stage(KMeansOps.quantized(spark, ds))
+      def persistedDepth: Int = {
+        val dirs = new java.io.File(s"$store/ivf_model").listFiles()
+          .filter(_.isDirectory)
+        assert(dirs.length === 1, s"expected one artifact dir, got ${dirs.toSeq}")
+        spark.read.parquet(dirs.head.toString)
+          .agg(max("iter")).head.getInt(0)
+      }
+      KMeansOps.lloyd(staged, ds, 1)
+      assert(persistedDepth === 1)
+      // deeper call in the same session must REPLACE the persisted model:
+      // with keep-incumbent semantics every fresh session would re-pay
+      // iterations 2.. forever (the round-12 advice item)
+      KMeansOps.lloyd(staged, ds, 3)
+      assert(persistedDepth === 3,
+        "deeper Lloyd state was not persisted over the shallow artifact")
+    } finally spark.conf.unset(graft.ArtifactStore.DirConfKey)
+  }
+
   test("ann_ivf_trained_topk: every rank run dense, neighbors share the cell") {
     val out = KMeansOps.annIvfTrainedTopk.run(spark, smokeDir)
     val rows = out.collect()

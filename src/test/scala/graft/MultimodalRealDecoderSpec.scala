@@ -79,6 +79,31 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     assert(RealDecoder.decode("audio/wav", bb.array()) === ((22050L, 1L, 4L)))
   }
 
+  test("hostile uint32 chunk size fails typed instead of hanging the walk") {
+    // A pre-fmt chunk declaring size 0xFFFFFFF8 (4 GiB − 8). Narrowed to
+    // Int that is −8, making the old advance 8 + (−8) + 0 = 0 — an
+    // infinite loop in the task. The walk must keep the size unsigned and
+    // reject the overrun with a typed error.
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(0).put("WAVE".getBytes("ASCII"))
+    bb.put("junk".getBytes("ASCII")).putInt(0xFFFFFFF8)
+    bb.put(Array.fill[Byte](8)(0))
+    val e = intercept[IllegalArgumentException](
+      RealDecoder.decode("audio/wav", bb.array()))
+    assert(e.getMessage.contains("overruns"))
+    // Same trap on the fmt chunk itself: declared size fits as a walkable
+    // advance only if treated unsigned
+    val bb2 = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put("RIFF".getBytes("ASCII")).putInt(0).put("WAVE".getBytes("ASCII"))
+    bb2.put("fmt ".getBytes("ASCII")).putInt(0xFFFFFFFE)
+    bb2.put(Array.fill[Byte](16)(1))
+    val e2 = intercept[IllegalArgumentException](
+      RealDecoder.decode("audio/wav", bb2.array()))
+    assert(e2.getMessage.nonEmpty) // typed, not a hang
+  }
+
   test("undecodable bytes fail typed, naming the problem") {
     val garbage = Array.tabulate[Byte](64)(i => (i * 17 + 3).toByte)
     val eImg = intercept[IllegalArgumentException](
