@@ -35,22 +35,22 @@ object RelationalOps {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("sum_qty"),
-          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)"))
             .as("sum_base_price_e2"),
-          sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
             .as("sum_disc_price_e4"),
           expr("CAST(sum(CAST(l_quantity AS BIGINT)) * 10000 div count(1) AS BIGINT)")
             .as("avg_qty_e4"),
-          expr("CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * 100 div count(1) AS BIGINT)")
+          expr("CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_discount) OR abs(l_discount) >= 9.0e16 THEN NULL ELSE l_discount END * 100 + 0.5) AS BIGINT)) * 100 div count(1) AS BIGINT)")
             .as("avg_disc_e4"),
           count(lit(1)).as("count_order")),
     oracle = Some(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
         |       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_qty_e4,
-        |       CAST(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100 // count(*) AS BIGINT) AS avg_disc_e4,
+        |       CAST(CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_discount) OR abs(l_discount) >= 9.0e16 THEN NULL ELSE l_discount END * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100 // count(*) AS BIGINT) AS avg_disc_e4,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -68,11 +68,11 @@ object RelationalOps {
               col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-             sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             sum(expr("TRY_CAST(floor(CASE WHEN isnan(o_totalprice) OR abs(o_totalprice) >= 9.0e16 THEN NULL ELSE o_totalprice END * 100 + 0.5) AS BIGINT)"))
                .as("total_spend_e2")),
     oracle = Some(
       """SELECT c_custkey, c_name, c_mktsegment, count(*) AS n_orders,
-        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_spend_e2
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(o_totalprice) OR abs(o_totalprice) >= 9.0e16 THEN NULL ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_spend_e2
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name, c_mktsegment""".stripMargin),
     bench = true)
@@ -91,12 +91,12 @@ object RelationalOps {
               col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(sum(expr(
-               "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+               "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
                .as("revenue_e4"),
              count(lit(1)).as("n_items")),
     oracle = Some(
       """SELECT n_name,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -167,11 +167,11 @@ object RelationalOps {
         // scaled cent sum — round(avg(double), 2) is the cross-engine-
         // unsafe form for terminating inputs
         .agg(count(lit(1)).as("n"),
-             expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div count(1) AS BIGINT)")
+             expr("CAST(sum(TRY_CAST(floor(CASE WHEN isnan(o_totalprice) OR abs(o_totalprice) >= 9.0e16 THEN NULL ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) div count(1) AS BIGINT)")
                .as("avg_price_e2")),
     oracle = Some(
       """SELECT o_orderpriority, count(*) AS n,
-        |       CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // count(*) AS BIGINT) AS avg_price_e2
+        |       CAST(CAST(sum(TRY_CAST(floor(CASE WHEN isnan(o_totalprice) OR abs(o_totalprice) >= 9.0e16 THEN NULL ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) AS BIGINT) // count(*) AS BIGINT) AS avg_price_e2
         |FROM orders WHERE o_totalprice > 1000.0
         |GROUP BY o_orderpriority""".stripMargin))
 
@@ -300,20 +300,32 @@ object RelationalOps {
   /** Exact interpolated percentiles per return flag (Spark `percentile` and
     * DuckDB `quantile_cont` share the continuous-interpolation definition).
     */
+  /** Non-finite values carry no rank information and diverge the
+    * interpolation grid between engines (one NaN row shifts every rank
+    * above it) — nulled out PER COLUMN with the same text on both sides,
+    * so both percentile/quantile_cont skip exactly those rows
+    * (the [[ExactSql.ValueFinite]] contract, column-local). */
+  private def finiteOrNull(c: String) =
+    s"CASE WHEN isnan($c) OR abs($c) >= 9.0e16 THEN NULL ELSE $c END"
+
   val aggPercentiles = GQuery(
     "agg_percentiles",
     (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price")),
+          round(expr(s"percentile(${finiteOrNull("l_quantity")}, 0.5)"), 4)
+            .as("p50_qty"),
+          round(expr(s"percentile(${finiteOrNull("l_quantity")}, 0.9)"), 4)
+            .as("p90_qty"),
+          round(expr(
+            s"percentile(${finiteOrNull("l_extendedprice")}, 0.99)"), 4)
+            .as("p99_price")),
     oracle = Some(
-      """SELECT l_returnflag,
-        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      s"""SELECT l_returnflag,
+        |       round(quantile_cont(${finiteOrNull("l_quantity")}, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(${finiteOrNull("l_quantity")}, 0.9), 4) AS p90_qty,
+        |       round(quantile_cont(${finiteOrNull("l_extendedprice")}, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   /** Range-join bucket width in µs (24 h) — equal to the interval length so
@@ -448,6 +460,18 @@ object RelationalOps {
       datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s"),
       (datediff(col("l_shipdate"), lit("1970-01-01")) +
         col("l_quantity").cast("int")).cast("long").as("e"))
+      // the operator's declared domain, enforced instead of assumed: a
+      // well-formed interval has both endpoints and s ≤ e, and the
+      // 2-bucket expansion is only exhaustive for lengths ≤ B (width =
+      // max legal l_quantity). Hostile rows (NULL shipdate/quantity,
+      // negative quantity ⇒ inverted interval, 10⁶ quantity ⇒ 20,000×
+      // over-length) are excluded IDENTICALLY on both engines — the
+      // round-13 hostile tail showed the naive oracle still pair-counts
+      // inverted/over-length intervals the bucketed join structurally
+      // cannot see (62-pair silent undercount)
+      .filter(col("s").isNotNull && col("e").isNotNull &&
+        col("s") <= col("e") &&
+        col("e") - col("s") <= lit(OverlapBucketDays))
 
   val joinIntervalOverlap = GQuery(
     "join_interval_overlap",
@@ -463,9 +487,12 @@ object RelationalOps {
         |         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s,
         |         (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
         |           + CAST(l_quantity AS INTEGER) AS e
-        |  FROM lineitem)
+        |  FROM lineitem),
+        |wf AS (SELECT * FROM iv
+        |       WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e
+        |         AND e - s <= 50)
         |SELECT a.key AS s_suppkey, count(*) AS n_overlap_pairs
-        |FROM iv a JOIN iv b ON a.key = b.key AND a.id < b.id
+        |FROM wf a JOIN wf b ON a.key = b.key AND a.id < b.id
         |  AND a.s <= b.e AND b.s <= a.e
         |GROUP BY a.key""".stripMargin),
     bench = true)
@@ -506,12 +533,12 @@ object RelationalOps {
         // at any group size (round(sum, 2) could flip its 3rd decimal
         // between engines once partial-sum order matters)
         .agg(sum(expr(
-          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("revenue_e4"))
     },
     oracle = Some(
       """SELECT n_name,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -549,7 +576,7 @@ object RelationalOps {
         .filter(expr("l_shipdate > TIMESTAMP '1998-06-15'"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(expr(
-          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
         .orderBy(desc("revenue_e4"), asc("l_orderkey"))
         .limit(10)
@@ -559,7 +586,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT l_orderkey,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -643,7 +670,7 @@ object RelationalOps {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(expr(
-          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
       rev
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -655,7 +682,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT c_custkey, c_name,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -711,13 +738,13 @@ object RelationalOps {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(expr(
-          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
     },
     oracle = Some(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -917,17 +944,17 @@ object RelationalOps {
           .as("month_epoch"))
         .agg(
           expr("""CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                 THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
                  ELSE 0 END) AS BIGINT)""").as("promo_rev_e4"),
-          expr("""CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+          expr("""CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
                  AS BIGINT)) AS BIGINT)""").as("total_rev_e4"))
     },
     oracle = Some(
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_epoch,
         |       CAST(sum(CASE WHEN p_type = 'ECONOMY'
-        |            THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+        |            THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
         |            ELSE 0 END) AS BIGINT) AS promo_rev_e4,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
         |            AS BIGINT)) AS BIGINT) AS total_rev_e4
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin),
@@ -986,7 +1013,8 @@ object RelationalOps {
     oracle = Some(
       """WITH q AS (SELECT c_nationkey, c_acctbal,
         |                 ntile(4) OVER (PARTITION BY c_nationkey
-        |                                ORDER BY c_acctbal, c_custkey) AS quartile
+        |                                ORDER BY c_acctbal NULLS FIRST,
+        |                                         c_custkey NULLS FIRST) AS quartile
         |          FROM customer)
         |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
         |       CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
@@ -1047,12 +1075,12 @@ object RelationalOps {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(expr(
-          "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"),
           count(lit(1)).as("n_lines"))
     },
     oracle = Some(
-      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      """SELECT CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -1135,7 +1163,7 @@ object RelationalOps {
     "q8_market_share",
     (s, d) => {
       val revE4 =
-        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+        expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)")
       val cust = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)
           .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
@@ -1174,7 +1202,7 @@ object RelationalOps {
     oracle = Some(
       """WITH base AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4,
+        |         TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT) AS rev_e4,
         |         sn.n_name AS sn_name
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
@@ -1208,7 +1236,7 @@ object RelationalOps {
     "q9_product_profit",
     (s, d) => {
       val amtE6 = expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) * 1000000 + 0.5) AS BIGINT)")
+        "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)")
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
           .filter(col("p_name").like("%gear%")).select("p_partkey")),
@@ -1226,7 +1254,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e6
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e6
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1259,7 +1287,7 @@ object RelationalOps {
         .filter(col("l_partkey").isNotNull) // canonical parity for stage reuse
         .groupBy("l_partkey")
         .agg(sum(expr(
-          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("value_e4"))
       val tot = v.agg(sum("value_e4").as("total_e4"))
       v.join(broadcast(tot))
@@ -1270,7 +1298,7 @@ object RelationalOps {
     oracle = Some(
       """WITH v AS (
         |  SELECT l_partkey,
-        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
         |  FROM lineitem
         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
         |                      JOIN nation ON s_nationkey = n_nationkey
@@ -1429,11 +1457,11 @@ object RelationalOps {
             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(expr("CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e16 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)"))
             .as("revenue_e4")),
     oracle = Some(
       """SELECT count(*) AS n_items,
-        |       CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e16 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1507,7 +1535,7 @@ object RelationalOps {
         // can flip the floored integer on very large groups, and this
         // query COMPARES these values for equality
         .agg(sum(expr(
-          "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("total_revenue_e4"))
       val maxRev = rev.agg(max("total_revenue_e4").as("max_rev"))
       rev.join(broadcast(maxRev))
@@ -1519,7 +1547,7 @@ object RelationalOps {
     oracle = Some(
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1554,7 +1582,7 @@ object RelationalOps {
       .join(brandParts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"),
         expr("CAST(l_quantity AS BIGINT)").as("qty"),
-        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+        expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)").as("price_e2"))
     val w = Window.partitionBy("l_partkey")
     j.withColumn("n", count(lit(1)).over(w))
       .withColumn("sq", sum("qty").over(w))
@@ -1573,7 +1601,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |       CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_e2
+        |       CAST(CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_e2
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#23'
         |  AND 5 * CAST(l_quantity AS BIGINT)
@@ -1690,7 +1718,7 @@ object RelationalOps {
   val q22GlobalSalesOpportunity = GQuery(
     "q22_global_sales_opportunity",
     (s, d) => {
-      val balE2 = expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+      val balE2 = expr("TRY_CAST(floor(CASE WHEN isnan(c_acctbal) OR abs(c_acctbal) >= 9.0e16 THEN NULL ELSE c_acctbal END * 100 + 0.5) AS BIGINT)")
       val pos = Tables.customer(s, d)
         .filter(col("c_acctbal") > 0)
         .agg(sum(balE2).as("sum_e2"), count(lit(1)).as("n_pos"))
@@ -1709,15 +1737,15 @@ object RelationalOps {
     },
     oracle = Some(
       """WITH pos AS (
-        |  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_e2,
+        |  SELECT sum(TRY_CAST(floor(CASE WHEN isnan(c_acctbal) OR abs(c_acctbal) >= 9.0e16 THEN NULL ELSE c_acctbal END * 100 + 0.5) AS BIGINT)) AS sum_e2,
         |         count(*) AS n_pos
         |  FROM customer WHERE c_acctbal > 0)
         |SELECT n_name, count(*) AS numcust,
-        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(c_acctbal) OR abs(c_acctbal) >= 9.0e16 THEN NULL ELSE c_acctbal END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_e2
         |FROM customer
         |CROSS JOIN pos
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > sum_e2
+        |WHERE TRY_CAST(floor(CASE WHEN isnan(c_acctbal) OR abs(c_acctbal) >= 9.0e16 THEN NULL ELSE c_acctbal END * 100 + 0.5) AS BIGINT) * n_pos > sum_e2
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-08-01')

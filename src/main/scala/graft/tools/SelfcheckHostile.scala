@@ -37,9 +37,10 @@ object SelfcheckHostile {
   /** Source testbed whose non-document tables are copied verbatim. */
   val SourceDir = "/root/testdata/sf0.001"
 
-  private val CopiedTables = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem")
+  /** Tables still copied verbatim: small dimension tables whose hostile
+    * shapes (NULL keys, dangling FKs) are already exercised through the
+    * customer/orders/lineitem tails that JOIN against them. */
+  private val CopiedTables = Seq("region", "nation", "supplier", "part")
 
   // ---- hostile documents ---------------------------------------------------
 
@@ -257,6 +258,129 @@ object SelfcheckHostile {
     )
   }
 
+  // ---- hostile TPC-H tails (round 13) --------------------------------------
+  //
+  // The round-12 gate copied the seven TPC-H tables verbatim, so the 21
+  // TPC-H classics, the dq family, and the analytics family had never seen
+  // a NULL key, a NaN price, or a duplicate primary key. These tails follow
+  // the events-tail recipe: ids far above the source range (9000+), most
+  // rows normal except ONE hostile field, enough referential structure
+  // (orders → hostile customers, lineitems → hostile orders and REAL
+  // part/supp keys) that the rows flow deep into the join pipelines
+  // instead of dying at the first scan.
+
+  final case class Cust(c_custkey: java.lang.Long, c_name: String,
+                        c_nationkey: java.lang.Integer,
+                        c_acctbal: java.lang.Double, c_mktsegment: String)
+
+  private[tools] def hostileCustomerRows: Seq[Cust] = Seq(
+    Cust(9000L, null, 3, 100.25, "BUILDING"), // null name
+    Cust(9001L, "Customer#Ünïçødé 数据", 4, 212.75, "AUTOMOBILE"), // non-ASCII
+    Cust(9002L, "", 5, 303.5, "MACHINERY"), // empty name
+    Cust(9003L, "Customer#000009003", null, 404.25, "HOUSEHOLD"), // null FK
+    Cust(9004L, "Customer#000009004", 999, 505.5, "FURNITURE"), // dangling FK
+    Cust(9005L, "Customer#000009005", 6, null, "BUILDING"), // null acctbal
+    Cust(9006L, "Customer#000009006", 7, -999.99, "AUTOMOBILE"),
+    Cust(9007L, "Customer#000009007", 8, -0.0, "MACHINERY"), // negative zero
+    // duplicate primary key: same custkey, DIFFERENT balances — any
+    // single-row-per-key assumption in a join or dq audit shows here
+    Cust(9008L, "Customer#000009008", 9, 111.5, "HOUSEHOLD"),
+    Cust(9008L, "Customer#000009008", 9, 222.5, "HOUSEHOLD"),
+    Cust(null, "Customer#null-key", 10, 100.5, "FURNITURE"), // NULL pk
+    Cust(9010L, "Customer#000009010", 11, Double.NaN, "BUILDING"), // NaN bal
+    Cust(9011L, "Customer#000009011", 12, 98765432.1, "AUTOMOBILE"), // huge
+    // LIKE/regex metacharacters in the name + null segment
+    Cust(9012L, "O'Brien \"100%\" C_stomer", 13, 60.5, null))
+
+  final case class Ord(o_orderkey: java.lang.Long, o_custkey: java.lang.Long,
+                       o_orderstatus: String, o_totalprice: java.lang.Double,
+                       o_orderdate: java.sql.Timestamp, o_orderpriority: String)
+
+  private[tools] def hostileOrderRows: Seq[Ord] = {
+    def d(iso: String) = t(iso + "T00:00:00Z")
+    Seq(
+      // orders against HOSTILE customers so both sides of the hostile FK
+      // edge are populated (9000 has orders; 9005..9012 stay order-less
+      // for the q13/q22 anti-join paths)
+      Ord(9000L, 9000L, "F", 1234.56, d("1996-03-15"), "1-URGENT"),
+      Ord(9001L, 9001L, "O", 2345.67, d("1997-06-20"), "2-HIGH"),
+      Ord(9002L, 9008L, "F", 3456.78, d("1998-01-10"), "3-MEDIUM"), // dup-PK cust
+      Ord(9003L, null, "F", 4567.89, d("1996-08-05"), "4-NOT SPECIFIED"), // null FK
+      Ord(9004L, 8888L, "O", 5678.9, d("1997-11-30"), "5-LOW"), // dangling FK
+      Ord(9005L, 55L, null, 6789.25, d("1996-05-17"), "1-URGENT"), // null status
+      Ord(9006L, 56L, "", 7890.5, d("1997-02-23"), "2-HIGH"), // empty status
+      Ord(9007L, 57L, "X", 8901.75, d("1998-04-12"), "3-MEDIUM"), // off-domain
+      Ord(9008L, 58L, "F", null, d("1996-09-09"), "4-NOT SPECIFIED"), // null price
+      Ord(9009L, 59L, "O", Double.NaN, d("1997-12-25"), "5-LOW"), // NaN price
+      Ord(9010L, 60L, "F", -0.0, d("1996-01-02"), "1-URGENT"), // negative zero
+      Ord(9011L, 61L, "O", 987654321.09, d("1997-07-04"), "2-HIGH"), // huge
+      Ord(9012L, 62L, "F", 9012.25, null, "3-MEDIUM"), // null date
+      Ord(9013L, 63L, "O", 9013.5, t("1969-12-31T23:59:59.500Z"),
+        "4-NOT SPECIFIED"), // pre-epoch fractional
+      Ord(9014L, 64L, "F", 9014.75, d("2260-01-01"), "5-LOW"), // far future
+      Ord(9015L, 65L, "O", 9015.25, d("1996-10-18"), null), // null priority
+      Ord(9016L, 66L, "F", 9016.5, d("1997-03-08"), "9-MAÑANA"), // non-ASCII
+      // duplicate primary key with different payloads
+      Ord(9017L, 67L, "O", 1000.25, d("1996-12-01"), "1-URGENT"),
+      Ord(9017L, 67L, "F", 2000.75, d("1996-12-02"), "2-HIGH"),
+      Ord(null, 68L, "O", 3000.5, d("1997-05-21"), "3-MEDIUM")) // NULL pk
+  }
+
+  final case class Li(l_orderkey: java.lang.Long, l_partkey: java.lang.Long,
+                      l_suppkey: java.lang.Long,
+                      l_linenumber: java.lang.Integer,
+                      l_quantity: java.lang.Double,
+                      l_extendedprice: java.lang.Double,
+                      l_discount: java.lang.Double, l_tax: java.lang.Double,
+                      l_returnflag: String, l_linestatus: String,
+                      l_shipdate: java.sql.Timestamp)
+
+  private[tools] def hostileLineitemRows: Seq[Li] = {
+    def d(iso: String) = t(iso + "T00:00:00Z")
+    // baseline: a normal-looking line against a hostile order, real
+    // part/supp keys, then one field at a time goes wrong
+    def li(ok: java.lang.Long, ln: Int, qty: java.lang.Double,
+           price: java.lang.Double, disc: java.lang.Double,
+           tax: java.lang.Double, rf: String, ls: String,
+           ship: java.sql.Timestamp): Li =
+      Li(ok, (if (ok == null) 101L else ok % 200L): java.lang.Long,
+        (if (ok == null) 3L else ok % 10L): java.lang.Long,
+        ln, qty, price, disc, tax, rf, ls, ship)
+    Seq(
+      li(9000L, 1, 20.0, 30000.25, 0.05, 0.02, "N", "O", d("1996-04-01")),
+      li(9000L, 2, null, 31000.5, 0.05, 0.02, "N", "O", d("1996-04-02")), // null qty
+      li(9001L, 1, 0.0, 32000.75, 0.05, 0.02, "A", "F", d("1997-07-01")), // zero qty
+      li(9001L, 2, -5.0, 33000.25, 0.05, 0.02, "R", "F", d("1997-07-02")), // negative
+      li(9002L, 1, 1.0e6, 34000.5, 0.05, 0.02, "N", "O", d("1998-02-01")), // huge qty
+      li(9003L, 1, 21.0, null, 0.05, 0.02, "A", "F", d("1996-09-01")), // null price
+      li(9004L, 1, 22.0, Double.NaN, 0.05, 0.02, "N", "O", d("1997-12-01")), // NaN
+      li(9005L, 1, 23.0, -0.0, 0.05, 0.02, "R", "F", d("1996-06-01")), // neg zero
+      li(9006L, 1, 24.0, -500.25, 0.05, 0.02, "A", "F", d("1997-03-01")), // negative
+      li(9007L, 1, 25.0, 36000.75, null, 0.02, "N", "O", d("1998-05-01")), // null disc
+      li(9008L, 1, 26.0, 37000.25, 1.0, 0.02, "A", "F", d("1996-10-01")), // 100% disc
+      li(9009L, 1, 27.0, 38000.5, -0.05, null, "R", "F", d("1998-01-01")), // neg disc + null tax
+      li(9010L, 1, 28.0, 39000.75, 0.05, 0.02, null, "O", d("1996-02-01")), // null flag
+      li(9011L, 1, 29.0, 40000.25, 0.05, 0.02, "", "", d("1997-08-01")), // empty flag+status
+      li(9012L, 1, 30.0, 41000.5, 0.05, 0.02, "n", "o", d("1996-11-01")), // lowercase
+      li(9013L, 1, 31.0, 42000.75, 0.05, 0.02, "Ñ", "Ø", d("1998-03-01")), // non-ASCII
+      li(9014L, 1, 32.0, 43000.25, 0.05, 0.02, "N", "O", null), // null shipdate
+      li(9015L, 1, 33.0, 44000.5, 0.05, 0.02, "A", "F",
+        t("1969-12-31T23:59:59.500Z")), // pre-epoch fractional
+      li(9016L, 1, 34.0, 45000.75, 0.05, 0.02, "N", "O", d("2260-01-01")), // far future
+      // dangling part/supp FKs on an otherwise-normal line
+      Li(9017L, 999999L, 888L, 1, 35.0, 46000.25, 0.05, 0.02, "A", "F",
+        d("1996-07-15")),
+      // duplicate (orderkey, linenumber) primary key, different payloads
+      li(9017L, 2, 36.0, 1000.5, 0.01, 0.01, "N", "O", d("1996-07-16")),
+      li(9017L, 2, 37.0, 2000.75, 0.02, 0.02, "N", "O", d("1996-07-17")),
+      li(null, 1, 38.0, 47000.5, 0.05, 0.02, "R", "F", d("1997-01-20")), // NULL pk
+      // a line attached to a REAL order (201 exists in the source): the
+      // hostile tail must also perturb existing join groups, not only
+      // its own id space
+      Li(201L, 101L, 9L, 99, 39.0, 48000.25, 0.05, 0.02, "N", "O",
+        d("1997-11-01")))
+  }
+
   // ---- writing -------------------------------------------------------------
 
   /** Write `df` as ONE plain parquet FILE at `target` (DuckDB's view
@@ -282,6 +406,20 @@ object SelfcheckHostile {
     for (t <- CopiedTables)
       Files.copy(Paths.get(SourceDir, s"$t.parquet"),
         dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // customer/orders/lineitem = source rows plus hostile tails — the 21
+    // TPC-H classics, the dq audits, and the analytics family run over
+    // NULL keys, NaN prices, duplicate PKs, and off-domain strings
+    def withTail(table: String, tail: org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.read.parquet(s"$SourceDir/$table.parquet")
+      writeSingleFile(spark,
+        src.unionByName(tail.select(src.columns.map(c =>
+          org.apache.spark.sql.functions.col(c)
+            .cast(src.schema(c).dataType).as(c)): _*)),
+        dir.resolve(s"$table.parquet"))
+    }
+    withTail("customer", hostileCustomerRows.toDF())
+    withTail("orders", hostileOrderRows.toDF())
+    withTail("lineitem", hostileLineitemRows.toDF())
     // events = source rows (ts normalized to µs by Tables.events) plus the
     // hostile tail — the whole event/game/analytics family runs over them
     writeSingleFile(spark,
