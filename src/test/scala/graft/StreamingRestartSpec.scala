@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{EventStream, StreamingTopK}
+import graft.streaming.{EventStream, StreamingAnomaly, StreamingFunnel, StreamingTopK}
 import graft.streaming.StreamingTopK.Scored
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -210,5 +210,149 @@ class StreamingRestartSpec extends SparkSuite {
       s"b2 undo must fire exactly once: $all")
     assert(all.count(_ == ("u1-b1", "ExplodeEvent")) === 0,
       s"b1 explode must never re-fire after the restart: $all")
+  }
+
+  // ---- round 13: the remaining per-user state machines ---------------------
+  // (funnel stages, transition chains, retention cohorts, burst changelog —
+  // the most intricate keyed state in the repo, previously restart-untested)
+
+  private def ev(id: Long, uid: Long, typ: String, when: Timestamp): Ev =
+    (id, when, uid, typ, 1.0, """{"k": 1}""")
+
+  test("funnel stage machine survives a restart: purchase gate needs restored click state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      StreamingFunnel.stages(eventsDF(input)).toDF()
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    // pre-restart: view@t1 then click@t2 — u1 reaches stage 2
+    val q1 = start()
+    input.addData(ev(1, 1, "view", ts(1)), ev(2, 1, "click", ts(2)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.synchronized(emitted.last.getInt(1)) === 2)
+    emitted.clear()
+
+    // post-restart batch carries ONLY the purchase: its gate
+    // (clickT.exists(t > _)) passes only against RESTORED state — a
+    // reset store folds it to stage 0
+    input.addData(ev(3, 1, "purchase", ts(3)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val stages = emitted.synchronized(
+      emitted.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    assert(stages === Seq((1L, 3)),
+      s"purchase must complete the RESTORED funnel, not restart it: $stages")
+  }
+
+  test("transition chain state survives a restart: the cross-boundary step is emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      StreamingFunnel.transitions(eventsDF(input)).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    // pre-restart: a single event — chain length 1, nothing emitted, but
+    // the last-event row lands in state
+    val q1 = start()
+    input.addData(ev(1, 1, "view", ts(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.isEmpty)
+
+    // post-restart: the next event completes the (view → click) step.
+    // The step's left end exists ONLY in restored state — a reset store
+    // emits nothing at all.
+    input.addData(ev(2, 1, "click", ts(2)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val steps = emitted.synchronized(
+      emitted.map(r => (r.getString(0), r.getString(1))).toSeq)
+    assert(steps === Seq(("view", "click")),
+      s"restart must stitch the cross-boundary transition: $steps")
+  }
+
+  test("retention cohort state survives a restart: offsets stay anchored to the original cohort day") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      StreamingFunnel.retentionCells(eventsDF(input)).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+
+    // pre-restart: first-ever event fixes the cohort at Jan 1 (offset 0)
+    val q1 = start()
+    input.addData(ev(1, 1, "click", day(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.synchronized(emitted.map(r =>
+      (r.getString(0), r.getLong(1))).toSeq) === Seq(("2024-01-01", 0L)))
+    emitted.clear()
+
+    // post-restart activity on Jan 3: offset 2 FROM THE RESTORED COHORT.
+    // A reset store would re-anchor the cohort at Jan 3 and emit
+    // ("2024-01-03", 0) — wrong day AND wrong offset.
+    input.addData(ev(2, 1, "click", day(3)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val cells = emitted.synchronized(
+      emitted.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(cells === Seq(("2024-01-01", 2L)),
+      s"cohort must stay anchored across the restart: $cells")
+  }
+
+  test("burst-detector moments survive a restart: the spike flags only against the restored baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      StreamingAnomaly.bursts(eventsDF(input)).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    def hour(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    // pre-restart baseline: 10 hours, one event each — all counts equal,
+    // the all-integer 3σ test flags nothing (d = 0 per hour), so the
+    // ONLY trace of these rows is the (hour → count) map in state
+    val q1 = start()
+    input.addData((1 to 10).map(h => ev(h.toLong, 1, "click", hour(h))): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.isEmpty, "an all-equal baseline must not flag")
+
+    // post-restart: 2 events in an 11th hour. Against the restored
+    // n=11 moments: d = (n-1)(x-1) = 10, d² = 100 > 9(n-1)(x-1)² = 90 →
+    // flagged. Against a reset store the same batch is n=1, d=0 —
+    // nothing is ever emitted, so the flag's existence proves the
+    // restore.
+    input.addData(ev(11, 1, "click", hour(11)), ev(12, 1, "click", hour(11)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val flags = emitted.synchronized(
+      emitted.map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq)
+    val hr11 = hour(11).getTime / 3600000L
+    assert(flags === Seq((hr11, 2L, true)),
+      s"spike must flag against the RESTORED baseline moments: $flags")
   }
 }
