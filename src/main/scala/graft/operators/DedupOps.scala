@@ -1102,6 +1102,10 @@ object DedupOps {
     * StarRewriteProperties checks this differentially against plain
     * min-label propagation on arbitrary random graphs.
     */
+  /** Public seam over [[starComponents]] for scale tooling
+    * (tools/ComponentsScaleSmoke): (doc_a, doc_b) pairs → (doc_id, rep). */
+  def componentsFromPairs(pairs: DataFrame): DataFrame = starComponents(pairs)
+
   private[operators] def starComponents(pairsIn: DataFrame): DataFrame = {
     val pairs = graft.Materialize.stage(pairsIn.select("doc_a", "doc_b"))
     val nodes = pairs.select(col("doc_a").as("doc_id"))
