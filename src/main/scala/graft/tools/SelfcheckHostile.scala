@@ -437,6 +437,99 @@ object SelfcheckHostile {
       dir.resolve("embeddings.parquet"))
   }
 
+  // ---- real-decoder hostile pass (round 13) --------------------------------
+  //
+  // The registry's multimodal queries keep the deterministic FakeDecoder
+  // oracle (testbed payloads are text bytes), so the hostile gate never
+  // exercised the PRODUCTION decoder seam. This pass runs extractMeta with
+  // `spark.graft.multimodal.decoder=real` semantics over planted REAL
+  // payloads (JDK-encoder-produced images, a WAVE-writer WAV) and planted
+  // HOSTILE payloads (truncated PNG, text-bytes-as-PNG, the 0xFFFFFFF8
+  // chunk-size WAV that used to hang the RIFF walk, an empty payload, a
+  // video mime) — good rows must decode exact, and every bad row must fail
+  // as a TYPED error naming its doc_id, through the full Spark job path.
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmtA = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val raw = Array.tabulate(frames * channels * 2)(i => (i * 13).toByte)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmtA, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE whose first chunk declares size 0xFFFFFFF8 — the hostile
+    * uint32 that, narrowed to Int, made the chunk walk advance by zero
+    * forever. The fixed walk must REJECT it (overrun check), not hang. */
+  private def hostileWavBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(0).put("WAVE".getBytes("ASCII"))
+    bb.put("junk".getBytes("ASCII")).putInt(0xFFFFFFF8)
+    bb.put(Array.fill[Byte](16)(7))
+    bb.array()
+  }
+
+  def realDecoderPass(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    import graft.operators.MultimodalOps.{MediaRow, RealDecoder}
+
+    val good = Seq(
+      MediaRow(1L, "image/png", imageBytes("png", 37, 21)),
+      MediaRow(2L, "image/jpeg", imageBytes("jpg", 64, 48)),
+      MediaRow(3L, "image/gif", imageBytes("gif", 9, 5)),
+      MediaRow(4L, "image/bmp", imageBytes("bmp", 12, 7)),
+      // mislabeled: PNG bytes under a JPEG mime — sniffing must win
+      MediaRow(5L, "image/jpeg", imageBytes("png", 5, 9)),
+      MediaRow(6L, "audio/wav", wavBytes(16000, 1, 777)))
+    val got = MultimodalOps.extractMeta(good.toDS(), RealDecoder)
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    val want = Map(
+      1L -> ((37L, 21L, 1L)), 2L -> ((64L, 48L, 1L)), 3L -> ((9L, 5L, 1L)),
+      4L -> ((12L, 7L, 1L)), 5L -> ((5L, 9L, 1L)), 6L -> ((16000L, 1L, 777L)))
+    require(got == want, s"real-decoder good rows diverged: $got")
+
+    val bad = Seq(
+      MediaRow(101L, "image/png", imageBytes("png", 8, 8).take(10)), // truncated
+      MediaRow(102L, "image/png", "not an image at all".getBytes("UTF-8")),
+      MediaRow(103L, "audio/wav", hostileWavBytes), // ex-infinite-loop chunk
+      MediaRow(104L, "image/png", Array.emptyByteArray),
+      MediaRow(105L, "video/mp4", imageBytes("png", 4, 4))) // unsupported family
+    for (row <- bad) {
+      val failure =
+        try {
+          MultimodalOps.extractMeta(Seq(row).toDS(), RealDecoder).collect()
+          None
+        } catch { case e: Throwable =>
+          // Spark wraps the task failure; the TYPED message must survive
+          Some(Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+            .mkString(" <- "))
+        }
+      require(failure.isDefined,
+        s"hostile payload doc_id=${row.doc_id} decoded instead of failing")
+      require(failure.get.contains(s"doc_id=${row.doc_id}"),
+        s"failure for doc_id=${row.doc_id} not typed per doc: ${failure.get.take(300)}")
+      println(s"[hostile] real-decoder doc_id=${row.doc_id} failed typed: " +
+        failure.get.replaceAll("\\s+", " ").take(140))
+    }
+    println(s"[hostile] real-decoder pass: ${good.size} real payloads exact, " +
+      s"${bad.size} hostile payloads failed typed per doc_id")
+  }
+
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/tmp/graft_hostile/data")
     val spark = SparkSession.builder()
@@ -447,6 +540,7 @@ object SelfcheckHostile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     writeDataset(spark, dataDir)
+    realDecoderPass(spark)
     println(s"[hostile] dataset written to $dataDir " +
       s"(${hostileDocs.size} docs, ${hostileVecs.size} vectors); next:")
     println(s"[hostile]   sbt 'runMain graft.Verify $dataDir <outDir>'")
