@@ -36,6 +36,7 @@ object DuckSqlDialect {
     "list_distinct" -> "array_distinct",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
+    "array_to_string" -> "array_join",
     "generate_series" -> "sequence",
     "arg_min" -> "min_by",
     "arg_max" -> "max_by",
@@ -83,12 +84,56 @@ object DuckSqlDialect {
       "(SELECT explode(sequence($1)) AS $3) $2")
     // 4. list literal with subscript: (['a','b'])[idx] → element_at(array(..), idx)
     s = subscriptedListLiteral(s)
+    // 4a. slices BEFORE plain subscripts (the ':' inside would otherwise
+    //     be skipped): DuckDB `l[b:e]` is 1-based and END-INCLUSIVE →
+    //     slice(l, b, e - b + 1)
+    s = s.replaceAll(
+      "([A-Za-z_][\\w.]*)\\[([^\\[\\]:]+):([^\\[\\]:]+)\\]",
+      "slice($1, $2, ($3) - ($2) + 1)")
     // 5. identifier subscripts: DuckDB lists are 1-indexed like
     //    element_at; Spark's `x[i]` would be 0-indexed (off by one AND out
     //    of bounds at the last element)
     s = subscriptToElementAt(s)
+    // 5a. parenthesized-expression subscripts `(...)[idx]` (e.g. a
+    //     list_transform call indexed directly): same 1-indexed semantics
+    s = parenSubscriptToElementAt(s)
     // 6. remaining bare [a, b] list literals → array(a, b)
     s = bareListLiterals(s)
+    // 6a. struct literals {'k': v, ...} → named_struct('k', v, ...);
+    //     field ACCESS (`x.k`) spells the same on both engines
+    s = structLiterals(s)
+    // 6b. ordered list() aggregates: `list(expr ORDER BY key)` has no
+    //     direct Spark spelling — collect (key, value) structs, sort
+    //     (array_sort on structs orders by fields left-to-right, so the
+    //     key field leads), project the value back out. Exact when the
+    //     key is a total order within the group (the oracles' keys are
+    //     row_number()/positions — unique by construction).
+    s = rewriteCall(s, "list") { args =>
+      splitTopLevelOrderBy(args) match {
+        case Some((expr, key)) =>
+          s"transform(array_sort(collect_list(named_struct('o', $key, " +
+            s"'v', $expr))), t_ord -> t_ord.v)"
+        case None => s"list($args)"
+      }
+    }
+    // 6c. ordered string_agg: same sort-struct-project shape; array_join
+    //     drops null elements exactly as string_agg skips null inputs
+    s = rewriteCall(s, "string_agg") { args =>
+      splitTopLevelOrderBy(args) match {
+        case Some((pre, key)) =>
+          val (expr, sep) = splitTopLevel(pre)
+          s"array_join(transform(array_sort(collect_list(named_struct(" +
+            s"'o', $key, 'v', $expr))), t_ord -> t_ord.v), $sep)"
+        case None => s"string_agg($args)"
+      }
+    }
+    // 6d. list_slice(l, b, e) is 1-based END-INCLUSIVE → slice length form
+    s = rewriteCall(s, "list_slice") { args =>
+      splitParts(args) match {
+        case Seq(l, b, e) => s"slice($l, $b, ($e) - ($b) + 1)"
+        case _ => s"list_slice($args)"
+      }
+    }
     // 7. calls needing argument surgery (before renames — original names)
     s = rewriteCall(s, "quantile_cont") { args =>
       val (x, p) = splitTopLevel(args)
@@ -118,8 +163,18 @@ object DuckSqlDialect {
     }
     s = rewriteCall(s, "regexp_replace") { args =>
       // DuckDB needs the 'g' flag for replace-all; Spark replaces all by
-      // default and reads a 4th arg as a position — drop the flag
+      // default and reads a 4th arg as a position — drop the flag.
+      // Backreferences in the REPLACEMENT literal are RE2-style `\1` in
+      // DuckDB but Java-style `$1` in Spark (Java reads `\1` as a literal
+      // '1') — rewrite them inside the shielded literal.
       val parts = splitParts(args)
+      parts.lift(2).foreach { repl =>
+        val t = repl.trim
+        if (t.length > 3 && t.head == Shield && t.last == Shield && t(1) == 'L')
+          t.substring(2, t.length - 1).toIntOption.foreach { i =>
+            literals(i) = literals(i).replaceAll("\\\\(\\d)", "\\$$1")
+          }
+      }
       if (parts.length == 4 && literalOf(parts.last).contains("'g'"))
         s"regexp_replace(${parts.take(3).mkString(", ")})"
       else s"regexp_replace($args)"
@@ -154,6 +209,18 @@ object DuckSqlDialect {
     s = rewriteCall(s, "json_valid") { arg =>
       s"(get_json_object($arg, '$$') IS NOT NULL)"
     }
+    // 8ac. date difference: DuckDB `date - date` yields INTEGER days;
+    //      Spark yields an INTERVAL — datediff(end, start) is the
+    //      integer-days twin
+    s = s.replaceAll(
+      s"(CAST\\([^()]*\\)|[A-Za-z_][\\w.]*)\\s*-\\s*DATE\\s*($Shield" +
+        s"L\\d+$Shield)",
+      "datediff($1, DATE $2)")
+    // 8ad. HUGEINT (int128) → DECIMAL(38,0): exact for every oracle value
+    //      below 10³⁸ (q8's scaled-integer market share; NOT the lcg
+    //      mod-2⁶⁴ chains, whose 128-bit products overflow 38 digits —
+    //      those stay out of the parity set)
+    s = s.replaceAll("\\bHUGEINT\\b", "DECIMAL(38,0)")
     // 8ab. null-safe equality: Spark's parser has no IS [NOT] DISTINCT
     //      FROM; <=> is its null-safe-equal twin
     s = s.replaceAll("(?i)(\\S+)\\s+IS\\s+NOT\\s+DISTINCT\\s+FROM\\s+(\\S+)",
@@ -166,6 +233,20 @@ object DuckSqlDialect {
     // 10. function renames
     for ((from, to) <- FnRenames)
       s = s.replaceAll(s"\\b$from\\s*\\(", to + "(")
+    // 10a. DuckDB's ZIPPED double-unnest banding idiom — `, LATERAL
+    //      (SELECT unnest(generate_series(0, N)) AS i, unnest([e0..eN])
+    //      AS v) b` pairs the two lists POSITIONALLY; Spark rejects a
+    //      correlated generator in a lateral subquery, but posexplode is
+    //      the exact twin: (pos, element) = (i, v). Runs after renames,
+    //      so the text here spells explode/sequence.
+    s = zippedUnnestToPosexplode(s)
+    // 10b. the other zipped-unnest idiom: two unnests of the SAME list in
+    //      one SELECT, the second under arithmetic (`unnest(r) AS i,
+    //      unnest(r) * k AS s`). DuckDB zips them row-for-row; Spark
+    //      forbids a generator inside an expression — hoist ONE explode
+    //      into a LATERAL VIEW and express the second item through the
+    //      generated column.
+    s = zippedSelfUnnestToLateral(s)
     // 11. len() is DuckDB's overloaded length: size() for the list uses in
     //     the oracles (string length is spelled `length` there)
     s = s.replaceAll("\\blen\\s*\\(", "size(")
@@ -263,6 +344,254 @@ object DuckSqlDialect {
     val rewritten = sql.substring(0, start) +
       s"element_at(array($items), $idx)" + sql.substring(end + 1)
     subscriptedListLiteral(rewritten)
+  }
+
+  /** `, LATERAL (SELECT explode(<0..N index gen>) AS i, explode(<arr>) AS
+    * v) alias` → ` LATERAL VIEW posexplode(<arr>) alias AS i, v`. The
+    * index generator must be `sequence(0, N)` or a literal `array(0, 1,
+    * …, N)` — DuckDB zips the two unnests positionally, and posexplode's
+    * (pos, element) is that zip exactly when the index list is 0-based
+    * consecutive. */
+  private def zippedUnnestToPosexplode(sql: String): String = {
+    val marker = "LATERAL (SELECT explode("
+    val at = sql.indexOf(marker)
+    if (at < 0) return sql
+    // the list-comma before LATERAL becomes plain juxtaposition
+    var comma = at - 1
+    while (comma >= 0 && sql.charAt(comma).isWhitespace) comma -= 1
+    if (comma < 0 || sql.charAt(comma) != ',') return sql
+    // balanced capture of the index generator
+    var i = at + marker.length - 1 // at the '('
+    var d0 = 0
+    var gEnd = -1
+    while (i < sql.length && gEnd < 0) {
+      sql.charAt(i) match {
+        case '(' => d0 += 1
+        case ')' => d0 -= 1; if (d0 == 0) gEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (gEnd < 0) return sql
+    val gen = sql.substring(at + marker.length, gEnd).trim
+    // 0-based consecutive index list?
+    val isZeroSeq = "sequence\\(\\s*0\\s*,\\s*\\d+\\s*\\)".r.matches(gen) || {
+      val m = "array\\(([\\d\\s,]*)\\)".r.findFirstMatchIn(gen).filter(_.matched == gen)
+      m.exists(_.group(1).split(',').map(_.trim).zipWithIndex
+        .forall { case (v, idx) => v == idx.toString })
+    }
+    if (!isZeroSeq) return sql
+    i = gEnd + 1
+    if (!sql.startsWith(" AS ", i)) return sql
+    i += 4
+    val c1 = sql.indexOf(',', i)
+    if (c1 < 0) return sql
+    val name1 = sql.substring(i, c1).trim
+    var j = c1 + 1
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (!sql.startsWith("explode(", j)) return sql
+    var depth = 0
+    var k = j + "explode".length
+    var close = -1
+    while (k < sql.length && close < 0) {
+      sql.charAt(k) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = k
+        case _ =>
+      }
+      k += 1
+    }
+    if (close < 0) return sql
+    val arr = sql.substring(j + "explode(".length, close)
+    var m = close + 1
+    while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+    if (!sql.startsWith("AS ", m)) return sql
+    m += 3
+    var n = m
+    while (n < sql.length && (sql.charAt(n).isLetterOrDigit || sql.charAt(n) == '_')) n += 1
+    val name2 = sql.substring(m, n)
+    var p = n
+    while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+    if (p >= sql.length || sql.charAt(p) != ')') return sql
+    p += 1
+    while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+    var q = p
+    while (q < sql.length && (sql.charAt(q).isLetterOrDigit || sql.charAt(q) == '_')) q += 1
+    val alias = sql.substring(p, q)
+    if (alias.isEmpty) return sql
+    zippedUnnestToPosexplode(
+      sql.substring(0, comma) + " LATERAL VIEW posexplode(" + arr + ") " +
+        alias + " AS " + name1 + ", " + name2 + sql.substring(q))
+  }
+
+  /** `explode(X) AS a, explode(X) <op> AS b FROM t [WHERE …]` →
+    * `a, a <op> AS b FROM t LATERAL VIEW explode(X) zu AS a [WHERE …]`.
+    * Both unnests run over the SAME list X, so DuckDB's positional zip
+    * degenerates to one generator plus arithmetic on its output. */
+  private def zippedSelfUnnestToLateral(sql: String): String = {
+    def balancedEnd(from: Int): Int = { // `from` at '('
+      var depth = 0
+      var i = from
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val first = sql.indexOf("explode(")
+    if (first < 0) return sql
+    val e1 = balancedEnd(first + "explode".length)
+    if (e1 < 0) return sql
+    val x1 = sql.substring(first + "explode(".length, e1)
+    if (!sql.startsWith(" AS ", e1 + 1)) return sql
+    var i = e1 + 5
+    var j = i
+    while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+    val name1 = sql.substring(i, j)
+    // expect `,` then the second explode of the SAME list
+    var k = j
+    while (k < sql.length && (sql.charAt(k) == ',' || sql.charAt(k).isWhitespace)) k += 1
+    if (!sql.startsWith("explode(", k)) return sql
+    val e2 = balancedEnd(k + "explode".length)
+    if (e2 < 0 || sql.substring(k + "explode(".length, e2) != x1) return sql
+    // arithmetic tail up to ` AS name2`
+    val asAt = sql.indexOf(" AS ", e2)
+    if (asAt < 0) return sql
+    val mid = sql.substring(e2 + 1, asAt)
+    if (mid.exists(c => !" \t*/+-%0123456789().".contains(c))) return sql
+    var n = asAt + 4
+    var n2 = n
+    while (n2 < sql.length && (sql.charAt(n2).isLetterOrDigit || sql.charAt(n2) == '_')) n2 += 1
+    val name2 = sql.substring(n, n2)
+    // `FROM <ident>` directly after
+    val fromM = "(?s)\\A\\s*FROM\\s+(\\w+)".r.findPrefixMatchOf(sql.substring(n2))
+    if (fromM.isEmpty) return sql
+    val table = fromM.get.group(1)
+    val rest = sql.substring(n2 + fromM.get.end)
+    sql.substring(0, first) + name1 + ",\n       " + name1 + mid +
+      " AS " + name2 + "\nFROM " + table +
+      s" LATERAL VIEW explode($x1) zu_$name1 AS $name1" + rest
+  }
+
+  /** Split aggregate args at a TOP-LEVEL ` ORDER BY ` (whitespace-
+    * insensitive): `expr ORDER BY key` → Some((expr, key)). */
+  private def splitTopLevelOrderBy(args: String): Option[(String, String)] = {
+    var depth = 0
+    var i = 0
+    while (i < args.length) {
+      args.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case c if depth == 0 && (c == 'O' || c == 'o') =>
+          val m = "(?is)^ORDER\\s+BY\\s".r.findPrefixMatchOf(args.substring(i))
+          if (m.isDefined && i > 0 && args.charAt(i - 1).isWhitespace)
+            return Some((args.substring(0, i).trim,
+              args.substring(i + m.get.end).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `(expr)[idx]` — a parenthesized expression indexed directly (e.g. an
+    * inline list_transform) → `element_at((expr), idx)`, same 1-indexed
+    * contract as [[subscriptToElementAt]]; slices are left alone. */
+  private def parenSubscriptToElementAt(sql: String): String = {
+    var i = 0
+    while (i < sql.length - 1) {
+      if (sql.charAt(i) == ')' && sql.charAt(i + 1) == '[') {
+        // walk back to the matching open paren
+        var depth = 0
+        var j = i
+        var open = -1
+        while (j >= 0 && open < 0) {
+          sql.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) open = j
+            case _ =>
+          }
+          j -= 1
+        }
+        // walk forward for the balanced index bracket
+        var k = i + 1
+        depth = 0
+        var close = -1
+        while (k < sql.length && close < 0) {
+          sql.charAt(k) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) close = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (open >= 0 && close > 0) {
+          val idx = sql.substring(i + 2, close)
+          if (!idx.contains(":")) { // slice stays for the slice rule
+            // a function CALL's name belongs inside the wrap:
+            // `string_split(x, '-')[2]` wraps the whole call, not `(x, '-')`
+            var nameStart = open
+            while (nameStart > 0 && {
+              val c = sql.charAt(nameStart - 1)
+              c.isLetterOrDigit || c == '_' || c == '.'
+            }) nameStart -= 1
+            val expr = sql.substring(nameStart, i + 1)
+            return parenSubscriptToElementAt(
+              sql.substring(0, nameStart) + s"element_at($expr, $idx)" +
+                sql.substring(close + 1))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** `{'k': v, ...}` struct literals (shielded keys) → named_struct('k',
+    * v, ...), innermost-first so nested structs work. */
+  private def structLiterals(sql: String): String = {
+    val open = sql.indexOf('{')
+    if (open < 0) return sql
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < sql.length && close < 0) {
+      sql.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val inner = structLiterals(sql.substring(open + 1, close))
+    val fields = splitStructFields(inner).map { part =>
+      val colon = part.indexOf(':')
+      s"${part.substring(0, colon).trim}, ${part.substring(colon + 1).trim}"
+    }
+    structLiterals(
+      sql.substring(0, open) + s"named_struct(${fields.mkString(", ")})" +
+        sql.substring(close + 1))
+  }
+
+  /** Top-level comma split that also ignores commas inside braces and
+    * lambda bodies — for struct-literal fields. */
+  private def splitStructFields(args: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    for (i <- args.indices) args.charAt(i) match {
+      case '(' | '[' | '{' => depth += 1
+      case ')' | ']' | '}' => depth -= 1
+      case ',' if depth == 0 => out += args.substring(last, i).trim; last = i + 1
+      case _ =>
+    }
+    out += args.substring(last).trim
+    out.toSeq
   }
 
   /** `name[idx]` (identifier directly against the bracket) →

@@ -92,4 +92,70 @@ class DuckSqlDialectSpec extends AnyFunSuite {
   test("VARCHAR casts become STRING") {
     assert(toSpark("SELECT CAST(x AS VARCHAR)") === "SELECT CAST(x AS STRING)")
   }
+
+  // ---- round-13 rules (the 152 → 175 parity expansion) ---------------------
+
+  test("slices: 1-based end-inclusive l[b:e] becomes slice(l, b, len)") {
+    assert(toSpark("SELECT t[j:j+19]") ===
+      "SELECT slice(t, j, (j+19) - (j) + 1)")
+  }
+
+  test("parenthesized-call subscripts wrap the whole call in element_at") {
+    assert(toSpark("SELECT string_split(s, '-')[2]") ===
+      "SELECT element_at(split(s, '-'), 2)")
+  }
+
+  test("struct literals become named_struct; nesting and lambdas survive") {
+    assert(toSpark("SELECT {'j': j, 'w': f(a, b)}") ===
+      "SELECT named_struct('j', j, 'w', f(a, b))")
+    assert(toSpark("SELECT {'a': {'b': 1}}") ===
+      "SELECT named_struct('a', named_struct('b', 1))")
+  }
+
+  test("ordered list() and string_agg() become sort-struct-project") {
+    assert(toSpark("SELECT list(x ORDER BY pos)") ===
+      "SELECT transform(array_sort(collect_list(named_struct('o', pos, " +
+        "'v', x))), t_ord -> t_ord.v)")
+    assert(toSpark("SELECT string_agg(v, ',' ORDER BY rn)") ===
+      "SELECT array_join(transform(array_sort(collect_list(named_struct(" +
+        "'o', rn, 'v', v))), t_ord -> t_ord.v), ',')")
+    // unordered forms stay untouched
+    assert(toSpark("SELECT list(x)") === "SELECT list(x)")
+  }
+
+  test("HUGEINT becomes DECIMAL(38,0); date minus DATE literal becomes datediff") {
+    assert(toSpark("SELECT CAST(s AS HUGEINT) * 10 // n") ===
+      "SELECT CAST(s AS DECIMAL(38,0)) * 10  div  n")
+    assert(toSpark("SELECT (CAST(d AS DATE) - DATE '1970-01-01') AS s") ===
+      "SELECT (datediff(CAST(d AS DATE), DATE '1970-01-01')) AS s")
+  }
+
+  test("regexp_replace replacement backrefs go RE2 \\1 to Java $1") {
+    assert(toSpark("SELECT regexp_replace(w, '(.)', ' \\1 ', 'g')") ===
+      "SELECT regexp_replace(w, '(.)', ' $1 ')")
+  }
+
+  test("zipped double-unnest banding becomes posexplode LATERAL VIEW") {
+    val in = "FROM sig,\n  LATERAL (SELECT unnest(generate_series(0, 3)) " +
+      "AS band,\n                  unnest([a, b, c, d]) AS sg) b) x"
+    val out = toSpark(in)
+    assert(out.contains("LATERAL VIEW posexplode(array(a, b, c, d)) b AS band, sg"),
+      out)
+    assert(!out.contains("LATERAL ("), out)
+  }
+
+  test("self-zipped unnest with arithmetic hoists one LATERAL VIEW explode") {
+    val in = "SELECT doc_id,\n       unnest(range(0, n)) AS w,\n       " +
+      "unnest(range(0, n)) * 16000 AS s\nFROM aw WHERE n > 0"
+    val out = toSpark(in)
+    assert(out.contains("LATERAL VIEW explode(sequence(0, (n) - 1)) zu_w AS w"), out)
+    assert(out.contains("w * 16000 AS s"), out)
+  }
+
+  test("list_slice is end-inclusive; array_to_string renames") {
+    assert(toSpark("SELECT list_slice(l, a, b)") ===
+      "SELECT slice(l, a, (b) - (a) + 1)")
+    assert(toSpark("SELECT array_to_string(l, ' ')") ===
+      "SELECT array_join(l, ' ')")
+  }
 }

@@ -11,21 +11,26 @@ import graft.tools.SqlParityProbe.canon
   * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
   *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
   *    verbatim;
-  *  - [[TranslatedSubset]] (107): the text runs after the mechanical
+  *  - [[TranslatedSubset]] (132): the text runs after the mechanical
   *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
-  *    subscripts→element_at, list literals→array, function renames, …),
-  *    parsed with raw string literals the way DuckDB reads them.
+  *    subscripts→element_at, list literals→array, slices→slice(),
+  *    struct literals→named_struct, ordered list()/string_agg→
+  *    sort-struct-project, zipped unnest→posexplode/LATERAL VIEW,
+  *    HUGEINT→DECIMAL(38,0), RE2 `\1` backrefs→Java `$1`, function
+  *    renames, …), parsed with raw string literals the way DuckDB reads
+  *    them.
   *
-  * Together: 150 of the registry's 180 oracles (83%) re-evaluate through
-  * spark.sql. Per-family coverage: all 21 TPC-H; the full text/quality
-  * family; sketches; multimodal; windows/top-k; replay/schema/stream
-  * batch twins; graph scores (pagerank/lcc/sssp/triangles). The 30 still
-  * excluded need semantics Spark's dialect lacks: recursive-CTE UNION
-  * (graph bfs/components), ordered list() aggregates (ann_ivf family,
-  * kmeans, inverted index), HUGEINT arithmetic (lcg family, q8), struct
-  * literals (substring/boilerplate family), zipped unnest
-  * (multimodal_audio_windows), engine-specific date arithmetic
-  * (join_interval_overlap).
+  * Together: 175 of the registry's 182 oracles (96%) re-evaluate through
+  * spark.sql. The 7 still excluded are blocked by ENGINE limits, not
+  * dialect spelling — each adjudicated in [[ExcludedWhy]]:
+  *  - recursive-CTE UNION ×4: Spark 4.1 parses WITH RECURSIVE but
+  *    rejects distinct-UNION in the recursive step
+  *    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and the oracles' fixpoint
+  *    loops (min-label propagation, BFS frontier) rely on the dedup for
+  *    termination size — UNION ALL would blow up on path multiplicity;
+  *  - mod-2⁶⁴ chains ×3: the lcg splitmix/simhash mixers multiply two
+  *    ~2⁶³ operands under `% 2⁶⁴` — the 128-bit intermediates exceed
+  *    DECIMAL(38,0) (≈10³⁸ < 2¹²⁶), Spark's widest exact integer.
   */
 class SqlParitySpec extends SparkSuite {
 
@@ -46,38 +51,55 @@ class SqlParitySpec extends SparkSuite {
     "setop_obstacle_build", "skyline_pareto", "tableview_tombstone",
     "window_drawdown", "window_ntile_quartiles")
 
+  /** The 7 oracles that cannot run through spark.sql, each with the
+    * engine limit that blocks it (see class doc). */
+  private val ExcludedWhy: Map[String, String] = Map(
+    "dedup_clusters" -> "recursive CTE needs distinct-UNION (star-contraction fixpoint)",
+    "dedup_embedding_clusters" -> "recursive CTE needs distinct-UNION (star-contraction fixpoint)",
+    "graph_bfs_hops" -> "recursive CTE needs distinct-UNION (BFS frontier dedup)",
+    "graph_components" -> "recursive CTE needs distinct-UNION (min-label fixpoint)",
+    "lcg_event_type_counts" -> "mod-2^64 LCG products exceed DECIMAL(38,0)",
+    "lcg_move_player_stats" -> "mod-2^64 LCG products exceed DECIMAL(38,0)",
+    "dedup_simhash" -> "mod-2^64 splitmix products exceed DECIMAL(38,0)")
+
   private val TranslatedSubset = Seq(
     "agg_cube", "agg_global_scoreboard", "agg_grouping_sets",
     "agg_kill_count", "agg_percentiles", "agg_pivot", "agg_priority_count",
-    "agg_rollup", "agg_word_count", "ann_cosine_topk",
-    "ann_ivf_label_topk", "ann_quantized_topk", "ann_topk_per_query",
-    "anomaly_burst", "anti_join_occupied", "anti_join_spawn_clear",
-    "array_membership", "assoc_lift_daily", "churn_accounting",
+    "agg_rollup", "agg_word_count", "ann_cosine_topk", "ann_ivf_label_topk",
+    "ann_ivf_nprobe2_topk", "ann_ivf_trained_topk", "ann_lsh_bucket",
+    "ann_quantized_topk", "ann_topk_per_query", "anomaly_burst",
+    "anti_join_occupied", "anti_join_spawn_clear", "array_membership",
+    "assoc_lift_daily", "chunk_documents", "churn_accounting",
     "cohort_retention", "conversion_latency_histogram", "dau_cumulative",
-    "decontam_bloom", "decontam_ngram_exact", "dedup_embedding_cosine",
-    "dq_pk_uniqueness", "dq_value_domain",
-    "dedup_ngram_jaccard", "encode_decode_roundtrip", "event_transitions",
-    "filter_bounds", "filter_self_kill", "flame_blocking", "flame_cells",
-    "gen_id_suffix", "graph_lcc_topk", "graph_pagerank",
-    "graph_sssp_weighted", "graph_triangles", "ingest_roundtrip",
-    "join_asof_last_map", "join_range_bucketed", "json_extract",
+    "decontam_bloom", "decontam_embedding", "decontam_minhash",
+    "decontam_ngram_exact", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_banded", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_span_boilerplate", "dedup_substring_runs",
+    "dedup_substring_windows", "dq_pk_uniqueness", "dq_value_domain",
+    "encode_decode_roundtrip", "event_transitions", "filter_bounds",
+    "filter_self_kill", "flame_blocking", "flame_cells", "gen_id_suffix",
+    "graph_lcc_topk", "graph_pagerank", "graph_sssp_weighted",
+    "graph_triangles", "ingest_roundtrip", "join_asof_last_map",
+    "join_death_attribution", "join_interval_overlap", "join_killer_owner",
+    "join_range_bucketed", "json_extract", "kmeans_centroids",
     "latest_event_per_room", "layout_zorder_stats", "lossy_admission",
-    "map_regen_grid", "mixture_balance", "multimodal_frame_sample",
-    "multimodal_meta_extract", "multimodal_resize_plan",
-    "obstacle_list_explode", "offset_tail_read", "ohlc_daily",
-    "pack_sequences", "parse_room_name", "pii_redact", "prefix_filter",
-    "q14_promo_share", "q17_small_quantity_revenue", "q18_large_orders",
-    "q1_agg", "q3_shipping_priority", "quality_source_filter",
-    "quality_source_filter_salted", "quantile_histogram",
-    "replay_alive_status", "replay_room_digest", "replay_scan",
-    "sample_weights", "scd2_asof_snapshot", "schema_enforce",
+    "map_regen_grid", "mixture_balance", "multimodal_audio_windows",
+    "multimodal_frame_sample", "multimodal_meta_extract",
+    "multimodal_resize_plan", "obstacle_list_explode", "offset_tail_read",
+    "ohlc_daily", "pack_sequences", "pack_sequences_bpe", "parse_room_name",
+    "pii_redact", "pipeline_corpus_clean", "pipeline_scrub_pack",
+    "prefix_filter", "q14_promo_share", "q17_small_quantity_revenue",
+    "q18_large_orders", "q1_agg", "q3_shipping_priority", "q8_market_share",
+    "quality_source_filter", "quality_source_filter_salted",
+    "quantile_histogram", "replay_alive_status", "replay_room_digest",
+    "replay_scan", "sample_weights", "scd2_asof_snapshot", "schema_enforce",
     "schema_evolution", "session_path_topk", "shuffle_shards",
-    "sketch_distinct_kmv", "sketch_heavy_hitters_cms",
-    "sketch_kmv_jaccard", "sketch_kmv_union", "sketch_quantile_rank",
-    "skew_report", "stats_columns", "stickiness_ratio",
-    "stream_tumbling_count", "tableview_last_per_key",
-    "text_bigram_logfreq", "text_bm25_topk", "text_bpe_token_count",
-    "text_fingerprint", "text_lang_id", "text_length_histogram",
+    "sketch_distinct_kmv", "sketch_heavy_hitters_cms", "sketch_kmv_jaccard",
+    "sketch_kmv_union", "sketch_quantile_rank", "skew_report",
+    "stats_columns", "stickiness_ratio", "stream_tumbling_count",
+    "tableview_last_per_key", "text_bigram_logfreq", "text_bm25_topk",
+    "text_bpe_exact", "text_bpe_token_count", "text_fingerprint",
+    "text_inverted_index", "text_lang_id", "text_length_histogram",
     "text_normalize", "text_quality_score", "text_repetition",
     "text_tfidf_topk", "text_token_count", "text_top_bigrams",
     "text_unigram_entropy", "time_add", "timeseries_gapfill",
@@ -110,13 +132,18 @@ class SqlParitySpec extends SparkSuite {
       body => SqlParityProbe.withRawLiterals(spark)(body))
   }
 
-  test("the two parity tiers cover at least 150 of the registry's oracles") {
+  test("the two parity tiers cover at least 175 of the registry's oracles") {
     val all = (AnsiSubset ++ TranslatedSubset).toSet
     assert(all.size === AnsiSubset.size + TranslatedSubset.size, "overlap")
-    assert(all.size >= 150)
+    assert(all.size >= 175)
     // every pinned name still exists in the registry
     val known = SparkEntry.oracleSql.keySet
     assert(all.subsetOf(known), (all -- known).mkString(", "))
+    // the exclusion list is EXACTLY the complement, each with its engine
+    // limit on record — a new oracle must be adjudicated into a tier
+    assert(known -- all === ExcludedWhy.keySet,
+      s"unadjudicated oracles: ${(known -- all -- ExcludedWhy.keySet).mkString(", ")}; " +
+        s"stale exclusions: ${(ExcludedWhy.keySet -- (known -- all)).mkString(", ")}")
   }
 
   test("registerViews exposes all ten testbed tables") {
