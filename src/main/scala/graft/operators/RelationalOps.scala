@@ -787,10 +787,20 @@ object RelationalOps {
     * matching the NOT EXISTS oracle's strictness exactly. Total cost: two
     * keyed shuffles + one broadcast; no O(n²) pair join anywhere.
     */
+  /** Dominance is undefined for a part with a NULL or non-finite measure
+    * (a NULL price satisfies no comparison, so the NOT-EXISTS oracle
+    * would keep EVERY such row while the window pipeline's NULL grouping
+    * does something else entirely — the hostile part tail exposed the
+    * drift). Both formulations share this domain filter verbatim. */
+  private val SkylineDomain =
+    "p_retailprice IS NOT NULL AND NOT isnan(p_retailprice) " +
+      "AND abs(p_retailprice) < 9.0e16 AND p_size IS NOT NULL"
+
   def skyline(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val pts = parts
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .where(SkylineDomain)
         .withColumn("bkt",
           floor(col("p_retailprice") / lit(SkylinePriceBucket)).cast("long"))
       // one row per distinct price: its max size, bucketed
@@ -824,10 +834,13 @@ object RelationalOps {
     "skyline_pareto",
     (s, d) => skyline(Tables.part(s, d)),
     oracle = Some(
-      """SELECT p_partkey, p_retailprice, p_size
-        |FROM part p
+      s"""WITH pw AS (
+        |  SELECT p_partkey, p_retailprice, p_size FROM part
+        |  WHERE $SkylineDomain)
+        |SELECT p_partkey, p_retailprice, p_size
+        |FROM pw p
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM part q
+        |  SELECT 1 FROM pw q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin))
 

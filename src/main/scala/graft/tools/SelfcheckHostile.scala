@@ -37,10 +37,10 @@ object SelfcheckHostile {
   /** Source testbed whose non-document tables are copied verbatim. */
   val SourceDir = "/root/testdata/sf0.001"
 
-  /** Tables still copied verbatim: small dimension tables whose hostile
-    * shapes (NULL keys, dangling FKs) are already exercised through the
-    * customer/orders/lineitem tails that JOIN against them. */
-  private val CopiedTables = Seq("region", "nation", "supplier", "part")
+  /** Tables still copied verbatim: the two tiny lookup tables whose
+    * hostile shapes (NULL keys, dangling FKs) are already exercised
+    * through the customer/supplier tails that JOIN against them. */
+  private val CopiedTables = Seq("region", "nation")
 
   // ---- hostile documents ---------------------------------------------------
 
@@ -378,8 +378,59 @@ object SelfcheckHostile {
       // hostile tail must also perturb existing join groups, not only
       // its own id space
       Li(201L, 101L, 9L, 99, 39.0, 48000.25, 0.05, 0.02, "N", "O",
-        d("1997-11-01")))
+        d("1997-11-01")),
+      // lines referencing the HOSTILE part/supplier tails: the dup-PK
+      // part (9013) and dup-PK supplier (9009) must flow into the
+      // q9-style product-profit join paths, where a one-row-per-key
+      // assumption would double revenue
+      Li(9000L, 9013L, 9009L, 3, 40.0, 49000.5, 0.05, 0.02, "N", "O",
+        d("1996-04-03")),
+      Li(9001L, 9010L, 9006L, 3, 41.0, 50000.75, 0.05, 0.02, "A", "F",
+        d("1997-07-03"))) // NaN-price part, NaN-balance supplier
   }
+
+  final case class Prt(p_partkey: java.lang.Long, p_name: String,
+                       p_brand: String, p_type: String,
+                       p_size: java.lang.Integer,
+                       p_retailprice: java.lang.Double)
+
+  private[tools] def hostilePartRows: Seq[Prt] = Seq(
+    Prt(9000L, null, "Brand#90", "ECONOMY", 10, 900.25), // null name
+    Prt(9001L, "", "Brand#91", "STANDARD", 11, 901.5), // empty name
+    Prt(9002L, "pärt#Ünïcode 零件", "Brand#92", "ECONOMY", 12, 902.75),
+    Prt(9003L, "part#9003", null, "PROMO", 13, 903.25), // null brand
+    Prt(9004L, "part#9004", "Brand#94", null, 14, 904.5), // null type
+    Prt(9005L, "part#9005", "Brand#95", "economy", 15, 905.75), // lowercase
+    Prt(9006L, "part#9006", "Brand#96", "ECONOMY%_", 16, 906.25), // meta
+    Prt(9007L, "part#9007", "Brand#97", "ECONOMY", null, 907.5), // null size
+    Prt(9008L, "part#9008", "Brand#98", "STANDARD", -5, 908.75), // negative
+    Prt(9009L, "part#9009", "Brand#99", "ECONOMY", 17, null), // null price
+    Prt(9010L, "part#9010", "Brand#90", "PROMO", 18, Double.NaN), // NaN
+    Prt(9011L, "part#9011", "Brand#91", "ECONOMY", 19, -0.0), // neg zero
+    Prt(9012L, "part#9012", "Brand#92", "STANDARD", 20, 87654321.09), // huge
+    // duplicate primary key, different payloads
+    Prt(9013L, "part#9013-a", "Brand#93", "ECONOMY", 21, 913.25),
+    Prt(9013L, "part#9013-b", "Brand#93", "PROMO", 22, 913.5),
+    Prt(null, "part#null-key", "Brand#94", "ECONOMY", 23, 914.75)) // NULL pk
+
+  final case class Sup(s_suppkey: java.lang.Long, s_name: String,
+                       s_nationkey: java.lang.Integer,
+                       s_acctbal: java.lang.Double)
+
+  private[tools] def hostileSupplierRows: Seq[Sup] = Seq(
+    Sup(9000L, null, 3, 100.25), // null name
+    Sup(9001L, "", 4, 101.5), // empty name
+    Sup(9002L, "Süpplier#Ünïcode 供应", 5, 102.75),
+    Sup(9003L, "Supplier#9003", null, 103.25), // null FK
+    Sup(9004L, "Supplier#9004", 999, 104.5), // dangling FK
+    Sup(9005L, "Supplier#9005", 6, null), // null balance
+    Sup(9006L, "Supplier#9006", 7, Double.NaN), // NaN balance
+    Sup(9007L, "Supplier#9007", 8, -0.0), // negative zero
+    Sup(9008L, "Supplier#9008", 9, -999.99),
+    // duplicate primary key, different balances
+    Sup(9009L, "Supplier#9009", 10, 109.25),
+    Sup(9009L, "Supplier#9009", 10, 209.75),
+    Sup(null, "Supplier#null-key", 11, 110.5)) // NULL pk
 
   // ---- writing -------------------------------------------------------------
 
@@ -420,6 +471,8 @@ object SelfcheckHostile {
     withTail("customer", hostileCustomerRows.toDF())
     withTail("orders", hostileOrderRows.toDF())
     withTail("lineitem", hostileLineitemRows.toDF())
+    withTail("part", hostilePartRows.toDF())
+    withTail("supplier", hostileSupplierRows.toDF())
     // events = source rows (ts normalized to µs by Tables.events) plus the
     // hostile tail — the whole event/game/analytics family runs over them
     writeSingleFile(spark,
