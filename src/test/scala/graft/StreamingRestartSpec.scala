@@ -355,4 +355,73 @@ class StreamingRestartSpec extends SparkSuite {
     assert(flags === Seq((hr11, 2L, true)),
       s"spike must flag against the RESTORED baseline moments: $flags")
   }
+
+  test("LSH bucket membership survives a restart: the cross-boundary pair is emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = ckDir()
+    val input = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      graft.streaming.StreamingDedup.candidatePairs(
+        input.toDF().toDF("doc_id", "text")).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // pre-restart: the bucket's FIRST member — no pair yet, but its id
+    // lands in every band's ListState
+    val q1 = start()
+    input.addData((1L, text))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.isEmpty, "a single bucket member must not pair")
+
+    // post-restart: an identical doc shares every band bucket. The pair
+    // exists ONLY if doc 1's membership was restored — a reset store
+    // sees doc 2 as each bucket's first member and emits nothing.
+    input.addData((2L, text))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = emitted.synchronized(
+      emitted.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(pairs.nonEmpty && pairs.distinct === Seq((1L, 2L)),
+      s"restart must pair against restored bucket members: $pairs")
+  }
+
+  test("KMV sketch state survives a restart: the estimate covers pre-restart keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    def start(name: String) =
+      graft.streaming.StreamingSketch.distinctKmv(eventsDF(input))
+        .writeStream.outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ck)
+        .format("memory").queryName(name).start()
+
+    // pre-restart: 20 distinct users (below KmvK=32, so every hash is
+    // kept and n_kept IS the exact distinct count)
+    val q1 = start("restart_kmv_1")
+    input.addData((1L to 20L).map(u => ev(u, u, "click", ts((u % 60).toInt))): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("restart_kmv_1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("click", 20L)))
+
+    // fed while DOWN: 8 NEW users. 20 + 8 = 28 kept hashes requires the
+    // pre-restart bottom-k buffer — a reset store reports 8.
+    input.addData((21L to 28L).map(u => ev(u, u, "click", ts((u % 60).toInt))): _*)
+    val q2 = start("restart_kmv_2")
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.table("restart_kmv_2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after.map(t => (t._1, t._2)) === Set(("click", 28L)),
+      s"restored KMV must keep all 28 distinct hashes: $after")
+    // below k the estimate IS the kept size
+    assert(after.head._3 === 28L, s"kmv_est below k must be exact: $after")
+  }
 }
