@@ -63,6 +63,22 @@ object CorpusOps {
       .filter(col("df") >= SpanBoilerDf)
       .select("span")
 
+  /** Memoized + persisted boilerplate-span artifact per (app, dataset) —
+    * the same index-artifact treatment as the Bloom words and capped
+    * shingles (DedupOps): the span-df aggregate is a full-corpus scan +
+    * shuffle, a build-once artifact of the DATASET, not of any one query.
+    * Two registry queries (dedup_span_boilerplate, pipeline_scrub_pack)
+    * walk it, and across sessions the ArtifactStore write-through means a
+    * restart serves the persisted copy instead of re-scanning 100 TB. */
+  private val boilerSpanFrames = new graft.DatasetMemo[org.apache.spark.sql.DataFrame](
+    Some(graft.ArtifactStore.frame("boiler_spans")))
+
+  def boilerSpans(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    boilerSpanFrames.get(s, d, "documents.parquet") {
+      boilerplateSpans(Tables.documents(s, d))
+    }
+
   /** Broadcast guard for the boilerplate artifact, as a session conf so
     * the fallback-parity spec can trip it without a special corpus. The
     * default (64k spans, a few MB broadcast) is the regime where forcing
@@ -169,12 +185,15 @@ object CorpusOps {
     */
   /** The full scrub over ANY (doc_id, text) corpus — shared by the testbed
     * query below and the span-heavy fallback smoke
-    * ([[graft.tools.BoilerScaleSmoke]]).
+    * ([[graft.tools.BoilerScaleSmoke]]). `boiler` defaults to deriving the
+    * span artifact from `docs` inline; the registry query passes the
+    * memoized+persisted [[boilerSpans]] instead.
     */
-  def spanScrubOf(docs: org.apache.spark.sql.DataFrame)
+  def spanScrubOf(docs: org.apache.spark.sql.DataFrame,
+                  boiler: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val spans = spanRows(docs)
-    val kept = keptSpans(spans, boilerplateSpans(docs))
+    val kept = keptSpans(spans, boiler.getOrElse(boilerplateSpans(docs)))
     val clean = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       array_join(
@@ -192,7 +211,7 @@ object CorpusOps {
 
   val dedupSpanBoilerplate = GQuery(
     "dedup_span_boilerplate",
-    (s, d) => spanScrubOf(Tables.documents(s, d)),
+    (s, d) => spanScrubOf(Tables.documents(s, d), Some(boilerSpans(s, d))),
     oracle = Some(
       s"""WITH $SpanCtes,
          |sb_clean AS (
@@ -263,7 +282,7 @@ object CorpusOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val kept = keptSpans(spanRows(docs), boilerplateSpans(docs))
+      val kept = keptSpans(spanRows(docs), boilerSpans(s, d))
       val cleanToks = kept
         .select(col("doc_id"),
           size(filter(split(col("span"), " "), w => w =!= ""))

@@ -202,6 +202,11 @@ class ArtifactStoreSpec extends SparkSuite {
       assert(shingleDirs.size === 1, "capped-shingle artifact missing")
       // and the persisted frame loads back as a usable scan
       assert(spark.read.parquet(shingleDirs.head.toString).count() > 0)
+      val scrub = graft.operators.CorpusOps.dedupSpanBoilerplate.run(spark, ds)
+      assert(scrub.count() > 0)
+      val boilerDirs = artifactDirs("boiler_spans")
+      assert(boilerDirs.size === 1, "boiler-span artifact missing")
+      assert(new java.io.File(boilerDirs.head, "_SUCCESS").exists())
     }
   }
 }
