@@ -938,6 +938,59 @@ object RelationalOps {
       }.mkString("", "\nUNION ALL\n", "")))
   }
 
+  /** Q:dq_null_profile — the per-column null-rate monitor completing the
+    * dq family (referential → value domain → key uniqueness → null
+    * profile): for each audited (table, column), row count, null count,
+    * and the null rate as a scaled integer (e6, floor division — the
+    * round()-unsafe-regime contract). ONE scan per table on the engine
+    * side: a single conditional aggregate computes every column's null
+    * count, then a row-local `stack` unpivots to (column, n_null) rows —
+    * the audit cost at 100 TB is one pass over each fact table, not one
+    * per column. Non-vacuous in the hostile gate, whose tails plant NULLs
+    * in every one of these columns.
+    */
+  val dqNullProfile: GQuery = {
+    val tables: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame, Seq[String])] = Seq(
+      ("customer", (s, d) => Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      ("orders", (s, d) => Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      ("lineitem", (s, d) => Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+          "l_shipdate")),
+      ("events", (s, d) => Tables.events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")))
+    GQuery(
+      "dq_null_profile",
+      (s, d) => tables.map { case (t, load, cols) =>
+        val agged = load(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+            .as(s"nn_$c")): _*)
+        val stackArgs = cols.map(c => s"'$c', nn_$c").mkString(", ")
+        agged.select(
+          lit(t).as("table_name"),
+          expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null)"),
+          col("n_rows"))
+          .select(col("table_name"), col("column_name"), col("n_rows"),
+            col("n_null"),
+            expr("CAST(n_null * 1000000 div n_rows AS BIGINT)")
+              .as("null_rate_e6"))
+      }.reduce(_ union _),
+      oracle = Some(tables.flatMap { case (t, _, cols) =>
+        cols.map { c =>
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |       count(*) AS n_rows,
+             |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |       CAST((count(*) - count($c)) * 1000000 // count(*) AS BIGINT)
+             |         AS null_rate_e6
+             |FROM $t""".stripMargin
+        }
+      }.mkString("", "\nUNION ALL\n", "")))
+  }
+
   /** Q:q14_promo_share — TPC-H Q14 (promotion effect) as a monthly
     * series: revenue from promoted part types vs total, per ship month.
     * The textbook emits the percentage; here BOTH legs are scaled-integer
@@ -1772,7 +1825,7 @@ object RelationalOps {
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
     q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
-    dqPkUniqueness, q14PromoShare, reshapeUnpivot, windowNtileQuartiles,
+    dqPkUniqueness, dqNullProfile, q14PromoShare, reshapeUnpivot, windowNtileQuartiles,
     skewReport,
     q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity,
     q4OrderPriority, q6ForecastRevenue, q13CustomerDistribution,

@@ -72,7 +72,8 @@ class SqlParitySpec extends SparkSuite {
     "assoc_lift_daily", "chunk_documents", "churn_accounting",
     "cohort_retention", "conversion_latency_histogram", "dau_cumulative",
     "decontam_bloom", "decontam_embedding", "decontam_minhash",
-    "decontam_ngram_exact", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "decontam_ngram_exact", "dq_null_profile",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_embedding_lsh_banded", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_span_boilerplate", "dedup_substring_runs",
     "dedup_substring_windows", "dq_pk_uniqueness", "dq_value_domain",
