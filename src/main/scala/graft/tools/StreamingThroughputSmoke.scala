@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming scale smoke: drive the two core stateful streaming operators
+  * (killCounts — update-mode hash aggregation; lastPerKey — explicit
+  * mapGroupsWithState compaction) over an N-million-event synthetic log
+  * delivered through the REAL file-source seam in bounded micro-batches,
+  * and report end-to-end throughput plus exact batch parity of the final
+  * state. This does for the streaming family what DedupScaleSmoke does
+  * for LSH: the parity specs prove semantics at testbed scale, this
+  * proves the state machinery's THROUGHPUT claim — per-key bounded state,
+  * nothing superlinear across micro-batches — at a scale where a
+  * rows-proportional state store would visibly collapse.
+  *
+  * The log is generated distributed (xxhash64 column streams, no driver
+  * data) into N_FILES parquet files; maxFilesPerTrigger slices them into
+  * ~10 micro-batches, so state survives and accumulates across real
+  * micro-batch boundaries rather than one lucky mega-batch.
+  *
+  *   N_EVENTS=5000000 N_FILES=50 sbt "runMain graft.tools.StreamingThroughputSmoke"
+  *
+  * Recorded (round 13, local[32], default heap): parity exact at every
+  * tier, and 16× the events cost ~1.3× the wall time — micro-batch fixed
+  * costs dominate, per-key state never grows with rows:
+  *   5M/50 files:   killCounts 10.1 s (0.49 M ev/s), lastPerKey 8.3 s (0.60)
+  *   20M/100 files: killCounts 11.1 s (1.81 M ev/s), lastPerKey 9.8 s (2.04)
+  *   80M/200 files: killCounts 12.6 s (6.34 M ev/s), lastPerKey 13.7 s (5.83)
+  */
+object StreamingThroughputSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("N_EVENTS", "5000000").toLong
+    val files = sys.env.getOrElse("N_FILES", "50").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.EventStream
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-smoke").toString
+    // events-shaped synthetic log: ~25% error events (the kill-count
+    // family's input), 1000 users, props carrying the killer key k
+    spark.range(n).repartition(files)
+      .select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1767225600L) + pmod(col("id"), lit(86400L)))
+          .as("ts"),
+        pmod(abs(xxhash64(col("id"))), lit(1000L)).as("user_id"),
+        element_at(
+          array(lit("error"), lit("click"), lit("view"), lit("error")),
+          (pmod(abs(xxhash64(col("id"), lit(1))), lit(4L)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(abs(xxhash64(col("id"), lit(2))), lit(10000L)) / 100.0)
+          .as("value"),
+        concat(lit("{\"k\": "),
+          pmod(abs(xxhash64(col("id"), lit(3))), lit(1000L)), lit("}"))
+          .as("props"))
+      .write.mode("overwrite").parquet(dir)
+
+    val cfg = EventStream.EventSourceConfig(
+      format = "parquet",
+      path = Some(dir),
+      options = Map("maxFilesPerTrigger" -> math.max(1, files / 10).toString),
+      schema = Some(EventStream.EventsFileSchema))
+    val batchEvents = spark.read.parquet(dir)
+
+    def timed(label: String)(run: String => Unit)(parity: String => Boolean): Unit = {
+      val name = s"smoke_$label"
+      val t0 = System.nanoTime()
+      run(name)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = parity(name)
+      println(f"[stream-smoke] $label%-12s n=$n files=$files $secs%7.2f s " +
+        f"${n / secs / 1e6}%6.2f M events/s parity=$ok")
+      require(ok, s"$label final state diverged from the batch answer")
+    }
+
+    // A1 streaming: update-mode hash aggregation. The memory sink logs
+    // every per-batch update; counts are monotone per key, so the final
+    // state is the per-key max — compared exactly against the batch agg.
+    timed("killCounts") { name =>
+      EventStream.runToMemory(
+        EventStream.killCounts(EventStream.readEvents(spark, cfg)),
+        name, OutputMode.Update())
+    } { name =>
+      val streamed = spark.table(name)
+        .groupBy("room", "killer").agg(max("kills").as("kills"))
+      val batch = EventStream.killCounts(batchEvents)
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
+    }
+
+    // S5 streaming: explicit keyed state (mapGroupsWithState). Final
+    // state per key = the update carrying the max last_seq; exact-match
+    // against the batch latest-per-key (seq is unique, so no tie).
+    timed("lastPerKey") { name =>
+      EventStream.runToMemory(
+        EventStream.lastPerKey(EventStream.readEvents(spark, cfg)).toDF(),
+        name, OutputMode.Update())
+    } { name =>
+      import org.apache.spark.sql.expressions.Window
+      val streamed = spark.table(name)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("room", "victim").orderBy(col("last_seq").desc)))
+        .filter(col("rk") === 1).drop("rk")
+      val batch = graft.operators.EventOps.gameColumns(batchEvents)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("room", "victim").orderBy(col("seq").desc)))
+        .filter(col("rk") === 1)
+        .select(col("room"), col("victim"), col("seq").as("last_seq"),
+          col("value").as("last_value"))
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
+    }
+
+    spark.stop()
+  }
+}
