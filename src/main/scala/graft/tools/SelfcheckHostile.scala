@@ -20,9 +20,11 @@ import org.apache.spark.sql.SparkSession
   * (null/malformed/regex-vs-JSON-ambiguous props, null/empty/non-ASCII
   * event types, null/negative/Long.MaxValue user ids, null/epoch/
   * pre-epoch/far-future timestamps, identical-timestamp runs, null/−0.0/
-  * extreme values) — while the seven TPC-H-only tables are byte-copies of
-  * the smoke testbed, so the ENTIRE query registry runs against it
-  * through the ordinary gate:
+  * extreme values) — and (round 13) hostile tails on ALL SEVEN TPC-H
+  * tables, the two broadcast dimensions included: NULL and duplicate
+  * primary keys, dangling/NULL FKs, NaN/−0.0/huge money, off-domain and
+  * metacharacter strings, name twins of every filter literal — so the
+  * ENTIRE query registry runs against it through the ordinary gate:
   *
   *   sbt "runMain graft.tools.SelfcheckHostile /tmp/graft_hostile/data"
   *   sbt "runMain graft.Verify /tmp/graft_hostile/data /tmp/graft_hostile/out"
@@ -37,10 +39,13 @@ object SelfcheckHostile {
   /** Source testbed whose non-document tables are copied verbatim. */
   val SourceDir = "/root/testdata/sf0.001"
 
-  /** Tables still copied verbatim: the two tiny lookup tables whose
-    * hostile shapes (NULL keys, dangling FKs) are already exercised
-    * through the customer/supplier tails that JOIN against them. */
-  private val CopiedTables = Seq("region", "nation")
+  /** No tables are copied verbatim any more: since the round-13
+    * continuation even the two tiny lookup dimensions carry hostile
+    * tails — a broadcast dimension with a duplicate or NULL join key is
+    * a DIFFERENT failure surface (row multiplication through every
+    * downstream join, NULL group keys in n_name GROUP BYs) than a fact
+    * row with a dangling FK, and only the dimension side can exercise it. */
+  private val CopiedTables = Seq.empty[String]
 
   // ---- hostile documents ---------------------------------------------------
 
@@ -432,6 +437,48 @@ object SelfcheckHostile {
     Sup(9009L, "Supplier#9009", 10, 209.75),
     Sup(null, "Supplier#null-key", 11, 110.5)) // NULL pk
 
+  final case class Nat(n_nationkey: java.lang.Integer, n_name: String,
+                       n_regionkey: java.lang.Integer)
+
+  /** Hostile nation tail (round-13 continuation). The dimension is
+    * broadcast into every q5/q7/q8/q9/q10-family join, so hostility HERE
+    * multiplies or voids fact rows downstream: a duplicate of real key 3
+    * doubles every customer/supplier row keyed 3 through every join that
+    * assumed one-row-per-key; a NULL key must match nothing; name twins
+    * of the q7/q8 IN-list literals (same name new key, lowercase, LIKE
+    * metacharacters) probe every name-filter's exact semantics. */
+  private[tools] def hostileNationRows: Seq[Nat] = Seq(
+    Nat(90, null, 0), // null name → a NULL group key in n_name GROUP BYs
+    Nat(91, "", 1), // empty name
+    Nat(92, "Nación Ünïcode 国家", 2), // non-ASCII
+    Nat(93, "NATION_93%_", 3), // LIKE/regex metacharacters
+    Nat(94, "nation_1", 4), // lowercase twin of a filtered literal
+    Nat(95, "NATION_3", 0), // name-twin of a q7/q8 IN-list nation, new key
+    Nat(96, "NATION_96", null), // NULL region FK
+    Nat(97, "NATION_97", 99), // dangling region FK
+    Nat(98, "NATION_98", 94), // points at the name-twin AMERICA region
+    // duplicate PK of REAL key 3, different name and region: every
+    // customer/supplier row keyed 3 now joins two nation rows
+    Nat(3, "NATION_3_DUP", 2),
+    Nat(null, "NATION_NULL_KEY", 0)) // NULL pk
+
+  final case class Reg(r_regionkey: java.lang.Integer, r_name: String)
+
+  /** Hostile region tail: the top of every geography join chain. The
+    * exact-duplicate EUROPE row doubles the whole q2 min-cost branch
+    * (both engines must double identically); the ASIA-keyed row with a
+    * DIFFERENT name multiplies pre-filter but must vanish at the
+    * r_name='ASIA' filter; name twins probe filter semantics. */
+  private[tools] def hostileRegionRows: Seq[Reg] = Seq(
+    Reg(90, null), // null name
+    Reg(91, ""), // empty name
+    Reg(92, "EUROPE%_"), // metachar twin of q2's filter literal
+    Reg(93, "asia"), // lowercase twin of q5's literal
+    Reg(94, "AMERICA"), // name-twin of q8's literal under a new key
+    Reg(2, "ASIA_DUP"), // dup PK of the q5-filtered key, different name
+    Reg(3, "EUROPE"), // EXACT duplicate row of the q2-filtered region
+    Reg(null, "REGION_NULL_KEY")) // NULL pk
+
   // ---- writing -------------------------------------------------------------
 
   /** Write `df` as ONE plain parquet FILE at `target` (DuckDB's view
@@ -473,6 +520,8 @@ object SelfcheckHostile {
     withTail("lineitem", hostileLineitemRows.toDF())
     withTail("part", hostilePartRows.toDF())
     withTail("supplier", hostileSupplierRows.toDF())
+    withTail("nation", hostileNationRows.toDF())
+    withTail("region", hostileRegionRows.toDF())
     // events = source rows (ts normalized to µs by Tables.events) plus the
     // hostile tail — the whole event/game/analytics family runs over them
     writeSingleFile(spark,
