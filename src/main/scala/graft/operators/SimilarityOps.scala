@@ -26,18 +26,44 @@ object SimilarityOps {
   val NumQueries = 10 // query set = vec_id < 10
   val NumPlanes = 8
 
-  /** Hyperplane component w[p][i] = ((p·64+i)·2654435761 mod 2001) − 1000 —
-    * integer-valued pseudo-random plane, identical in both engines. Enters
-    * the Spark plan as ONE referenced array literal (same trick as
+  /** Hyperplane component: k = p·64+i mixed through two QUADRATIC rounds
+    * mod the Mersenne prime 2³¹−1, then folded to [−1000, 1000] —
+    * integer-valued pseudo-random planes, identical in both engines.
+    *
+    * Why quadratic (round 13): the original linear form
+    * (k·2654435761 mod 2001) made every plane an arithmetic progression
+    * mod 2001 and CONSECUTIVE PLANES correlated — harmless at the
+    * testbed's r=8/4k-vector scale, but at the r=16 parameterization a
+    * 1M-row smoke (tools/AnnScaleSmoke) measured 25% of all rows landing
+    * in cap-dropped hot buckets (max bucket 1571 where random planes give
+    * 35) and planted recall 18pp below sign-LSH theory. The squaring
+    * breaks the linear lattice: with mixed planes the same smoke measures
+    * zero capped buckets and recall on theory. Every intermediate is
+    * < 2⁶² so the arithmetic is exact in Spark longs AND DuckDB BIGINTs
+    * (no wrap on one side vs promote/error on the other).
+    *
+    * Enters the Spark plan as ONE referenced array literal (same trick as
     * KMeansOps.withCid), so the projection is a compiled graft_dot loop —
     * the former transform(sequence)/zip_with/aggregate HOF chain ran every
     * row through interpreted lambdas, ~25× slower.
     */
   private def planeLit(p: Int): Seq[Double] =
-    (0 until 64).map(i => (((p * 64 + i) * 2654435761L) % 2001 - 1000).toDouble)
+    (0 until 64).map { i =>
+      val M = 2147483647L // 2^31 − 1
+      val k = (p * 64 + i).toLong
+      val x0 = (k * 2654435761L) % M
+      val x1 = (x0 * x0 + 1234567L) % M
+      val x2 = (x1 * x1 + 7654321L) % M
+      (x2 % 2001 - 1000).toDouble
+    }
 
-  private def planeDuck(p: Int): String =
-    s"list_transform(generate_series(0, 63), i -> ((($p * 64 + i) * 2654435761) % 2001 - 1000)::DOUBLE)"
+  private def planeDuck(p: Int): String = {
+    val k = s"($p * 64 + i)"
+    val x0 = s"(($k * 2654435761) % 2147483647)"
+    val x1 = s"(($x0 * $x0 + 1234567) % 2147483647)"
+    val x2 = s"(($x1 * $x1 + 7654321) % 2147483647)"
+    s"list_transform(generate_series(0, 63), i -> ($x2 % 2001 - 1000)::DOUBLE)"
+  }
 
   /** Sign-LSH bucket id over the normalized `v` column — row-local; shared
     * by ann_lsh_bucket and the dedup_embedding_lsh scale path. graft_dot
