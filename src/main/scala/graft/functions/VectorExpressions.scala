@@ -22,6 +22,59 @@ trait VecKernel extends Serializable {
   def compute(v: ArrayData): ArrayData
 }
 
+/** Java-visible interface for the argmin-centroid codegen call site
+  * (`graft_argmin_centroid` — the k-means assignment at SCALE k). */
+trait CentroidKernel extends Serializable {
+  /** cid of the nearest centroid under dist = qq + qvx·ext_c (ties →
+    * lowest cid), or Long.MinValue when the vector is malformed (wrong
+    * length / NULL element) — mapped to SQL NULL by the expression. */
+  def assign(qvx: ArrayData, qq: Double): Long
+}
+
+/** Argmin over a centroid matrix as ONE compiled loop. The k=8 registry
+  * path inlines k `graft_dot`s under a `least()` — fine at testbed k, but
+  * the expression tree is O(k) generated source and Janino's 64 KB method
+  * limit kills it near k ≈ 100 (measured: a hard job abort at k = 256,
+  * tools/IvfScaleSmoke). Here k only grows the referenced matrix, not the
+  * code. Same exact arithmetic as the inline form: every term is
+  * integer-valued (see KMeansOps), so accumulation order is irrelevant
+  * and ties are exact; iteration ascends the cents order and improves on
+  * strict `<` or equal-dist-lower-cid, reproducing the composite
+  * `dist·CompBase + cid` argmin bit-for-bit.
+  */
+final class ArgminCentroidKernel(cids: Array[Long], exts: Array[Array[Double]])
+    extends CentroidKernel {
+  require(cids.length == exts.length && cids.nonEmpty,
+    s"argmin centroids malformed: ${cids.length} cids, ${exts.length} rows")
+
+  override def assign(qvx: ArrayData, qq: Double): Long = {
+    val d = exts(0).length
+    if (qvx.numElements() != d) return Long.MinValue
+    val q = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      if (qvx.isNullAt(j)) return Long.MinValue
+      q(j) = qvx.getDouble(j)
+      j += 1
+    }
+    var bestCid = Long.MaxValue
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < exts.length) {
+      val e = exts(c)
+      var acc = qq
+      var i = 0
+      while (i < d) { acc += q(i) * e(i); i += 1 }
+      if (acc < bestDist || (acc == bestDist && cids(c) < bestCid)) {
+        bestDist = acc
+        bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
 /** Shared byte-level tokenizer for the shingle kernels. */
 private[functions] object Tokenize {
   /** Flat [start0, end0, start1, end1, …] byte ranges of the non-empty
@@ -599,7 +652,64 @@ object VectorExpressions {
     }
   }
 
+  /** graft_argmin_centroid(qvx, qq, cids, exts) — nearest-centroid id via
+    * [[ArgminCentroidKernel]]: one compiled loop over a referenced k×(d+1)
+    * matrix, replacing the k-way `least(graft_dot…)` tree that exceeds the
+    * JVM method limit past k ≈ 100. cids/exts must be literals (they ARE
+    * the model); NULL on malformed input like every vec kernel.
+    */
+  case class NearestCentroid(left: Expression, right: Expression,
+                             kernel: CentroidKernel)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireDoubleArray("graft_argmin_centroid", left) match {
+        case TypeCheckSuccess =>
+          if (right.dataType == DoubleType) TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"graft_argmin_centroid qq must be double, got ${right.dataType.sql}")
+        case fail => fail
+      }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val r = kernel.assign(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+      if (r == Long.MinValue) null else r
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // reference object typed by the TOP-LEVEL trait (the Janino
+        // mangled-name rule — see the file header discipline)
+        val k = ctx.addReferenceObj("centroidKernel", kernel,
+          classOf[CentroidKernel].getName)
+        s"""
+           |${ev.value} = $k.assign($a, $b);
+           |if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_argmin_centroid" -> (es => es match {
+      case Seq(qvx, qq,
+          Literal(cidsV: ArrayData, ArrayType(LongType, _)),
+          Literal(extsV: ArrayData, ArrayType(ArrayType(DoubleType, _), _))) =>
+        val cids = cidsV.toLongArray()
+        val exts = Array.tabulate(extsV.numElements())(i =>
+          extsV.getArray(i).toDoubleArray())
+        NearestCentroid(qvx, qq, new ArgminCentroidKernel(cids, exts))
+      case other => throw new IllegalArgumentException(
+        "graft_argmin_centroid expects (qvx, qq, cids literal, exts literal), " +
+          s"got ${other.length} args")
+    }),
     "graft_dot" -> (es => es match {
       case Seq(a, b) => DotProduct(a, b)
       case other => throw new IllegalArgumentException(

@@ -53,7 +53,7 @@ object KMeansOps {
 
   /** vec_id, v (double), nrm, qv (quantized BIGINT), qvd, qq = qv·qv,
     * qvx = qvd ++ [1.0] (the affine extension withCid dots against). */
-  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     DedupOps.normalizedVecs(s, d)
       .withColumn("qv", transform(col("v"), x => floor(x * QuantScale)))
       .withColumn("qvd", transform(col("qv"), _.cast("double")))
@@ -81,8 +81,32 @@ object KMeansOps {
       dist * lit(CompBase.toDouble) + lit(cid.toDouble)
     }
 
-  private def withCid(pts: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+  /** Above this k the inline `least(graft_dot…)` tree exceeds Janino's
+    * 64 KB generated-method limit (hard job abort measured at k = 256);
+    * the kernel path carries k in a referenced matrix instead of in the
+    * generated source. Both paths are bit-identical (KMeansSpec pins it
+    * at the registry k on the testbed). */
+  private val InlineAssignMaxK = 16
+
+  private[graft] def withCid(pts: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+    if (cents.size <= InlineAssignMaxK) withCidInline(pts, cents)
+    else withCidKernel(pts, cents)
+
+  private[graft] def withCidInline(pts: DataFrame,
+                                   cents: Seq[(Int, Array[Long])]): DataFrame =
     pts.withColumn("cid", least(compCols(cents): _*).cast("long") % CompBase)
+
+  private[graft] def withCidKernel(pts: DataFrame,
+                                   cents: Seq[(Int, Array[Long])]): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(pts.sparkSession)
+    val ordered = cents.sortBy(_._1)
+    val exts = ordered.map { case (_, cv) =>
+      cv.map(x => -2.0 * x).toSeq :+ cv.map(x => x * x).sum.toDouble
+    }
+    pts.withColumn("cid", call_function("graft_argmin_centroid",
+      col("qvx"), col("qq"),
+      typedLit(ordered.map(_._1.toLong)), typedLit(exts)))
+  }
 
   /** Per-(cluster, dimension) sums + cluster sizes — the map-side-combinable
     * update aggregation. pos is 1-based to match the oracle's list indexing. */
@@ -170,15 +194,21 @@ object KMeansOps {
     * because its value EXTENDS per call (a later caller may need more
     * iterations appended to the cached vector) — the build-once helper's
     * outside-the-lock race would lose extensions. */
-  private[operators] def lloyd(pts: DataFrame, d: String, iters: Int): Seq[(Int, Array[Long], Long)] =
+  private[graft] def lloyd(pts: DataFrame, d: String, iters: Int,
+                           k: Int = K): Seq[(Int, Array[Long], Long)] =
     synchronized {
+      require(k < CompBase, s"k=$k must stay below CompBase=$CompBase " +
+        "(the composite argmin encodes cid in the low digits)")
       val spark = pts.sparkSession
+      // k is part of the identity: a scale caller (tools/IvfScaleSmoke
+      // trains k=256) must not collide with the registry's k=8 model in
+      // either the in-process memo or the persisted artifact
       val key =
-        (spark.sparkContext.applicationId, d, datasetFingerprint(d))
+        (spark.sparkContext.applicationId, d, s"${datasetFingerprint(d)}-k$k")
       var states = models.getOrElse(key,
         graft.ArtifactStore.load(spark, modelPersistence, d, key._3)
           .getOrElse {
-            val seeds = pts.filter(col("vec_id") < K)
+            val seeds = pts.filter(col("vec_id") < k)
               .select(col("vec_id"), col("qv")).collect()
               .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 0L))
               .sortBy(_._1).toSeq

@@ -109,4 +109,24 @@ class KMeansSpec extends SparkSuite {
       np1.get(key).foreach(c1 => assert(r.getAs[Double]("cosine") >= c1 - 1e-4))
     }
   }
+
+  test("kernel assignment is bit-identical to the inline least() path") {
+    // The scale path (graft_argmin_centroid, one compiled loop over a
+    // referenced matrix — used above InlineAssignMaxK where the k-way
+    // least() tree exceeds Janino's method limit) must reproduce the
+    // inline composite argmin EXACTLY, ties included: same integer-valued
+    // distances, same lowest-cid tie-break. Forced head-to-head at the
+    // registry k on the testbed, every row compared.
+    val pts = KMeansOps.quantized(spark, smokeDir)
+    val cents = KMeansOps.lloyd(pts, smokeDir, KMeansOps.Iters)
+      .map(c => (c._1, c._2))
+    val inline = KMeansOps.withCidInline(pts, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = KMeansOps.withCidKernel(pts, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inline.nonEmpty)
+    assert(kernel === inline)
+  }
 }
