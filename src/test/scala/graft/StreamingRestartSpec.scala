@@ -392,6 +392,42 @@ class StreamingRestartSpec extends SparkSuite {
       s"restart must pair against restored bucket members: $pairs")
   }
 
+  test("stream-stream join buffer survives a restart: the cross-boundary pair is emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val ck = ckDir()
+    val input = MemoryStream[Ev]
+    val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def start() =
+      EventStream.followupJoin(eventsDF(input))
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck)
+        .foreachBatch(collectRows(emitted)).start()
+
+    // pre-restart: u1's purchase enters the join buffer with NO matching
+    // error; u9's completed pair proves the join emits before the stop.
+    val q1 = start()
+    input.addData(
+      ev(1, 1, "purchase", ts(0)), ev(2, 9, "purchase", ts(0)),
+      ev(3, 9, "error", ts(5)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.map(_.getLong(0)).toSet === Set(9L),
+      s"pre-restart: only u9's pair is complete: $emitted")
+
+    // fed while DOWN: the error matching u1's buffered purchase, inside
+    // the 60-minute followup window. Its offset was never committed, so
+    // the restart replays it — but the PURCHASE side is not replayed and
+    // exists only in the checkpointed join buffer. A reset state store
+    // emits nothing here.
+    input.addData(ev(4, 1, "error", ts(10)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = emitted.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((9L, 2L), (1L, 1L)),
+      s"restored join buffer must complete u1's cross-boundary pair: $pairs")
+  }
+
   test("KMV sketch state survives a restart: the estimate covers pre-restart keys") {
     implicit val sqlCtx = spark.sqlContext
     val ck = ckDir()
