@@ -111,8 +111,23 @@ object ArtifactStore {
             s"${dst.toString}.old-${spark.sparkContext.applicationId}")
           fs.delete(aside, true)
           if (fs.rename(dst, aside)) {
-            if (publish(fs, tmp, dst)) fs.delete(aside, true): Unit
-            else { fs.rename(aside, dst); fs.delete(tmp, true): Unit }
+            // once the incumbent is aside, a publish failure of ANY kind
+            // (false OR thrown — a local FS throws on a missing source)
+            // must reach the recovery below, or the incumbent strands
+            val published =
+              try publish(fs, tmp, dst)
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (published) fs.delete(aside, true): Unit
+            else {
+              // publish lost: either a racer took the empty slot (keep
+              // THEIR artifact — restoring ours would rename onto an
+              // existing dir, which Hadoop NESTS inside it, poisoning
+              // every future load), or the rename itself failed with the
+              // slot still empty (restore the incumbent).
+              if (fs.exists(dst)) fs.delete(aside, true): Unit
+              else fs.rename(aside, dst): Unit
+              fs.delete(tmp, true): Unit
+            }
           } else fs.delete(tmp, true): Unit
         } else if (!publish(fs, tmp, dst)) {
           // lost the race (or a stale artifact dir exists): keep the

@@ -179,6 +179,63 @@ class ArtifactStoreSpec extends SparkSuite {
     }
   }
 
+  test("replace race: a racer publishing into the vacated slot is kept intact") {
+    val ds = scratchDataset()
+    val local = tempDir("graft-racefs-store")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.racefs.impl", classOf[RacingLocalFs].getName)
+    spark.conf.set(ArtifactStore.DirConfKey, s"racefs://$local")
+    try {
+      val p = ArtifactStore.frame("spec_replace_race")
+      // incumbent (2 rows) and, in a sibling slot, the racer's complete
+      // published artifact (5 rows) used as the plant template
+      ArtifactStore.save(spark, p, ds, "racefp", spark.range(2).toDF("v"))
+      ArtifactStore.save(spark, p, ds, "racertpl", spark.range(5).toDF("v"))
+      val slots = new java.io.File(s"$local/spec_replace_race")
+      val slotOf: String => java.io.File =
+        fp => slots.listFiles().filter(_.getName.endsWith(s"-$fp")).head
+      RacingLocalFs.arm(slotOf("racertpl").toString)
+      // our replace=true save: the racer plants its artifact the instant
+      // the incumbent is moved aside, so our publish must LOSE — and the
+      // recovery must keep the racer's artifact, not rename the stale
+      // incumbent onto it (Hadoop would nest it inside, poisoning loads)
+      ArtifactStore.save(spark, p, ds, "racefp", spark.range(9).toDF("v"),
+        replace = true)
+      assert(!RacingLocalFs.armed.get(), "the race was never injected")
+      assert(ArtifactStore.load(spark, p, ds, "racefp").get.count() === 5,
+        "the racer's published artifact was not preserved")
+      val nested = slotOf("racefp").listFiles().filter(_.isDirectory).toSeq
+      assert(nested.isEmpty, s"stale incumbent nested inside the slot: $nested")
+      val leaked = slots.listFiles()
+        .filter(d => d.getName.contains(".tmp-") || d.getName.contains(".old-"))
+      assert(leaked.isEmpty, s"tmp/old dirs leaked: ${leaked.toSeq}")
+    } finally {
+      spark.conf.unset(ArtifactStore.DirConfKey)
+      hconf.unset("fs.racefs.impl")
+    }
+  }
+
+  test("replace publish failure with the slot empty restores the incumbent") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_replace_restore")
+      ArtifactStore.save(spark, p, ds, "fp", spark.range(3).toDF("v"))
+      // a persistence whose save writes nothing: the publish rename fails
+      // (missing source) AFTER the incumbent was moved aside — the swap
+      // must put the incumbent back rather than leave the slot empty
+      val broken = ArtifactStore.Persistence[org.apache.spark.sql.DataFrame](
+        "spec_replace_restore",
+        save = (_, _, _) => (),
+        load = (s, path) => s.read.parquet(path))
+      ArtifactStore.save(spark, broken, ds, "fp", spark.range(9).toDF("v"),
+        replace = true)
+      assert(ArtifactStore.load(spark, p, ds, "fp").get.count() === 3,
+        "incumbent lost: the failed swap did not restore it")
+      val dirs = new java.io.File(s"$store/spec_replace_restore").listFiles().toSeq
+      assert(dirs.count(_.isDirectory) === 1, s"tmp/old dir leaked: $dirs")
+    }
+  }
+
   test("real call sites write through: bloom words and the IVF model") {
     val ds = scratchDataset()
     withStore { store =>

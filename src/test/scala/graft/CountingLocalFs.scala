@@ -43,3 +43,39 @@ object CountingLocalFs {
     existsCalls.set(0); renameCalls.set(0); deleteCalls.set(0)
   }
 }
+
+/** Deterministic race injection for the replace=true swap, registered
+  * under `racefs://`: when armed, the FIRST move-aside rename (the one
+  * whose destination carries the `.old-` marker) succeeds and is
+  * immediately followed — still inside the rename call, i.e. strictly
+  * between the move-aside and the caller's publish — by a racer
+  * planting a complete published artifact into the just-vacated slot.
+  * This is the exact interleaving where the pre-fix recovery renamed the
+  * stale incumbent ONTO the racer's directory, which Hadoop nests inside
+  * it, poisoning every future load of that artifact. */
+class RacingLocalFs extends RawLocalFileSystem {
+  override def getScheme: String = "racefs"
+  override def getUri: URI = URI.create("racefs:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val moved = super.rename(src, dst)
+    if (moved && dst.getName.contains(".old-") &&
+        RacingLocalFs.armed.compareAndSet(true, false)) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        this, new Path(RacingLocalFs.template), this, src,
+        false, getConf)
+    }
+    moved
+  }
+}
+
+object RacingLocalFs {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var template: String = ""
+
+  /** Plant a copy of `templateDir` into the next vacated slot. */
+  def arm(templateDir: String): Unit = {
+    template = templateDir
+    armed.set(true)
+  }
+}
