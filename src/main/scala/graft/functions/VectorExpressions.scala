@@ -59,6 +59,7 @@ final class ArgminCentroidKernel(cids: Array[Long], exts: Array[Array[Double]])
     }
     var bestCid = Long.MaxValue
     var bestDist = Double.PositiveInfinity
+    var taken = false
     var c = 0
     while (c < exts.length) {
       val e = exts(c)
@@ -68,10 +69,14 @@ final class ArgminCentroidKernel(cids: Array[Long], exts: Array[Array[Double]])
       if (acc < bestDist || (acc == bestDist && cids(c) < bestCid)) {
         bestDist = acc
         bestCid = cids(c)
+        taken = true
       }
       c += 1
     }
-    bestCid
+    // a NaN acc loses every comparison; if EVERY distance was NaN (a NaN
+    // slipping past the upstream finiteness gates), no centroid was ever
+    // taken — surface SQL NULL, not the Long.MaxValue sentinel as a cid
+    if (taken) bestCid else Long.MinValue
   }
 }
 

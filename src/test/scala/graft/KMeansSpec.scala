@@ -129,4 +129,22 @@ class KMeansSpec extends SparkSuite {
     assert(inline.nonEmpty)
     assert(kernel === inline)
   }
+
+  test("kernel surfaces NULL, not a phantom cid, when every distance is NaN") {
+    // Upstream gates exclude non-finite vectors, but the kernel is a
+    // public expression: a NaN query component makes every centroid
+    // distance NaN, which loses every comparison — the result must be
+    // SQL NULL (the malformed-input contract), never the internal
+    // Long.MaxValue sentinel leaking out as a joinable centroid id.
+    import org.apache.spark.sql.functions.{call_function, col, typedLit}
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val row = Seq((Seq(Double.NaN, 1.0), 0.0)).toDF("qvx", "qq")
+      .withColumn("cid", call_function("graft_argmin_centroid",
+        col("qvx"), col("qq"),
+        typedLit(Seq(0L, 1L)),
+        typedLit(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))))
+      .select("cid").collect().head
+    assert(row.isNullAt(0), s"expected NULL cid, got ${row.get(0)}")
+  }
 }
