@@ -17,35 +17,16 @@ import org.apache.spark.sql.SparkSession
   *      (maximally awkward: prime fan-in, many tiny scan tasks);
   *   B: local[32], shuffle.partitions=32, AQE ON, default 128 MiB splits
   *      (the driver's geometry).
-  * Each query's result is canonicalized (rows formatted cell-by-cell and
-  * sorted; map cells entry-sorted; doubles at 9 significant digits so
-  * partial-aggregation reassociation noise below the house round()/scaled-
-  * integer contract doesn't false-positive) and the two digests must match.
+  * Each query's result is canonicalized ([[Canon]]: rows formatted
+  * cell-by-cell and sorted; map cells entry-sorted; doubles at 9
+  * significant digits so partial-aggregation reassociation noise below the
+  * house round()/scaled-integer contract doesn't false-positive) and the
+  * two digests must match. [[ModeAudit]] covers the runtime-mode axes
+  * (ANSI, codegen, JVM default tz/locale) under the same canonical form.
   *
   *   sbt "runMain graft.tools.DeterminismAudit" [sfDir]
   */
 object DeterminismAudit {
-
-  private def canonCell(v: Any): String = v match {
-    case null => "~null~"
-    case d: java.lang.Double => f"${d.doubleValue}%.9e"
-    case f: java.lang.Float => f"${f.floatValue}%.6e"
-    case b: Array[Byte] => b.map(x => f"$x%02x").mkString("0x", "", "")
-    case r: org.apache.spark.sql.Row =>
-      r.toSeq.map(canonCell).mkString("(", ",", ")")
-    case m: scala.collection.Map[_, _] =>
-      m.iterator.map { case (k, x) => canonCell(k) + "->" + canonCell(x) }
-        .toSeq.sorted.mkString("{", ",", "}")
-    case a: scala.collection.Seq[_] => a.map(canonCell).mkString("[", ",", "]")
-    case x => x.toString
-  }
-
-  private def digestOf(rows: Array[String], header: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(header.getBytes("UTF-8"))
-    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(10.toByte) }
-    md.digest().map(b => f"$b%02x").mkString
-  }
 
   /** digest + row count per query, or the failure message. */
   private def runAll(label: String, cores: Int, shufflePartitions: Int,
@@ -62,14 +43,8 @@ object DeterminismAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = graft.SparkEntry.all.map { q =>
-      q.name -> (try {
-        val df = q.run(spark, sfDir)
-        val header = df.schema.fields
-          .map(f => f.name + ":" + f.dataType.sql).mkString("|")
-        val rows = df.collect().map(r => canonCell(r))
-        java.util.Arrays.sort(rows, java.util.Comparator.naturalOrder[String]())
-        Right((digestOf(rows, header), rows.length))
-      } catch {
+      q.name -> (try Right(Canon.digestDf(q.run(spark, sfDir)))
+      catch {
         case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       })
     }.toMap
