@@ -470,8 +470,10 @@ object GameOps {
       toks.select(
         col("doc_id"),
         array_contains(col("tokens"), "spark").as("has_spark"),
-        size(col("tokens")).as("n_tokens"),
-        size(array_remove(col("tokens"), "the")).as("n_after_remove"))
+        // array_size, not size: size(NULL) flips -1/NULL with the ANSI
+        // conf; array_size null-propagates either way (= oracle len())
+        array_size(col("tokens")).as("n_tokens"),
+        array_size(array_remove(col("tokens"), "the")).as("n_after_remove"))
     },
     oracle = Some(
       """SELECT doc_id, list_contains(toks, 'spark') AS has_spark,

@@ -101,7 +101,9 @@ object PipelineOps {
     (s, d) =>
       Tables.documents(s, d)
         .select(col("source"),
-          size(tokArr(col("text"))).cast("long").as("n_tokens"))
+          // array_size, not size: NULL-text rows must land in the NULL
+          // bucket under ANSI on AND off (size(NULL) is -1 with ANSI off)
+          array_size(tokArr(col("text"))).cast("long").as("n_tokens"))
         .withColumn("bucket", expr("n_tokens div 32"))
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"),
@@ -144,9 +146,9 @@ object PipelineOps {
           regexp_replace(
             regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>").as("redacted"),
-          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          array_size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
             .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+          array_size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
             .cast("long").as("n_phones")),
     oracle = Some(
       """WITH pii_aug AS (
@@ -257,7 +259,7 @@ object PipelineOps {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(tokArr(col("text"))).cast("long").as("n_tokens"),
+          array_size(tokArr(col("text"))).cast("long").as("n_tokens"),
           expr(shardHash("doc_id"))
             .as("shard"))
       val w = Window.partitionBy(col("source"), col("shard"))
@@ -391,7 +393,7 @@ object PipelineOps {
       val perDoc = graft.Materialize.stage(
         Tables.documents(s, d).select(
           col("source"),
-          size(tokArr(col("text"))).cast("long").as("ntok"),
+          array_size(tokArr(col("text"))).cast("long").as("ntok"),
           expr(admitHash("doc_id")).as("h")))
       val per = perDoc.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))

@@ -47,7 +47,12 @@ object TextOps {
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          size(filter_exprs(split(col("text"), " "))).as("n_tokens"),
+          // array_size, NOT size: size(NULL) is conf-dependent (-1 with
+          // ANSI off via legacy sizeOfNull, NULL with ANSI on); array_size
+          // null-propagates under EITHER setting, matching len(NULL) in
+          // the oracle. Same substitution at every projection-position
+          // size() over a nullable-text token array (ModeAudit catch).
+          array_size(filter_exprs(split(col("text"), " "))).as("n_tokens"),
           length(col("text")).as("n_chars_actual"),
           col("n_chars")),
     oracle = Some(
@@ -331,7 +336,7 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"),
           expr(bpeCountSql("text")).as("n_bpe_tokens"),
-          size(filter_exprs(split(col("text"), " ")))
+          array_size(filter_exprs(split(col("text"), " ")))
             .cast("long").as("n_words")),
     // the SAME helper pack_sequences_bpe interpolates — a byte-for-byte
     // inline copy here once drifted a fix away from desynchronizing the
@@ -356,10 +361,10 @@ object TextOps {
     (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(expr(
+          array_size(expr(
             "regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', 0)"))
             .cast("long").as("n_pieces"),
-          size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words")),
+          array_size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words")),
     oracle = Some(
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_pieces,
@@ -401,7 +406,17 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"),
           trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            // lower() under the default UTF8_BINARY collation falls back
+            // to JVM-default-locale casing the moment the string holds
+            // ANY non-ASCII char (tr-TR then lowers 'I' to dotless 'ı' —
+            // executor-locale-dependent output on a mixed fleet; ModeAudit
+            // catch). ICU-collated lower() cases by Unicode root rules —
+            // bit-identical to root-locale lower() and to the DuckDB
+            // oracle — and the re-collate back to UTF8_BINARY keeps the
+            // output schema on the default collation.
+            regexp_replace(
+              collate(lower(collate(col("text"), "UNICODE")), "UTF8_BINARY"),
+              "[^a-z0-9 ]", ""),
             " +", " ")).as("norm"))
         .withColumn("n_norm_chars", length(col("norm")).cast("long")),
     oracle = Some(
