@@ -156,7 +156,10 @@ object DuckSqlDialect {
       val unit = if (parts.length == 3) literalOf(parts.head) else None
       unit match {
         case Some(lit) =>
-          val u = lit.stripPrefix("'").stripSuffix("'").toUpperCase
+          // Locale.ROOT: under a tr-TR default locale 'minute' would
+          // uppercase its i to dotted İ and break the keyword
+          val u = lit.stripPrefix("'").stripSuffix("'")
+            .toUpperCase(java.util.Locale.ROOT)
           s"datediff($u, ${parts(1)}, ${parts(2)})"
         case None => s"datediff($args)"
       }

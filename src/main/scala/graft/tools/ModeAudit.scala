@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *    runtime on its own (Janino failure, expression-tree limits — the
   *    IvfScaleSmoke k=256 incident), so a divergence between the two is a
   *    wrong answer waiting on a fallback, invisible while codegen succeeds.
+  *  - **Row-based parquet read path** (vectorized reader off + filter
+  *    pushdown off). Spark demotes individual scans to the row reader on
+  *    its own — nested schemas, unsupported encodings — and pushdown is
+  *    supposed to be pure optimization; a query whose rows change under
+  *    either is reading values the two scan paths disagree on.
   *  - **JVM default timezone + locale** (Asia/Kolkata — a half-hour UTC
   *    offset — and tr-TR, whose dotless-ı casing breaks naive toUpperCase).
   *    The session timezone is pinned UTC at every entry point, so SQL-side
@@ -90,7 +95,16 @@ object ModeAudit {
         Map("spark.sql.ansi.enabled" -> (!ansiDefault).toString),
       "no-codegen" -> Map(
         "spark.sql.codegen.wholeStage" -> "false",
-        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"))
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"),
+      // the row-based parquet path: Spark takes it BY ITSELF per-file
+      // (nested schemas, unsupported encodings), so any scan whose
+      // values differ between the vectorized and row readers is a wrong
+      // answer waiting on a file layout; pushdown-off must also be pure
+      // optimization (a pushed filter evaluating differently from the
+      // post-scan one — timestamp/decimal edges — changes row sets)
+      "row-reader" -> Map(
+        "spark.sql.parquet.enableVectorizedReader" -> "false",
+        "spark.sql.parquet.filterPushdown" -> "false"))
 
     val names = reference.keySet.toSeq.sorted
     var failures = Vector.empty[String]
