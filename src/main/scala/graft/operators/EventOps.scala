@@ -386,14 +386,19 @@ object EventOps {
     (s, d) => {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
-      // app-id suffix: bench and verify can run concurrently, and a shared
-      // fixed path would let one run's overwrite clobber the other's
-      // generations mid-read. The per-app dir is deleted on JVM exit
-      // (shutdown hook below) — app-id isolation must not trade clobbering
-      // for unbounded tmp growth across runs.
+      // app-id + invocation counter: the dir must be unique PER CALL, not
+      // just per app — two concurrent callers on one shared session (the
+      // multi-tenant shape ConcurrencyAudit drives, possibly over
+      // DIFFERENT datasets) would otherwise clobber each other's
+      // _temporary mid-write, and a caller holding the returned LAZY
+      // DataFrame would read whatever a later invocation overwrote.
+      // Every dir is registered for JVM-exit deletion (shutdown hook
+      // below) — the lazy result must outlive this call, so eager
+      // cleanup is not an option.
       val root = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_schema_evolution_${s.sparkContext.applicationId}").getAbsolutePath
+        s"graft_schema_evolution_${s.sparkContext.applicationId}" +
+          s"_inv${scratchInvocations.incrementAndGet()}").getAbsolutePath
       registerScratchCleanup(root)
       base.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"))
@@ -434,6 +439,8 @@ object EventOps {
     */
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Monotonic per-call disambiguator for the scratch path (see above). */
+  private val scratchInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
   private lazy val scratchHook: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -675,12 +682,16 @@ object EventOps {
     */
   val aggGroupingSets = GQuery(
     "agg_grouping_sets",
-    (s, d) => {
-      gameView(s, d).createOrReplaceTempView("graft_game_gs")
-      s.sql(
-        """SELECT room, event_type, count(*) AS n FROM graft_game_gs
-          |GROUP BY GROUPING SETS ((room), (event_type))""".stripMargin)
-    },
+    (s, d) =>
+      // Dataset-API groupingSets, NOT a fixed-name temp view + spark.sql:
+      // a shared session is the normal multi-tenant deployment, and two
+      // concurrent callers registering the same view name over different
+      // datasets would cross-resolve (ConcurrencyAudit pins the registry
+      // is safe to run N-way on one session)
+      gameView(s, d)
+        .groupingSets(Seq(Seq(col("room")), Seq(col("event_type"))),
+          col("room"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
     oracle = Some(
       s"""$GameCte
          |SELECT room, event_type, count(*) AS n FROM game
