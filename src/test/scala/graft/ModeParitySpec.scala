@@ -3,9 +3,9 @@ package graft
 /** Continuous slice of the runtime-mode invariance gate
   * (tools/ModeAudit runs ALL queries under full session-level flips per
   * round; this spec runs a representative subset on every `sbt test` so a
-  * mode-sensitive query is caught the round it is INTRODUCED). Two axes
-  * are session-conf flips safe to toggle on the shared suite session,
-  * GeometryParitySpec-style:
+  * mode-sensitive query is caught the round it is INTRODUCED). Three
+  * axes are session-conf flips safe to toggle on the shared suite
+  * session, GeometryParitySpec-style:
   *
   *  - ANSI mode — a query relying on non-ANSI cast saturation (or on an
   *    ANSI error it never guards) diverges or throws when a cluster sets
@@ -13,9 +13,12 @@ package graft
   *  - codegen off (wholeStage=false + factoryMode=NO_CODEGEN) — every
   *    hand-written doGenCode in functions/ must agree with its
   *    interpreted eval, because Spark falls back to the interpreted path
-  *    on its own (Janino method-size limits — the k=256 IVF incident).
+  *    on its own (Janino method-size limits — the k=256 IVF incident);
+  *  - the row-based parquet read path (vectorized reader + pushdown
+  *    off) — Spark demotes scans per-file on its own, and pushdown must
+  *    be pure optimization.
   *
-  * The third ModeAudit axis (JVM default timezone/locale) is deliberately
+  * The remaining ModeAudit axis (JVM default timezone/locale) is deliberately
   * NOT flipped here: it is JVM-global and suites run concurrently in this
   * fork — the per-round tool covers it in a dedicated session.
   */
@@ -59,6 +62,16 @@ class ModeParitySpec extends SparkSuite {
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
       val diverged = Subset.filter(n => canon(n) != base(n))
       assert(diverged.isEmpty, s"codegen-sensitive queries: ${diverged.mkString(", ")}")
+    }
+  }
+
+  test("registry subset is invariant on the row-based parquet read path") {
+    val base = Subset.map(n => n -> canon(n)).toMap
+    withConf(
+      "spark.sql.parquet.enableVectorizedReader" -> "false",
+      "spark.sql.parquet.filterPushdown" -> "false") {
+      val diverged = Subset.filter(n => canon(n) != base(n))
+      assert(diverged.isEmpty, s"reader-sensitive queries: ${diverged.mkString(", ")}")
     }
   }
 }
