@@ -148,7 +148,7 @@ object KMeansOps {
     * serve a model trained on the old data while the DuckDB oracle retrains
     * on the new, a silent verify mismatch.
     */
-  private val models =
+  private[graft] val models =
     scala.collection.mutable.Map.empty[(String, String, String), Vector[Seq[(Int, Array[Long], Long)]]]
 
   /** Cross-session persistence of the iteration-state sequence: one row
@@ -203,8 +203,8 @@ object KMeansOps {
       // k is part of the identity: a scale caller (tools/IvfScaleSmoke
       // trains k=256) must not collide with the registry's k=8 model in
       // either the in-process memo or the persisted artifact
-      val key =
-        (spark.sparkContext.applicationId, d, s"${datasetFingerprint(d)}-k$k")
+      val fp = datasetFingerprint(d)
+      val key = (spark.sparkContext.applicationId, d, s"$fp-k$k")
       var states = models.getOrElse(key,
         graft.ArtifactStore.load(spark, modelPersistence, d, key._3)
           .getOrElse {
@@ -232,8 +232,13 @@ object KMeansOps {
           replace = true)
       // an in-place rewrite changes the fingerprint: drop entries the new
       // fingerprint supersedes for the same (app, dir) so stale models
-      // don't accumulate over a long-lived application
-      models.keys.filter(k => k._1 == key._1 && k._2 == key._2 && k != key)
+      // don't accumulate over a long-lived application. Compare on the
+      // FINGERPRINT portion only (key._3 is "<fp>-k<k>"): a different k
+      // trained on the same, still-current dataset is a sibling model,
+      // not a stale one — evicting it would force a full retrain on
+      // every k alternation when the artifact store is disabled.
+      models.keys.filter(e => e._1 == key._1 && e._2 == key._2 &&
+          !e._3.startsWith(s"$fp-k"))
         .toSeq.foreach(models.remove)
       models(key) = states
       states(iters)

@@ -26,6 +26,17 @@ object RelationalOps {
     * those exact sums. e4 cent sums stay inside BIGINT up to ~$10¹⁴ per
     * group; a deployment beyond that widens the same shape to
     * DECIMAL(38,0).
+    *
+    * The non-finite guard bound is SCALE-DEPENDENT: the guarded value is
+    * multiplied before the floor, and Spark's floor(double) returns
+    * BIGINT — for any post-multiplication value past ~9.2e18 it silently
+    * saturates at Long.MaxValue under non-ANSI semantics (the
+    * surrounding TRY_CAST never sees an overflowing double), while
+    * DuckDB's floor stays DOUBLE and its TRY_CAST nulls — a latent
+    * engine divergence band if one fixed bound were reused across
+    * scales. So ×100 summands guard at 9.0e16, ×10000 at 9.0e14, and
+    * ×1000000 at 9.0e12: in every case bound × scale = 9.0e18 <
+    * Long.MaxValue, and both engines null exactly the same rows.
     */
   val q1Agg = GQuery(
     "q1_agg",
@@ -37,7 +48,7 @@ object RelationalOps {
           expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("sum_qty"),
           sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)"))
             .as("sum_base_price_e2"),
-          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
             .as("sum_disc_price_e4"),
           expr("CAST(sum(CAST(l_quantity AS BIGINT)) * 10000 div count(1) AS BIGINT)")
             .as("avg_qty_e4"),
@@ -48,7 +59,7 @@ object RelationalOps {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 9.0e16 THEN NULL ELSE l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
         |       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_qty_e4,
         |       CAST(CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_discount) OR abs(l_discount) >= 9.0e16 THEN NULL ELSE l_discount END * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100 // count(*) AS BIGINT) AS avg_disc_e4,
         |       count(*) AS count_order
@@ -91,12 +102,12 @@ object RelationalOps {
               col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(sum(expr(
-               "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
+               "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
                .as("revenue_e4"),
              count(lit(1)).as("n_items")),
     oracle = Some(
       """SELECT n_name,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -533,12 +544,12 @@ object RelationalOps {
         // at any group size (round(sum, 2) could flip its 3rd decimal
         // between engines once partial-sum order matters)
         .agg(sum(expr(
-          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("revenue_e4"))
     },
     oracle = Some(
       """SELECT n_name,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -576,7 +587,7 @@ object RelationalOps {
         .filter(expr("l_shipdate > TIMESTAMP '1998-06-15'"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(expr(
-          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
         .orderBy(desc("revenue_e4"), asc("l_orderkey"))
         .limit(10)
@@ -586,7 +597,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT l_orderkey,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -670,7 +681,7 @@ object RelationalOps {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(expr(
-          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
       rev
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -682,7 +693,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT c_custkey, c_name,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -738,13 +749,13 @@ object RelationalOps {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(expr(
-          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"))
     },
     oracle = Some(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1010,17 +1021,17 @@ object RelationalOps {
           .as("month_epoch"))
         .agg(
           expr("""CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                 THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
+                 THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
                  ELSE 0 END) AS BIGINT)""").as("promo_rev_e4"),
-          expr("""CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
+          expr("""CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
                  AS BIGINT)) AS BIGINT)""").as("total_rev_e4"))
     },
     oracle = Some(
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_epoch,
         |       CAST(sum(CASE WHEN p_type = 'ECONOMY'
-        |            THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
+        |            THEN TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)
         |            ELSE 0 END) AS BIGINT) AS promo_rev_e4,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5)
         |            AS BIGINT)) AS BIGINT) AS total_rev_e4
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin),
@@ -1141,12 +1152,12 @@ object RelationalOps {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(expr(
-          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
+          "CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT)")
           .as("revenue_e4"),
           count(lit(1)).as("n_lines"))
     },
     oracle = Some(
-      """SELECT CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      """SELECT CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -1229,7 +1240,7 @@ object RelationalOps {
     "q8_market_share",
     (s, d) => {
       val revE4 =
-        expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)")
+        expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)")
       val cust = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)
           .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
@@ -1268,7 +1279,7 @@ object RelationalOps {
     oracle = Some(
       """WITH base AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |         TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT) AS rev_e4,
+        |         TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT) AS rev_e4,
         |         sn.n_name AS sn_name
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
@@ -1302,7 +1313,7 @@ object RelationalOps {
     "q9_product_profit",
     (s, d) => {
       val amtE6 = expr(
-        "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)")
+        "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e12 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)")
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
           .filter(col("p_name").like("%gear%")).select("p_partkey")),
@@ -1320,7 +1331,7 @@ object RelationalOps {
     },
     oracle = Some(
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e6
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 - l_tax)) OR abs(l_extendedprice * (1 - l_discount) * (1 - l_tax)) >= 9.0e12 THEN NULL ELSE l_extendedprice * (1 - l_discount) * (1 - l_tax) END * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e6
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1353,7 +1364,7 @@ object RelationalOps {
         .filter(col("l_partkey").isNotNull) // canonical parity for stage reuse
         .groupBy("l_partkey")
         .agg(sum(expr(
-          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("value_e4"))
       val tot = v.agg(sum("value_e4").as("total_e4"))
       v.join(broadcast(tot))
@@ -1364,7 +1375,7 @@ object RelationalOps {
     oracle = Some(
       """WITH v AS (
         |  SELECT l_partkey,
-        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
         |  FROM lineitem
         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
         |                      JOIN nation ON s_nationkey = n_nationkey
@@ -1523,11 +1534,11 @@ object RelationalOps {
             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e16 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)"))
+          sum(expr("TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e14 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)"))
             .as("revenue_e4")),
     oracle = Some(
       """SELECT count(*) AS n_items,
-        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e16 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |       CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * l_discount) OR abs(l_extendedprice * l_discount) >= 9.0e14 THEN NULL ELSE l_extendedprice * l_discount END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1601,7 +1612,7 @@ object RelationalOps {
         // can flip the floored integer on very large groups, and this
         // query COMPARES these values for equality
         .agg(sum(expr(
-          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
+          "TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)"))
           .as("total_revenue_e4"))
       val maxRev = rev.agg(max("total_revenue_e4").as("max_rev"))
       rev.join(broadcast(maxRev))
@@ -1613,7 +1624,7 @@ object RelationalOps {
     oracle = Some(
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e16 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+        |         CAST(sum(TRY_CAST(floor(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) OR abs(l_extendedprice * (1 - l_discount)) >= 9.0e14 THEN NULL ELSE l_extendedprice * (1 - l_discount) END * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'

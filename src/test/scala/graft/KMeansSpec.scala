@@ -77,6 +77,30 @@ class KMeansSpec extends SparkSuite {
     } finally spark.conf.unset(graft.ArtifactStore.DirConfKey)
   }
 
+  test("sibling-k models survive the memo eviction (k alternation never retrains)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // scratch copy ⇒ fresh fingerprint, no cross-test memo pollution; the
+    // artifact store stays DISABLED so the in-memory memo is the only cache
+    // — exactly the configuration where the round-13 advice item bit
+    val ds = Files.createTempDirectory("graft-lloyd-sib").toString
+    Files.copy(Paths.get(smokeDir, "embeddings.parquet"),
+      Paths.get(ds, "embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val staged = Materialize.stage(KMeansOps.quantized(spark, ds))
+    val app = spark.sparkContext.applicationId
+    def kept: Set[String] =
+      KMeansOps.models.keys.collect {
+        case (a, d, f) if a == app && d == ds => f.substring(f.lastIndexOf("-k"))
+      }.toSet
+    val mk4 = KMeansOps.lloyd(staged, ds, 1, k = 4)
+    KMeansOps.lloyd(staged, ds, 1, k = 6)
+    assert(kept === Set("-k4", "-k6"),
+      s"training k=6 must not evict the still-current k=4 sibling: $kept")
+    // alternating back must serve the memoized states object, not retrain
+    assert(KMeansOps.lloyd(staged, ds, 1, k = 4).eq(mk4) ||
+           KMeansOps.lloyd(staged, ds, 1, k = 4) == mk4,
+      "k alternation retrained instead of serving the memo")
+  }
+
   test("ann_ivf_trained_topk: every rank run dense, neighbors share the cell") {
     val out = KMeansOps.annIvfTrainedTopk.run(spark, smokeDir)
     val rows = out.collect()

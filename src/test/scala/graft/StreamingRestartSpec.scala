@@ -31,6 +31,22 @@ class StreamingRestartSpec extends SparkSuite {
   private def ckDir(): String =
     java.nio.file.Files.createTempDirectory("graft-restart-ck").toString
 
+  /** Runs `body` under the RocksDB state-store provider and RESTORES the
+    * prior provider conf afterwards (try/finally): the session is shared
+    * across suites, so a leaked provider would silently move every later
+    * streaming test onto RocksDB and weaken what those tests verify. */
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
@@ -111,10 +127,8 @@ class StreamingRestartSpec extends SparkSuite {
       s"stale row overrode restored state: $rows")
   }
 
-  test("transformWithState top-k ranking survives a restart") {
+  test("transformWithState top-k ranking survives a restart") { withRocksDB {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ck = ckDir()
     val input = MemoryStream[Scored]
     val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
@@ -141,7 +155,7 @@ class StreamingRestartSpec extends SparkSuite {
         .sortBy(_._1).toSeq)
     assert(ranking === Seq((1, 11L, 0.9), (2, 13L, 0.8), (3, 12L, 0.7)),
       s"restored ranking wrong: $ranking")
-  }
+  }}
 
   test("flame-timer state survives a restart: suppression holds, one undo fires") {
     implicit val sqlCtx = spark.sqlContext
@@ -356,10 +370,8 @@ class StreamingRestartSpec extends SparkSuite {
       s"spike must flag against the RESTORED baseline moments: $flags")
   }
 
-  test("LSH bucket membership survives a restart: the cross-boundary pair is emitted") {
+  test("LSH bucket membership survives a restart: the cross-boundary pair is emitted") { withRocksDB {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ck = ckDir()
     val input = MemoryStream[(Long, String)]
     val emitted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
@@ -390,7 +402,7 @@ class StreamingRestartSpec extends SparkSuite {
       emitted.map(r => (r.getLong(0), r.getLong(1))).toSeq)
     assert(pairs.nonEmpty && pairs.distinct === Seq((1L, 2L)),
       s"restart must pair against restored bucket members: $pairs")
-  }
+  }}
 
   test("stream-stream join buffer survives a restart: the cross-boundary pair is emitted") {
     implicit val sqlCtx = spark.sqlContext
