@@ -22,8 +22,35 @@ final case class GQuery(
 
 /** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Opt-in task-retry fault injection (see [[graft.tools.RetryAudit]]).
+    * When this session conf is "true", every table load gains a
+    * pass-through barrier whose task FAILS on its first attempt — so the
+    * scan stage of every registry query executes under real Spark task
+    * retry (requires a `local[N, maxFailures>1]` master). The audit proves
+    * retries are invisible: on a 1000-executor cluster task attempts are
+    * routine (preemption, spot loss, OOM-kills), and any answer that
+    * depends on attempt-level side effects or per-attempt non-determinism
+    * is wrong at scale in a way no single-attempt gate can see. */
+  val RetryFaultKey = "spark.graft.test.retryFault"
+
+  private def injectRetryFault(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0)
+        throw new RuntimeException(
+          s"graft-injected retry fault (stage=${tc.stageId()} " +
+            s"partition=${tc.partitionId()} attempt=0)")
+      it
+    }(enc)
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.conf.get(RetryFaultKey, "false") == "true") injectRetryFault(df)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
