@@ -70,24 +70,30 @@ object TextOps {
     * construction, so the mechanism (not the synthetic `lang` column) is what
     * is checked.
     */
+  /** Frame-level language-ID seam over (doc_id, lang, text) — the registry
+    * query binds it to the documents table; [[graft.tools.TextScaleSmoke]]
+    * drives the same pipeline at the tens-of-millions-of-docs tier. */
+  private[graft] def langIdOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        filter_exprs(split(col("text"), " ")).as("t"))
+    // integer score + integer threshold: markers/n >= 1/20 <=> 20*markers >= n
+    val markers = Seq("the", "a", "of", "and", "in")
+    toks
+      .withColumn("nm", size(filter(col("t"),
+        w => markers.map(m => w === m).reduce(_ || _))).cast("long"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("en_score_e4", expr("nm * 10000 div n"))
+      .withColumn("pred_lang",
+        when(col("nm") * 20 >= col("n"), "en").otherwise("unknown"))
+      .select("doc_id", "lang", "en_score_e4", "pred_lang")
+  }
+
   val textLangId = GQuery(
     "text_lang_id",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          filter_exprs(split(col("text"), " ")).as("t"))
-      // integer score + integer threshold: markers/n >= 1/20 <=> 20*markers >= n
-      val markers = Seq("the", "a", "of", "and", "in")
-      toks
-        .withColumn("nm", size(filter(col("t"),
-          w => markers.map(m => w === m).reduce(_ || _))).cast("long"))
-        .withColumn("n", size(col("t")).cast("long"))
-        .filter(col("n") > 0)
-        .withColumn("en_score_e4", expr("nm * 10000 div n"))
-        .withColumn("pred_lang",
-          when(col("nm") * 20 >= col("n"), "en").otherwise("unknown"))
-        .select("doc_id", "lang", "en_score_e4", "pred_lang")
-    },
+    (s, d) => langIdOf(Tables.documents(s, d)),
     oracle = Some(
       """SELECT doc_id, lang,
         |       nm * 10000 // n AS en_score_e4,
@@ -106,7 +112,12 @@ object TextOps {
     * throw DIVIDE_BY_ZERO downstream; the oracles filter identically).
     */
   private def qualityStats(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
+    qualityStatsOf(Tables.documents(s, d))
+
+  /** Frame-level twin over (doc_id, source, text) — same seam rationale as
+    * [[langIdOf]]. */
+  private[graft] def qualityStatsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), col("source"),
         filter_exprs(split(col("text"), " ")).as("t"),
         length(col("text")).cast("long").as("ncl"))
@@ -115,6 +126,19 @@ object TextOps {
       .withColumn("du", size(array_distinct(col("t"))).cast("long"))
       .withColumn("ds", size(filter(col("t"),
         w => w === "the" || w === "a" || w === "of")).cast("long"))
+
+  /** The per-doc quality projection of [[textQualityScore]] over an
+    * arbitrary (doc_id, source, text) frame. */
+  private[graft] def qualityScoreOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    qualityStatsOf(docs)
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        expr("(ncl - n + 1) * 10000 div n").as("mean_word_len_e4"),
+        expr("ds * 10000 div n").as("stopword_ratio_e4"),
+        expr("du * 10000 div n").as("unique_ratio_e4"),
+        qualityMilli.as("quality_milli"))
 
   /** The combined bounded score over a [[qualityStats]] frame. Integer
     * arithmetic (floor division) end to end: round(double, k) is NOT
@@ -133,16 +157,7 @@ object TextOps {
     */
   val textQualityScore = GQuery(
     "text_quality_score",
-    (s, d) => {
-      qualityStats(s, d)
-        .select(
-          col("doc_id"),
-          col("n").as("n_tokens"),
-          expr("(ncl - n + 1) * 10000 div n").as("mean_word_len_e4"),
-          expr("ds * 10000 div n").as("stopword_ratio_e4"),
-          expr("du * 10000 div n").as("unique_ratio_e4"),
-          qualityMilli.as("quality_milli"))
-    },
+    (s, d) => qualityScoreOf(Tables.documents(s, d)),
     oracle = Some(
       """SELECT doc_id, n AS n_tokens,
         |       (ncl - n + 1) * 10000 // n AS mean_word_len_e4,
@@ -353,18 +368,31 @@ object TextOps {
     * [[textBpeExact]] is the exact-count twin; this stays as the cheap
     * single-pass estimator.
     */
+  /** Frame-level BPE-ish piece count seam — same rationale as [[langIdOf]].
+    * Whitespace spelled as an EXPLICIT class: Java's \s includes vertical
+    * tab, RE2's does not — the shorthand silently means two different
+    * character sets across the engines. The single-char branch is a
+    * lookahead-plus-dot rather than the equivalent negated class
+    * `[^a-zA-Z0-9 \t\n\x0B\f\r]`: on this Spark/JDK build a negated
+    * character class in a codegen'd regex is ~10-20× slower per match
+    * than the lookahead form on identical output (measured at 2M docs:
+    * 10.3 s vs 1.1 s, same counts — see TextScaleSmoke's scaladoc), and
+    * this operator runs on EVERY document of the corpus. `(?s)` makes
+    * the dot match line terminators, so the matched set is exactly the
+    * negated class's. The DuckDB oracle keeps the negated class (RE2 has
+    * no lookahead and no such pathology); the oracle gate checks result
+    * equality, not pattern text. */
+  private[graft] def bpePiecesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      array_size(expr(
+        "regexp_extract_all(text, '[a-zA-Z0-9]+|(?s)(?![a-zA-Z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]).', 0)"))
+        .cast("long").as("n_pieces"),
+      array_size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words"))
+
   val textBpeTokenCount = GQuery(
     "text_bpe_token_count",
-    // whitespace spelled as an EXPLICIT class: Java's \s includes
-    // vertical tab, RE2's does not — the shorthand silently means two
-    // different character sets across the engines
-    (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_size(expr(
-            "regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]', 0)"))
-            .cast("long").as("n_pieces"),
-          array_size(filter_exprs(split(col("text"), " "))).cast("long").as("n_words")),
+    (s, d) => bpePiecesOf(Tables.documents(s, d)),
     oracle = Some(
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_pieces,
@@ -380,15 +408,19 @@ object TextOps {
     * accidentally consistent on ASCII text and disagreed with every
     * other fingerprint in the repo on anything else.
     */
+  /** Frame-level fingerprint seam — same rationale as [[langIdOf]]. */
+  private[graft] def fingerprintOf(s: org.apache.spark.sql.SparkSession,
+                                   docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    docs.select(col("doc_id"),
+      expr("graft_polyhash(text)").as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+  }
+
   val textFingerprint = GQuery(
     "text_fingerprint",
-    (s, d) => {
-      graft.functions.VectorExpressions.ensureRegistered(s)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("graft_polyhash(text)").as("fingerprint"),
-          length(col("text")).cast("long").as("n_chars_actual"))
-    },
+    (s, d) => fingerprintOf(s, Tables.documents(s, d)),
     oracle = Some(
       s"""SELECT doc_id,
         |       ${DuckUtf8.polyFold("text", 131, 2147483647L)} AS fingerprint,
@@ -400,25 +432,37 @@ object TextOps {
     * (DuckDB regexp_replace needs the 'g' flag; Spark replaces all by
     * default.)
     */
+  /** Frame-level normalization seam — same rationale as [[langIdOf]]. */
+  private[graft] def normalizeOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          // lower() under the default UTF8_BINARY collation falls back
+          // to JVM-default-locale casing the moment the string holds
+          // ANY non-ASCII char (tr-TR then lowers 'I' to dotless 'ı' —
+          // executor-locale-dependent output on a mixed fleet; ModeAudit
+          // catch). ICU-collated lower() cases by Unicode root rules —
+          // bit-identical to root-locale lower() and to the DuckDB
+          // oracle — and the re-collate back to UTF8_BINARY keeps the
+          // output schema on the default collation.
+          regexp_replace(
+            collate(lower(collate(col("text"), "UNICODE")), "UTF8_BINARY"),
+            // lookahead-plus-dot, NOT the equivalent negated class
+            // `[^a-z0-9 ]`: a negated character class in a codegen'd
+            // regexp_replace is ~20× slower per match on this Spark/JDK
+            // build (22.0 s vs 1.2 s over 2M docs, byte-identical
+            // output — see bpePiecesOf), and normalization runs on
+            // every document. (?s) keeps line terminators in the dot's
+            // match set so the removed set is exactly the class
+            // complement. The RE2 oracle keeps the negated class.
+            "(?s)(?![a-z0-9 ]).", ""),
+          " +", " ")).as("norm"))
+      .withColumn("n_norm_chars", length(col("norm")).cast("long"))
+
   val textNormalize = GQuery(
     "text_normalize",
-    (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          trim(regexp_replace(
-            // lower() under the default UTF8_BINARY collation falls back
-            // to JVM-default-locale casing the moment the string holds
-            // ANY non-ASCII char (tr-TR then lowers 'I' to dotless 'ı' —
-            // executor-locale-dependent output on a mixed fleet; ModeAudit
-            // catch). ICU-collated lower() cases by Unicode root rules —
-            // bit-identical to root-locale lower() and to the DuckDB
-            // oracle — and the re-collate back to UTF8_BINARY keeps the
-            // output schema on the default collation.
-            regexp_replace(
-              collate(lower(collate(col("text"), "UNICODE")), "UTF8_BINARY"),
-              "[^a-z0-9 ]", ""),
-            " +", " ")).as("norm"))
-        .withColumn("n_norm_chars", length(col("norm")).cast("long")),
+    (s, d) => normalizeOf(Tables.documents(s, d)),
     oracle = Some(
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
