@@ -55,6 +55,14 @@ import org.apache.spark.sql.functions._
   * ship the lookahead form — normalize 22.0 → 1.2 s, pieces 10.3 →
   * 1.1 s at 2M docs — and this smoke pins the throughput so a
   * regression to the pathological form is visible.
+  *
+  * Recorded (round 14, this machine, local[32], 16g heap, min of 2
+  * passes per tier): half 10.05M docs → quality 6.98 s, langid 6.21,
+  * bpe_pieces 4.88, fingerprint 2.12, normalize 4.66 (total 24.85 s);
+  * full 20.1M → 13.81 / 12.79 / 8.81 / 4.28 / 8.95 (total 48.64 s) —
+  * 1.96× time for 2.00× docs, heap fixed, all five shapes bitwise-exact
+  * at every tier. Steady-state throughput 1.5–4.7 M docs/s per operator
+  * (post-fix; normalize was 0.09 M docs/s before the lookahead rewrite).
   */
 object TextScaleSmoke {
 

@@ -210,6 +210,35 @@ class PlanSpec extends SparkSuite {
       s"final plan rescans raw events:\n$p")
   }
 
+  test("no negated character class in any registry regex (hot-path tripwire)") {
+    // Measured on this Spark/JDK build (TextScaleSmoke + isolation
+    // probes): a negated character class in a codegen'd regexp_replace /
+    // regexp_extract_all costs 10-20x the equivalent lookahead form
+    // `(?s)(?![...]).` on identical output (21.96 s vs 0.94 s over 2M
+    // docs) — a silent throughput cliff on per-document operators. The
+    // registry ships the lookahead form everywhere; this walks every
+    // query's analyzed plan and fails on any literal regex pattern that
+    // reintroduces `[^`. (DuckDB oracles keep negated classes — RE2 has
+    // no lookahead and no such pathology — and are not scanned here.)
+    import org.apache.spark.sql.catalyst.expressions._
+    val offenders = graft.SparkEntry.all.flatMap { q =>
+      val analyzed = q.run(spark, smokeDir).queryExecution.analyzed
+      analyzed.flatMap(_.expressions.flatMap(_.collect {
+        case r: RegExpReplace => ("regexp_replace", r.regexp)
+        case r: RegExpExtractAll => ("regexp_extract_all", r.regexp)
+        case r: RegExpExtract => ("regexp_extract", r.regexp)
+        case r: RLike => ("rlike", r.right)
+      })).collect {
+        case (fn, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))
+            if p.toString.contains("[^") =>
+          s"${q.name}: $fn('${p}')"
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"negated character class on a registry hot path (use the " +
+        s"lookahead form instead):\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("q22_global_sales_opportunity anti-joins pushed-down recent orders") {
     // the correlated NOT EXISTS must become a LEFT ANTI join, and the
     // two-year recency predicate must reach the orders scan so only
