@@ -64,8 +64,14 @@ class GameEventsTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GameEventsScan(rooms, eventsPerRoom, seed)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // resolved at planning time on the driver: custom spark.graft.* keys
+    // don't propagate to executors through SQLConf, so the retry-fault
+    // flag (graft.tools.RetryAudit) is captured into the serialized scan
+    val fault = org.apache.spark.sql.SparkSession.active.conf
+      .get(graft.Tables.RetryFaultKey, "false") == "true"
+    () => new GameEventsScan(rooms, eventsPerRoom, seed, fault)
+  }
 }
 
 final case class RoomPartition(room: Int, n: Long, seed: Long)
@@ -74,7 +80,8 @@ final case class RoomPartition(room: Int, n: Long, seed: Long)
     InternalRow(UTF8String.fromString(s"room$room"))
 }
 
-class GameEventsScan(rooms: Int, eventsPerRoom: Long, seed: Long)
+class GameEventsScan(rooms: Int, eventsPerRoom: Long, seed: Long,
+                     faultInject: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = GameEventsSource.Schema
   override def toBatch: Batch = this
@@ -95,11 +102,17 @@ class GameEventsScan(rooms: Int, eventsPerRoom: Long, seed: Long)
     (0 until rooms).map(r =>
       RoomPartition(r, eventsPerRoom, seed): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fault = faultInject // plain Boolean into the serialized lambda
     (p: InputPartition) => {
+      val tc = org.apache.spark.TaskContext.get()
+      if (fault && tc != null && tc.attemptNumber() == 0)
+        throw new RuntimeException(
+          s"graft-injected retry fault (dsv2 partition=${tc.partitionId()} attempt=0)")
       val rp = p.asInstanceOf[RoomPartition]
       new GameEventsReader(rp.room, rp.n, rp.seed)
     }
+  }
 }
 
 /** Per-room deterministic generator: LCG (numerical-recipes constants)

@@ -21,14 +21,12 @@ import org.apache.spark.sql.SparkSession
   * canonical digest ([[Canon]]) must equal a clean reference run's, query
   * by query.
   *
-  * Scope, stated honestly: the injection point is the scan stage (the one
-  * choke point all testbed reads share — Tables.table); post-shuffle
-  * stages retry only on fetch failures, which local mode cannot produce.
-  * The lcg_* queries read through the DSV2 GameEventsSource rather than
-  * Tables, but their rows are pure functions of (partition, row index) —
-  * retry-safe by construction — and they still pass through the audit's
-  * digest compare (unfaulted) so a regression in that source's determinism
-  * is caught by the geometry gate.
+  * Scope, stated honestly: the injection points are the scan stages —
+  * Tables.table (the choke point all parquet reads share) AND the DSV2
+  * GameEventsSource (whose reader factory fails attempt 0 under the same
+  * conf, so the lcg_* queries retry through the V2 read path too).
+  * Post-shuffle stages retry only on fetch failures, which local mode
+  * cannot produce.
   *
   *   sbt "runMain graft.tools.RetryAudit" [sfDir]
   */
