@@ -224,7 +224,7 @@ object DedupOps {
     * The oracle keeps the text-equality definition — identical results
     * absent such a collision.
     */
-  private def exactDupRank(docs: DataFrame, keep: Seq[String]): DataFrame = {
+  private[graft] def exactDupRank(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val w = Window.partitionBy("h1", "h2", "len").orderBy("doc_id")
     docs.select(col("doc_id") +: keep.map(col) :+
         xxhash64(col("text"), lit(1)).as("h1") :+

@@ -28,7 +28,7 @@ object PipelineOps {
 
   /** Shard id from the hash image's HIGH bits (2\u00b3\u00b2 div 2\u00b2\u2079 = 8 shards \u2014
     * the multiplier is \u2261 1 mod 8, so low bits would degenerate). */
-  private def shardHash(c: String): String =
+  private[graft] def shardHash(c: String): String =
     s"${knuthProduct(c)} % 4294967296 div 536870912"
 
 

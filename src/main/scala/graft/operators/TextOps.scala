@@ -147,7 +147,7 @@ object TextOps {
     * scales+nearbyints, so e.g. 57/800 rounds to 0.0713 in Spark and
     * 0.0712 in DuckDB. Scaled integers (x·10⁴ via div) are bit-identical.
     */
-  private def qualityMilli: org.apache.spark.sql.Column =
+  private[graft] def qualityMilli: org.apache.spark.sql.Column =
     expr("du * 500 div n") + expr("(n - ds) * 300 div n") +
       least(expr("(ncl - n + 1) * 200 div (8 * n)"), lit(200L))
 
@@ -432,11 +432,15 @@ object TextOps {
     * (DuckDB regexp_replace needs the 'g' flag; Spark replaces all by
     * default.)
     */
-  /** Frame-level normalization seam — same rationale as [[langIdOf]]. */
-  private[graft] def normalizeOf(docs: org.apache.spark.sql.DataFrame)
+  /** Frame-level normalization seam — same rationale as [[langIdOf]].
+    * `keep` threads extra columns (source, lang) through the projection so
+    * a pipeline composing normalize → gate → dedup never re-joins on
+    * doc_id just to recover them ([[graft.tools.PipelineScaleSmoke]]). */
+  private[graft] def normalizeOf(docs: org.apache.spark.sql.DataFrame,
+                                 keep: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame =
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
         trim(regexp_replace(
           // lower() under the default UTF8_BINARY collation falls back
           // to JVM-default-locale casing the moment the string holds
@@ -457,7 +461,7 @@ object TextOps {
             // match set so the removed set is exactly the class
             // complement. The RE2 oracle keeps the negated class.
             "(?s)(?![a-z0-9 ]).", ""),
-          " +", " ")).as("norm"))
+          " +", " ")).as("norm"): _*)
       .withColumn("n_norm_chars", length(col("norm")).cast("long"))
 
   val textNormalize = GQuery(
