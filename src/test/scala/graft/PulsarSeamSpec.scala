@@ -55,4 +55,28 @@ class PulsarSeamSpec extends SparkSuite {
     assert(got.filter(col("room").rlike("event-topic")).count() === 0)
     assert(got.select("room").distinct().count() === 3)
   }
+
+  test("topic→room parse edges: no slash, no suffix, doubled suffix, empty segment") {
+    // pins the substring_index + anchored-replace formulation (9× the
+    // negated-class/lazy-quantifier extract it replaced) to the exact
+    // semantics of that regex on every boundary shape
+    val cases = Seq(
+      ("persistent://public/default/room-1-event-topic", "room-1"), // normal
+      ("room-2-event-topic", "room-2"),            // bare topic, no path
+      ("persistent://t/ns/room-3", "room-3"),      // no suffix to strip
+      ("a/b-event-topic-event-topic", "b-event-topic"), // strip ONE suffix
+      ("a/", ""),                                  // empty last segment
+      ("-event-topic", ""))                        // suffix-only segment
+    import spark.implicits._
+    val got = EventStream.normalize(
+      EventStream.EventSourceConfig.pulsarReplay("/nonexistent"),
+      cases.map(_._1).toDF("__topic")
+        .withColumn("__sequenceId", lit(1L))
+        .withColumn("__publishTime", current_timestamp())
+        .withColumn("value", to_json(struct(lit(1L).as("user_id"),
+          lit("e").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))).cast("binary")))
+      .select("room").as[String].collect().toSeq
+    assert(got === cases.map(_._2), s"room parse drifted: $got")
+  }
 }
