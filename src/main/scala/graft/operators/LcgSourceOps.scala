@@ -37,6 +37,11 @@ object LcgSourceOps {
       .option("rooms", Rooms)
       .option("eventsPerRoom", EventsPerRoom)
       .option("seed", Seed)
+      // the retry-fault flag travels as a READ OPTION, resolved here from
+      // the session that owns this query — an ambient SparkSession.active
+      // lookup inside the source would read whichever session happens to
+      // be active on the PLANNING thread (graft.tools.RetryAudit)
+      .option("retryFault", s.conf.get(graft.Tables.RetryFaultKey, "false"))
       .load()
   }
 

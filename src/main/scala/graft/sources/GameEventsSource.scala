@@ -64,14 +64,15 @@ class GameEventsTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
-    // resolved at planning time on the driver: custom spark.graft.* keys
-    // don't propagate to executors through SQLConf, so the retry-fault
-    // flag (graft.tools.RetryAudit) is captured into the serialized scan
-    val fault = org.apache.spark.sql.SparkSession.active.conf
-      .get(graft.Tables.RetryFaultKey, "false") == "true"
-    () => new GameEventsScan(rooms, eventsPerRoom, seed, fault)
-  }
+  // the retry-fault flag (graft.tools.RetryAudit) arrives as a READ
+  // OPTION set by the caller from ITS session conf — never from
+  // SparkSession.active, which is thread-local and would read the wrong
+  // session's conf when two sessions coexist in one JVM (the audit's own
+  // reference-vs-faulted pattern)
+  private val faultInject = options.getBoolean("retryFault", false)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GameEventsScan(rooms, eventsPerRoom, seed, faultInject)
 }
 
 final case class RoomPartition(room: Int, n: Long, seed: Long)

@@ -198,9 +198,15 @@ object EventStream {
         // (C9/C10, pulsar.go:124-138). substring_index + anchored suffix
         // replace, NOT `regexp_extract('([^/]+?)(-event-topic)?$', 1)`:
         // the negated-class/lazy-quantifier extract measures ~9× slower
-        // per topic (3.65 s vs 0.97 s over 20M topics, identical output
-        // including the no-slash, empty-segment, and doubled-suffix
-        // edges) and this runs once per EVENT on the broker ingest path.
+        // per topic (3.65 s vs 0.97 s over 20M topics) and this runs once
+        // per EVENT on the broker ingest path. Output matches the old
+        // regex on every shape except ONE degenerate edge: a segment
+        // exactly equal to "-event-topic" parsed as room "-event-topic"
+        // under the old regex (the lazy group cannot be empty) and parses
+        // as room "" here — which is what the reference's own
+        // TrimSuffix-style inverse of "{room}-event-topic" produces, so
+        // the new behavior is the CORRECT one. PulsarSeamSpec pins all
+        // the edges including this one.
         raw.select(
           regexp_replace(substring_index(col("__topic"), "/", -1),
             "(-event-topic)$", "").as("room"),

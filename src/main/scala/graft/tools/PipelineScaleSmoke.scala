@@ -74,7 +74,11 @@ object PipelineScaleSmoke {
     (digits ++ fill).mkString(" ")
   }
 
-  private val StripRe = java.util.regex.Pattern.compile("(?s)(?![a-z0-9 ]).")
+  // the SPEC-form negated class, deliberately NOT the production
+  // lookahead rewrite: the driver twin must stay independent of the
+  // optimization it validates, or a bug in the lookahead equivalence
+  // would pass this smoke with both sides wrong identically
+  private val StripRe = java.util.regex.Pattern.compile("[^a-z0-9 ]")
   private val SqueezeRe = java.util.regex.Pattern.compile(" +")
   private def normalize(s: String): String =
     SqueezeRe.matcher(
@@ -206,6 +210,8 @@ object PipelineScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val nFull = sys.env.getOrElse("N_DOCS", "8400000").toLong
+    require(nFull >= 2 * D,
+      s"N_DOCS must be at least ${2 * D} (2×D) so the half tier is non-empty")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

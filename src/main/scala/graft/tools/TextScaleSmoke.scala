@@ -92,8 +92,11 @@ object TextScaleSmoke {
       enScoreE4: Long, isEn: Long,
       nPieces: Long, fingerprint: Long, nNormChars: Long, nChars: Long)
 
+  // the operator's whitespace class spelled with an EXPLICIT unicode
+  // escape for vertical tab — a raw VT char here is invisible in any
+  // editor and reads as "omitted" to a reviewer
   private val PieceRe =
-    java.util.regex.Pattern.compile("[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]")
+    java.util.regex.Pattern.compile("[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\\u000B\f\r]")
 
   private def polyhash(s: String): Long = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -47,4 +47,31 @@ class OracleSanitySpec extends AnyFunSuite {
     for (b <- 0 until graft.operators.DedupOps.LshBands)
       assert(sql.contains(s"b$b"), s"missing band column b$b")
   }
+
+  test("every scaled-money guard pairs bound x scale = 9.0e18 (oracle side)") {
+    // The non-finite guard bound is SCALE-DEPENDENT (RelationalOps q1Agg
+    // scaladoc): Spark's floor(double) saturates at Long.MaxValue under
+    // non-ANSI semantics for any post-multiplication value past ~9.2e18
+    // while DuckDB's TRY_CAST nulls — so x100 summands must guard at
+    // 9.0e16, x10000 at 9.0e14, x1000000 at 9.0e12. The fragment is
+    // hand-copied at ~30 sites in two dialects; an edit that changes a
+    // scale without its bound (or vice versa) reopens the divergence
+    // band invisibly — normal-range test data never enters it. This
+    // extracts every (bound, scale) pair from every oracle and enforces
+    // the product. The tempered dot stops at END so a bare guard (no
+    // multiplication, e.g. the percentile column guards) never pairs
+    // with a LATER fragment's scale.
+    val guard = raw"(?is)>=\s*(9\.0e(\d+))\s+THEN\s+NULL\s+ELSE\s+(?:(?!\bEND\b).)*?\bEND\b\s*\*\s*(\d+)\s*\+\s*0\.5".r
+    var found = 0
+    for ((name, sql) <- SparkEntry.oracleSql;
+         m <- guard.findAllMatchIn(sql)) {
+      found += 1
+      val exp = m.group(2).toInt
+      val scale = m.group(3).toLong
+      assert(math.pow(10, exp) * scale == 1e18,
+        s"$name: guard bound ${m.group(1)} does not pair with scale $scale " +
+          s"(bound x scale must be 9.0e18): ...${m.matched.take(120)}")
+    }
+    assert(found >= 25, s"guard regex matched only $found sites — pattern rot?")
+  }
 }

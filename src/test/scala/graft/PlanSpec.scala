@@ -221,22 +221,50 @@ class PlanSpec extends SparkSuite {
     // reintroduces `[^`. (DuckDB oracles keep negated classes — RE2 has
     // no lookahead and no such pathology — and are not scanned here.)
     import org.apache.spark.sql.catalyst.expressions._
-    val offenders = graft.SparkEntry.all.flatMap { q =>
-      val analyzed = q.run(spark, smokeDir).queryExecution.analyzed
-      analyzed.flatMap(_.expressions.flatMap(_.collect {
-        case r: RegExpReplace => ("regexp_replace", r.regexp)
-        case r: RegExpExtractAll => ("regexp_extract_all", r.regexp)
-        case r: RegExpExtract => ("regexp_extract", r.regexp)
-        case r: RLike => ("rlike", r.right)
-      })).collect {
-        case (fn, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))
-            if p.toString.contains("[^") =>
-          s"${q.name}: $fn('${p}')"
-      }
+    // one pass builds every query's optimized plan; both registry-wide
+    // expression invariants (regex form, money-guard pairing) read it
+    val planPairs = graft.SparkEntry.all.map { q =>
+      (q, q.run(spark, smokeDir).queryExecution.optimizedPlan)
+    }
+    val offenders = planPairs.flatMap { case (q, plan) =>
+      // collectWithSubqueries, not a plain walk: an EXISTS/IN subquery
+      // holds its inner plan as an expression field, and a regex inside
+      // it would never reach the node-level expression lists
+      plan.collectWithSubqueries { case p => p }
+        .flatMap(_.expressions.flatMap(_.collect {
+          case r: RegExpReplace => ("regexp_replace", r.regexp)
+          case r: RegExpExtractAll => ("regexp_extract_all", r.regexp)
+          case r: RegExpExtract => ("regexp_extract", r.regexp)
+          case r: RLike => ("rlike", r.right)
+        })).collect {
+          case (fn, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))
+              if p.toString.contains("[^") =>
+            s"${q.name}: $fn('${p}')"
+        }
     }.distinct
     assert(offenders.isEmpty,
       s"negated character class on a registry hot path (use the " +
         s"lookahead form instead):\n  ${offenders.mkString("\n  ")}")
+
+    // Spark-side twin of OracleSanitySpec's guard-pairing check: every
+    // scaled-money non-finite guard in the OPTIMIZED plans must pair its
+    // bound with its scale at bound x scale = 9.0e18 (the q1Agg scaladoc
+    // contract). Plan rendering: `abs(x) >= 9.0E14)) THEN null ELSE
+    // FLOOR(((x * 10000.0) + 0.5)) END`; the tempered dot stops at END so
+    // a bare guard never pairs with a later fragment's scale.
+    val guardRe = raw"(?s)>= (9\.0E(\d+))\)\) THEN null ELSE (?:(?!\bEND\b).)*?\* (\d+)\.0\) \+ 0\.5\)+ END".r
+    var found = 0
+    planPairs.foreach { case (q, plan) =>
+      val s = plan.toString
+      guardRe.findAllMatchIn(s).foreach { m =>
+        found += 1
+        assert(math.pow(10, m.group(2).toInt) * m.group(3).toLong == 1e18,
+          s"${q.name}: guard bound ${m.group(1)} vs scale ${m.group(3)} " +
+            s"(product must be 9.0e18): ...${m.matched.take(120)}")
+      }
+    }
+    assert(found >= 25,
+      s"plan-side guard regex matched only $found sites — pattern rot?")
   }
 
   test("q22_global_sales_opportunity anti-joins pushed-down recent orders") {

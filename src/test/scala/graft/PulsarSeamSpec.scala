@@ -58,15 +58,19 @@ class PulsarSeamSpec extends SparkSuite {
 
   test("topic→room parse edges: no slash, no suffix, doubled suffix, empty segment") {
     // pins the substring_index + anchored-replace formulation (9× the
-    // negated-class/lazy-quantifier extract it replaced) to the exact
-    // semantics of that regex on every boundary shape
+    // negated-class/lazy-quantifier extract it replaced) on every
+    // boundary shape. One DELIBERATE divergence from the old regex: a
+    // suffix-only segment "-event-topic" parses as room "" here (the
+    // TrimSuffix semantics of the reference's "{room}-event-topic"
+    // naming), where the old lazy-group regex returned "-event-topic"
+    // because its capture group could not be empty.
     val cases = Seq(
       ("persistent://public/default/room-1-event-topic", "room-1"), // normal
       ("room-2-event-topic", "room-2"),            // bare topic, no path
       ("persistent://t/ns/room-3", "room-3"),      // no suffix to strip
       ("a/b-event-topic-event-topic", "b-event-topic"), // strip ONE suffix
       ("a/", ""),                                  // empty last segment
-      ("-event-topic", ""))                        // suffix-only segment
+      ("-event-topic", ""))                        // suffix-only segment: TrimSuffix semantics
     import spark.implicits._
     val got = EventStream.normalize(
       EventStream.EventSourceConfig.pulsarReplay("/nonexistent"),
