@@ -31,20 +31,47 @@ object Tables {
     * retries are invisible: on a 1000-executor cluster task attempts are
     * routine (preemption, spot loss, OOM-kills), and any answer that
     * depends on attempt-level side effects or per-attempt non-determinism
-    * is wrong at scale in a way no single-attempt gate can see. */
+    * is wrong at scale in a way no single-attempt gate can see.
+    *
+    * Plan-shape side effect, deliberate and audit-only: the mapPartitions
+    * barrier deserializes to objects right above the scan, so filter and
+    * column pushdown into the parquet read are BLOCKED while the fault
+    * conf is on — the faulted run executes full-width scans. Result
+    * equality is unaffected (the barrier is a pass-through), but a
+    * faulted-run plan diff or runtime/memory profile is NOT comparable to
+    * the production plan; don't read one as a regression. */
   val RetryFaultKey = "spark.graft.test.retryFault"
 
-  private def injectRetryFault(df: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(df.schema)
-    df.mapPartitions { it =>
+  /** Companion fault point for POST-SHUFFLE stages: when "true",
+    * [[graft.Materialize.stage]] inserts a [[retryFaultBarrier]] above the
+    * frame it checkpoints, and [[graft.tools.RetryAudit]] wraps every
+    * query's RESULT frame the same way — so the final stage (downstream of
+    * the query's last Exchange wherever one exists) fails attempt 0 and
+    * re-executes its merge over the already-written shuffle partials. That
+    * is the stage class where nondeterministic partial-aggregate merges
+    * silently diverge, and the one the scan-side fault can never reach:
+    * local mode cannot produce the fetch failures that retry interior
+    * shuffle stages, but a task-level throw inside a post-shuffle stage
+    * retries fine under `local[N, maxFailures>1]`. */
+  val RetryFaultPostShuffleKey = "spark.graft.test.retryFaultPostShuffle"
+
+  /** Pass-through barrier whose task throws on attempt 0 — the shared
+    * mechanic behind both fault points. Generic so [[graft.Materialize]]
+    * can wrap any staged Dataset; rows are forwarded untouched on the
+    * retry attempt. */
+  def retryFaultBarrier[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    ds.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null && tc.attemptNumber() == 0)
         throw new RuntimeException(
           s"graft-injected retry fault (stage=${tc.stageId()} " +
             s"partition=${tc.partitionId()} attempt=0)")
       it
-    }(enc)
-  }
+    }(ds.encoder)
+
+  private def injectRetryFault(df: DataFrame): DataFrame =
+    retryFaultBarrier(df)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

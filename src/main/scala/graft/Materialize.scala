@@ -22,6 +22,14 @@ object Materialize {
 
   def stage[T](df: Dataset[T]): Dataset[T] = {
     val spark = df.sparkSession
+    // Audit-only fault point (graft.tools.RetryAudit): staged intermediates
+    // are computed by their own checkpoint job, so a barrier here makes that
+    // job's final stage — post-shuffle wherever the staged frame shuffles —
+    // fail attempt 0 and re-execute over the written partials.
+    val src =
+      if (spark.conf.get(Tables.RetryFaultPostShuffleKey, "false") == "true")
+        Tables.retryFaultBarrier(df)
+      else df
     spark.conf.getOption(DirConfKey) match {
       case Some(dir) =>
         spark.sparkContext.getCheckpointDir match {
@@ -42,9 +50,9 @@ object Materialize {
                 s"$DirConfKey=$dir conflicts with the SparkContext checkpoint " +
                   s"dir already set to $existing; unset one of them")
         }
-        df.checkpoint()
+        src.checkpoint()
       case None =>
-        df.localCheckpoint()
+        src.localCheckpoint()
     }
   }
 }
