@@ -31,6 +31,14 @@ object MultimodalOps {
       doc_id: Long, mime: String, n_bytes: Long, checksum: Long,
       width: Long, height: Long, n_frames: Long)
 
+  /** Full typed MP4 header record ([[RealDecoder.mp4Meta]]): everything the
+    * ISO-BMFF box structure yields without a codec. `width`/`height`/`codec`/
+    * `n_frames` describe the first `vide` track; `duration_ms` is the movie
+    * duration from mvhd (timescale-normalized). */
+  final case class Mp4Meta(
+      duration_ms: Long, timescale: Long, n_tracks: Long,
+      width: Long, height: Long, codec: String, n_frames: Long)
+
   /** Decoder seam — one call per payload; implementations may batch.
     * The (width, height, n_frames) triple is mime-family-typed:
     * images → (pixel width, pixel height, 1); audio → (sample rate,
@@ -60,9 +68,15 @@ object MultimodalOps {
     *    `fmt ` gives sample rate + channels + block align, `data` gives
     *    payload bytes, frames = data bytes / block align. Chunks are
     *    word-aligned per the RIFF spec (odd sizes carry a pad byte).
-    *  - video: typed unsupported error — the JDK has no MP4/ISO-BMFF
-    *    demuxer; the message names the seam to wire (an ffmpeg binding)
-    *    and the config key that selects the deterministic decoder.
+    *  - `video/mp4` (and quicktime/m4v): an ISO-BMFF box walk — the
+    *    big-endian sibling of the RIFF walk. `moov/mvhd` gives timescale
+    *    and duration, `trak/tkhd` gives the 16.16 fixed-point display
+    *    dimensions, `trak/mdia/hdlr` identifies the `vide` track,
+    *    `stbl/stsd` carries the codec fourcc and `stbl/stsz` the sample
+    *    (frame) count. Header boxes only — never the mdat payload, so
+    *    the cost profile matches the image path. Frame PIXEL decode
+    *    still genuinely needs a codec (an ffmpeg binding); metadata does
+    *    not, and [[mp4Meta]] exposes the full typed record.
     *
     * Failure semantics: one bad payload throws a typed error that fails
     * only its task (extractMeta wraps it with the doc_id), preserving
@@ -75,11 +89,14 @@ object MultimodalOps {
       if (m.startsWith("image/")) decodeImageHeader(m, payload)
       else if (m == "audio/wav" || m == "audio/x-wav" || m == "audio/wave")
         decodeWavHeader(payload)
-      else
+      else if (m == "video/mp4" || m == "video/quicktime" || m == "video/x-m4v") {
+        val meta = mp4Meta(payload)
+        (meta.width, meta.height, meta.n_frames)
+      } else
         throw new UnsupportedOperationException(
           s"RealDecoder: mime '$m' needs a codec the JDK does not ship " +
-            "(video wants an ffmpeg binding; non-WAV audio wants a " +
-            s"demuxer). Wire one here, or set $DecoderConfKey=fake for " +
+            "(non-MP4 video wants an ffmpeg binding; non-WAV audio wants " +
+            s"a demuxer). Wire one here, or set $DecoderConfKey=fake for " +
             "the deterministic test decoder.")
     }
 
@@ -149,6 +166,160 @@ object MultimodalOps {
       if (dataBytes < 0) bad("no data chunk")
       if (blockAlign <= 0) bad(s"non-positive block align $blockAlign")
       (sampleRate, channels, dataBytes / blockAlign)
+    }
+
+    // ---- ISO-BMFF (MP4) box walk ------------------------------------
+
+    private def badMp4(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"RealDecoder: undecodable MP4 payload — $why")
+
+    /** Big-endian unsigned int (box sizes/fields are uint32). */
+    private def be32(b: Array[Byte], off: Long): Long = {
+      val i = off.toInt
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
+
+    private def be64(b: Array[Byte], off: Long): Long =
+      (be32(b, off) << 32) | be32(b, off + 4)
+
+    private def tag4(b: Array[Byte], off: Long): String =
+      new String(b, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Children of the container spanning [start, end): (type,
+      * payloadStart, payloadEnd) per box. Size handling per the spec:
+      * size==1 ⇒ a 64-bit largesize follows the type (16-byte header);
+      * size==0 ⇒ the box extends to the container's end; any other
+      * size smaller than its own header is corrupt. A declared size that
+      * overruns the container (a truncated moov, a hostile largesize) is
+      * a typed error, never a silent clamp — downstream offsets would be
+      * garbage. Headers only: payload bytes are walked, not copied.
+      */
+    private def childBoxes(b: Array[Byte], start: Long, end: Long)
+        : Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) badMp4(
+          s"truncated box header at offset $off (container ends at $end)")
+        val size32 = be32(b, off)
+        val typ = tag4(b, off + 4)
+        val (hdr, boxEnd) =
+          if (size32 == 1L) {
+            if (off + 16 > end) badMp4(s"truncated largesize header in '$typ'")
+            val size64 = be64(b, off + 8)
+            if (size64 < 16) badMp4(s"largesize $size64 in '$typ' below header size")
+            (16L, off + size64) // size64 ≥ 16 and off ≥ 0, so no overflow
+            // before the overrun check below for any real buffer (≤ 2 GiB)
+          } else if (size32 == 0L) (8L, end) // box runs to container end
+          else if (size32 < 8L) badMp4(s"box '$typ' size $size32 below header size")
+          else (8L, off + size32)
+        if (boxEnd > end || boxEnd < off + hdr) badMp4(
+          s"box '$typ' (size ${if (size32 == 1L) be64(b, off + 8) else size32}) " +
+            s"overruns container [$start,$end)")
+        out += ((typ, off + hdr, boxEnd))
+        off = boxEnd
+      }
+      out.result()
+    }
+
+    /** First child of `typ` under a parent span, or a typed error. */
+    private def box1(b: Array[Byte], kids: Seq[(String, Long, Long)],
+                     typ: String, where: String): (Long, Long) =
+      kids.collectFirst { case (`typ`, s, e) => (s, e) }
+        .getOrElse(badMp4(s"no $typ box in $where"))
+
+    /** Bounds guard with a typed message (truncation inside a box body). */
+    private def need(ok: Boolean, what: String): Unit =
+      if (!ok) badMp4(s"truncated $what")
+
+    /** ISO-BMFF metadata: movie duration/timescale from mvhd, track count,
+      * and the first `vide` track's display dimensions (tkhd, 16.16
+      * fixed-point), codec fourcc (stsd's first sample entry) and sample
+      * count (stsz full-box; `n_frames` for a video track). No codec, no
+      * pixel work, no mdat read — pure header arithmetic, exactly like the
+      * WAV RIFF walk. Public: the full record (duration, track count,
+      * codec) is the useful metadata surface; `decode` keeps only the
+      * trait's (width, height, frames) triple. */
+    def mp4Meta(b: Array[Byte]): Mp4Meta = {
+      if (b.length < 8) badMp4(s"${b.length} bytes is too short for a box header")
+      val top = childBoxes(b, 0L, b.length.toLong)
+      if (!top.exists(t => t._1 == "ftyp" || t._1 == "moov"))
+        badMp4("no ftyp/moov box — not an ISO-BMFF stream")
+      val (moovS, moovE) = box1(b, top, "moov", "stream")
+      val moovKids = childBoxes(b, moovS, moovE)
+
+      val (mvhdS, mvhdE) = box1(b, moovKids, "mvhd", "moov")
+      val mvhdVer = { need(mvhdE - mvhdS >= 4, "mvhd"); b(mvhdS.toInt) & 0xff }
+      val (timescale, duration) = mvhdVer match {
+        case 0 => need(mvhdE - mvhdS >= 20, "mvhd v0 body")
+          (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+        case 1 => need(mvhdE - mvhdS >= 32, "mvhd v1 body")
+          (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+        case v => badMp4(s"mvhd version $v")
+      }
+      if (timescale <= 0) badMp4(s"non-positive mvhd timescale $timescale")
+      if (duration < 0) badMp4(s"mvhd duration overflows signed 64-bit")
+
+      val traks = moovKids.filter(_._1 == "trak")
+      if (traks.isEmpty) badMp4("moov has no trak boxes")
+
+      // first track whose mdia/hdlr handler is 'vide'; a trak missing its
+      // mdia/hdlr is simply "not the video track", not a walk-killer
+      val vide = traks.iterator.map { case (_, ts, te) =>
+        val kids = childBoxes(b, ts, te)
+        val mdia = kids.collectFirst { case ("mdia", s, e) => (s, e) }
+        val handler = mdia.flatMap { case (ms, me) =>
+          childBoxes(b, ms, me).collectFirst {
+            // version/flags(4) + pre_defined(4), then the handler fourcc
+            case ("hdlr", s, e) if e - s >= 12 => tag4(b, s + 8)
+          }
+        }
+        (kids, mdia, handler)
+      }.collectFirst { case (kids, Some(mdia), Some("vide")) => (kids, mdia) }
+        .getOrElse(badMp4(s"none of the ${traks.size} trak boxes has a " +
+          "'vide' handler"))
+      val (videKids, (mdiaS, mdiaE)) = vide
+
+      val (tkhdS, tkhdE) = box1(b, videKids, "tkhd", "vide trak")
+      val tkhdVer = { need(tkhdE - tkhdS >= 4, "tkhd"); b(tkhdS.toInt) & 0xff }
+      // layout: ver/flags 4, times (v0: 4+4, v1: 8+8), track_id 4,
+      // reserved 4, duration (v0: 4, v1: 8), reserved 8, layer 2, alt 2,
+      // volume 2, reserved 2, matrix 36 — then width, height (16.16)
+      val dimOff = tkhdVer match {
+        case 0 => need(tkhdE - tkhdS >= 84, "tkhd v0 body"); tkhdS + 76
+        case 1 => need(tkhdE - tkhdS >= 96, "tkhd v1 body"); tkhdS + 88
+        case v => badMp4(s"tkhd version $v")
+      }
+      val width = be32(b, dimOff) >> 16 // integer part of 16.16 fixed
+      val height = be32(b, dimOff + 4) >> 16
+
+      val mdiaKids = childBoxes(b, mdiaS, mdiaE)
+      val (minfS, minfE) = box1(b, mdiaKids, "minf", "vide mdia")
+      val (stblS, stblE) = box1(b, childBoxes(b, minfS, minfE), "stbl", "minf")
+      val stblKids = childBoxes(b, stblS, stblE)
+
+      val (stsdS, stsdE) = box1(b, stblKids, "stsd", "stbl")
+      need(stsdE - stsdS >= 8, "stsd header")
+      val nEntries = be32(b, stsdS + 4)
+      if (nEntries < 1) badMp4("stsd has zero sample entries")
+      // first sample entry: size(4) + format fourcc(4)
+      need(stsdE - stsdS >= 16, "stsd first sample entry")
+      val codec = tag4(b, stsdS + 12)
+
+      val (stszS, stszE) = box1(b, stblKids, "stsz", "stbl")
+      need(stszE - stszS >= 12, "stsz body")
+      val nFrames = be32(b, stszS + 8) // sample_count (after ver/flags +
+      // sample_size; count is present whether sizes are uniform or not)
+
+      // duration*1000 can overflow only on hostile 64-bit durations; route
+      // through the overflow-checked path so it fails typed, not wraps
+      val durMs =
+        try math.multiplyExact(duration, 1000L) / timescale
+        catch { case _: ArithmeticException =>
+          badMp4(s"mvhd duration $duration overflows millisecond arithmetic") }
+      Mp4Meta(durMs, timescale, traks.size.toLong, width, height, codec, nFrames)
     }
   }
 

@@ -112,10 +112,121 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     val eWav = intercept[IllegalArgumentException](
       RealDecoder.decode("audio/wav", garbage))
     assert(eWav.getMessage.contains("RIFF"))
-    val eVid = intercept[UnsupportedOperationException](
+    // mp4 garbage now fails through the ISO-BMFF walk, typed
+    val eVid = intercept[IllegalArgumentException](
       RealDecoder.decode("video/mp4", garbage))
-    assert(eVid.getMessage.contains("ffmpeg"))
-    assert(eVid.getMessage.contains(MultimodalOps.DecoderConfKey))
+    assert(eVid.getMessage.contains("MP4"))
+    // a video container the walk does NOT cover still names the codec seam
+    val eWebm = intercept[UnsupportedOperationException](
+      RealDecoder.decode("video/webm", garbage))
+    assert(eWebm.getMessage.contains("ffmpeg"))
+    assert(eWebm.getMessage.contains(MultimodalOps.DecoderConfKey))
+  }
+
+  // ---- ISO-BMFF (MP4) fixtures: JDK-built byte streams ---------------
+
+  private def beI(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def ascii(s: String): Array[Byte] = s.getBytes("ASCII")
+
+  /** Standard box: uint32 size + fourcc + concatenated children/body. */
+  private def mbox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    beI(8 + body.length) ++ ascii(typ) ++ body
+  }
+  private def fullBox(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+    mbox(typ, Array[Byte](version.toByte, 0, 0, 0), body)
+
+  private def mvhd0(timescale: Int, duration: Int): Array[Byte] =
+    fullBox("mvhd", 0, beI(0) ++ beI(0) ++ beI(timescale) ++ beI(duration))
+  private def mvhd1(timescale: Int, duration: Long): Array[Byte] =
+    fullBox("mvhd", 1, Array.fill[Byte](16)(0) ++ beI(timescale) ++
+      java.nio.ByteBuffer.allocate(8).putLong(duration).array())
+
+  /** tkhd with 16.16 fixed-point display dims (fractional part 0x8000 on
+    * purpose: the parser must take the INTEGER part). */
+  private def tkhd0(w: Int, h: Int): Array[Byte] =
+    fullBox("tkhd", 0,
+      beI(0) ++ beI(0) ++ beI(1) ++ beI(0) ++ beI(0) ++ // times/id/rsv/dur
+        Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++ // rsv + layer..vol
+        Array.fill[Byte](36)(0) ++ // matrix
+        beI((w << 16) | 0x8000) ++ beI(h << 16))
+  private def tkhd1(w: Int, h: Int): Array[Byte] =
+    fullBox("tkhd", 1,
+      Array.fill[Byte](16)(0) ++ beI(1) ++ beI(0) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](36)(0) ++ beI(w << 16) ++ beI(h << 16))
+
+  private def hdlr(handler: String): Array[Byte] =
+    fullBox("hdlr", 0, beI(0) ++ ascii(handler) ++ Array.fill[Byte](13)(0))
+
+  private def stbl(codec: String, frames: Int): Array[Byte] = mbox("stbl",
+    fullBox("stsd", 0, beI(1) ++ beI(16) ++ ascii(codec) ++ Array.fill[Byte](8)(0)),
+    fullBox("stsz", 0, beI(0) ++ beI(frames)))
+
+  private def videoTrak(tkhd: Array[Byte], codec: String, frames: Int): Array[Byte] =
+    mbox("trak", tkhd, mbox("mdia", hdlr("vide"), mbox("minf", stbl(codec, frames))))
+
+  private def mp4Fixture(mvhd: Array[Byte], traks: Array[Byte]*): Array[Byte] =
+    mbox("ftyp", ascii("isom"), beI(512), ascii("isomiso2")) ++
+      mbox("moov", (mvhd +: traks): _*) ++
+      mbox("mdat", Array.tabulate[Byte](32)(_.toByte))
+
+  test("mp4 box walk: mvhd/tkhd/hdlr/stsd/stsz on a v0 fixture") {
+    val audioTrak = mbox("trak", tkhd0(0, 0), mbox("mdia", hdlr("soun")))
+    // audio trak FIRST: the walk must select by handler, not position
+    val bytes = mp4Fixture(mvhd0(600, 1200), audioTrak,
+      videoTrak(tkhd0(320, 240), "avc1", 90))
+    assert(RealDecoder.decode("video/mp4", bytes) === ((320L, 240L, 90L)))
+    val m = RealDecoder.mp4Meta(bytes)
+    assert(m === MultimodalOps.Mp4Meta(2000L, 600L, 2L, 320L, 240L, "avc1", 90L))
+  }
+
+  test("mp4 box walk: version-1 mvhd and tkhd (64-bit times)") {
+    val bytes = mp4Fixture(mvhd1(90000, 450000L),
+      videoTrak(tkhd1(1920, 1080), "hev1", 150))
+    val m = RealDecoder.mp4Meta(bytes)
+    assert(m === MultimodalOps.Mp4Meta(5000L, 90000L, 1L, 1920L, 1080L, "hev1", 150L))
+  }
+
+  test("mp4 box walk: 64-bit largesize and to-end (size 0) boxes") {
+    val core = mp4Fixture(mvhd0(1000, 7500), videoTrak(tkhd0(64, 48), "mp4v", 30))
+    // a largesize free box between ftyp and moov, then a size-0 tail box
+    val pad = Array.fill[Byte](24)(7)
+    val largesize = beI(1) ++ ascii("free") ++
+      java.nio.ByteBuffer.allocate(8).putLong(16L + pad.length).array() ++ pad
+    val tail = beI(0) ++ ascii("skip") ++ Array.fill[Byte](10)(9)
+    val ftypLen = 8 + 16 // ftyp box length in mp4Fixture
+    val bytes = core.take(ftypLen) ++ largesize ++ core.drop(ftypLen) ++ tail
+    val m = RealDecoder.mp4Meta(bytes)
+    assert(m.duration_ms === 7500L && m.width === 64L && m.n_frames === 30L)
+  }
+
+  test("hostile mp4 bytes fail typed: truncation, bad sizes, no video track") {
+    // truncated moov: declared size far beyond the buffer
+    val truncated = mbox("ftyp", ascii("isom")) ++
+      beI(100000) ++ ascii("moov") ++ Array.fill[Byte](16)(0)
+    val e1 = intercept[IllegalArgumentException](RealDecoder.mp4Meta(truncated))
+    assert(e1.getMessage.contains("overruns"))
+    // box size below its own header (the zero-progress trap)
+    val tiny = mbox("ftyp", ascii("isom")) ++ beI(4) ++ ascii("free")
+    val e2 = intercept[IllegalArgumentException](RealDecoder.mp4Meta(tiny))
+    assert(e2.getMessage.contains("below header size"))
+    // largesize smaller than its 16-byte header
+    val badLarge = mbox("ftyp", ascii("isom")) ++
+      beI(1) ++ ascii("free") ++
+      java.nio.ByteBuffer.allocate(8).putLong(8L).array()
+    val e3 = intercept[IllegalArgumentException](RealDecoder.mp4Meta(badLarge))
+    assert(e3.getMessage.contains("below header size"))
+    // audio-only movie: no vide handler anywhere
+    val audioOnly = mp4Fixture(mvhd0(600, 600),
+      mbox("trak", tkhd0(0, 0), mbox("mdia", hdlr("soun"))))
+    val e4 = intercept[IllegalArgumentException](RealDecoder.mp4Meta(audioOnly))
+    assert(e4.getMessage.contains("vide"))
+    // zero timescale would divide by zero downstream: typed instead
+    val zeroTs = mp4Fixture(mvhd0(0, 600), videoTrak(tkhd0(8, 8), "avc1", 1))
+    val e5 = intercept[IllegalArgumentException](RealDecoder.mp4Meta(zeroTs))
+    assert(e5.getMessage.contains("timescale"))
   }
 
   private def realMediaRows: Seq[MediaRow] = Seq(
@@ -123,7 +234,9 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     MediaRow(2L, "image/jpeg", imageBytes("jpg", 120, 300)),
     MediaRow(3L, "image/bmp", imageBytes("bmp", 256, 16)),
     MediaRow(4L, "audio/wav", wavBytes(16000, 1, 40000)),
-    MediaRow(5L, "audio/wav", wavBytes(8000, 2, 12345)))
+    MediaRow(5L, "audio/wav", wavBytes(8000, 2, 12345)),
+    MediaRow(6L, "video/mp4",
+      mp4Fixture(mvhd0(600, 3600), videoTrak(tkhd0(854, 480), "avc1", 181))))
 
   test("extractMeta end-to-end with spark.graft.multimodal.decoder=real") {
     spark.conf.set(MultimodalOps.DecoderConfKey, "real")
@@ -142,9 +255,34 @@ class MultimodalRealDecoderSpec extends SparkSuite {
         16000L, 1L, 40000L))
       assert(meta(5L).width === 8000L && meta(5L).height === 2L &&
         meta(5L).n_frames === 12345L)
+      // mp4 through the same conf-selected seam: display dims + frame count
+      assert(meta(6L).width === 854L && meta(6L).height === 480L &&
+        meta(6L).n_frames === 181L)
       // n_bytes is the real payload size, not the raw sample count
       assert(meta(4L).n_bytes > 80000L)
     } finally spark.conf.unset(MultimodalOps.DecoderConfKey)
+  }
+
+  test("frame-sample plan over a real-decoded mp4: indices from stsz count") {
+    val meta = MultimodalOps.extractMeta(
+      spark.createDataset(realMediaRows), RealDecoder).toDF()
+    val idx = MultimodalOps.framePlan(meta)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // doc 6 has 181 frames → every-30th indices 0,30,...,180
+    assert(idx.sorted === (0L to 180L by 30L).map(i => (6L, i)))
+  }
+
+  test("a hostile mp4 payload in a real-decoder run fails its task with doc context") {
+    val truncated = mbox("ftyp", ascii("isom")) ++
+      beI(100000) ++ ascii("moov") ++ Array.fill[Byte](16)(0)
+    val rows = Seq(MediaRow(11L, "video/mp4", truncated))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractMeta(spark.createDataset(rows), RealDecoder).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("doc_id=11")), chain.mkString(" | "))
+    assert(chain.exists(_.contains("overruns")))
   }
 
   test("resize plan over real-decoded image metadata") {
