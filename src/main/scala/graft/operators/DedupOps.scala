@@ -1180,6 +1180,53 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("rep"))
   }
 
+  /** Connected-component labels over the symmetric `edges` CTE WITHOUT
+    * recursion: unrolled MIN-LABEL PROPAGATION. Each round joins the
+    * previous label table against the self-loop-augmented edges and takes
+    * the per-node min, so lab_k(u) = the smallest node id within k hops
+    * of u — the component representative once k reaches every node's
+    * distance to its component's min-id node. Plain CTEs, so the
+    * assembled oracle runs on engines that reject distinct-UNION
+    * recursive CTEs (Spark 4.1, UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) as
+    * well as DuckDB. The two rejected alternatives, both measured:
+    * recursive UNION ALL genuinely NON-TERMINATES (symmetric edges make
+    * every node cyclic, so the step re-derives walks forever), and
+    * unrolled path-DOUBLING — each level referencing the previous TWICE —
+    * is exponential in Spark's analyzer because CTE references inline
+    * (depth 9 over an 8-row VALUES base spent 565 s before touching
+    * data). Label propagation references each level ONCE, keeping the
+    * inlined plan linear: 12 rounds over the minhash pair chain run in
+    * ~11 s through spark.sql at parity scale.
+    *
+    * Round count: every level is one hop, so `rounds` must cover the
+    * largest node→representative distance. Measured on all three gate
+    * corpora (sf0.01 / sf0.001 / hostile, all three pair graphs): the
+    * worst case is 3 — these are dense co-occurrence/near-dup clusters,
+    * not chains — so 12 is a 4× margin, and ClosureDepthSpec trips
+    * loudly if a future testdata generation deepens any of them past
+    * HALF this margin. Final CTE: `comp_labels(u, lbl)`.
+    */
+  private[graft] val LabelPropRounds = 12
+
+  private[operators] def labelPropCtes(rounds: Int = LabelPropRounds): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""lab$k AS (SELECT e2.dst AS u, min(l.lbl) AS lbl
+         |          FROM lab${k - 1} l JOIN edges2 e2 ON l.u = e2.src
+         |          GROUP BY e2.dst)""".stripMargin
+    }
+    (Seq(
+      // self-loops make each round "extend by 0 or 1 hops", so a node's
+      // own label always survives the join (no COALESCE/outer join
+      // needed). MATERIALIZED: DuckDB would otherwise inline the whole
+      // upstream pair-generation chain into every round's reference — a
+      // measured 50x on the minhash oracle; DuckSqlDialect strips the
+      // hint for Spark, which reuses exchanges on its own.
+      "edges2 AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)",
+      "lab0 AS (SELECT src AS u, src AS lbl FROM edges GROUP BY src)") ++ steps)
+      .mkString(",\n") +
+      s",\ncomp_labels AS (SELECT u, lbl FROM lab$rounds)"
+  }
+
   /** Near-dup CLUSTERING: connected components over the verified minhash
     * pair graph — the transitive form the pair-based pipeline rule
     * deliberately avoids. The component labeling is [[starComponents]]
@@ -1194,23 +1241,15 @@ object DedupOps {
       labels.join(sizes, Seq("rep")).select("doc_id", "rep", "csize")
     },
     oracle = Some(
-      // the closure CTE is recursive, so the assembled chain's WITH must
-      // carry the RECURSIVE keyword (legal for the non-recursive CTEs too)
       s"""$MinhashPairsCte,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS rep
-         |  FROM reach GROUP BY src),
+         |${labelPropCtes()},
+         |comp AS (SELECT u AS doc_id, lbl AS rep FROM comp_labels),
          |repsizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
          |SELECT c.doc_id, c.rep, s.csize
-         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin))
 
   /** The scale path for embedding near-dup: sign-LSH bucketing (8 fixed
     * integer hyperplanes, shared with SimilarityOps.annLshBucket) turns the
@@ -1309,20 +1348,14 @@ object DedupOps {
     },
     oracle = Some(
       s"""WITH ${bandedPairsCtes("eb_")},
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT va AS src, vb AS dst FROM eb_pairs
          |  UNION SELECT vb, va FROM eb_pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
-         |comp AS (
-         |  SELECT src AS vec_id, least(src, min(dst)) AS rep
-         |  FROM reach GROUP BY src),
+         |${labelPropCtes()},
+         |comp AS (SELECT u AS vec_id, lbl AS rep FROM comp_labels),
          |repsizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
          |SELECT c.vec_id, c.rep, s.csize
-         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+         |FROM comp c JOIN repsizes s ON c.rep = s.rep""".stripMargin),
     bench = true)
 
   /** Distinct verified banded-LSH near-dup pairs (vec_a < vec_b, rounded
@@ -1358,7 +1391,7 @@ object DedupOps {
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
 
-  private[operators] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandedEmbPairs(s: SparkSession, d: String): DataFrame = {
     val exploded = explodedBandBuckets(s, d)
     // hot (band, bucket) keys dropped before the self-join — see
     // [[LshBucketCap]]: a degenerate embedding cluster (all-zero vectors,

@@ -192,17 +192,12 @@ object GraphOps {
     "graph_components",
     (s, d) => components(Tables.events(s, d)),
     oracle = Some(
-      s"""WITH RECURSIVE $EdgeCte,
-        |edges AS (
+      s"""WITH $EdgeCte,
+        |edges AS MATERIALIZED (
         |  SELECT src, dst FROM ed
         |  UNION SELECT dst, src FROM ed),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (
-        |  SELECT src AS user_id, least(src, min(dst)) AS rep
-        |  FROM reach GROUP BY src),
+        |${DedupOps.labelPropCtes()},
+        |comp AS (SELECT u AS user_id, lbl AS rep FROM comp_labels),
         |repsizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize
         |             FROM comp GROUP BY rep)
         |SELECT c.user_id, c.rep, s.csize
@@ -495,13 +490,20 @@ object GraphOps {
     "graph_bfs_hops",
     (s, d) => bfsHops(Tables.events(s, d)),
     oracle = Some(
+      // UNION ALL + per-level DISTINCT, not distinct-UNION: Spark 4.1
+      // rejects distinct-UNION in recursive CTEs, and UNION ALL terminates
+      // here because the hop bound cuts the step to zero rows at level
+      // BfsMaxHops+1 while the per-level DISTINCT caps each level at ≤ n
+      // rows (a node re-reached by a back-and-forth walk appears once per
+      // LEVEL, not once per walk). min(hops) per node is unchanged — both
+      // forms' group-by inputs contain every (node, level) reachable pair.
       s"""WITH RECURSIVE $CoocCte,
         |bedges AS (SELECT u AS src, v AS dst FROM und
         |           UNION ALL SELECT v, u FROM und),
         |bfs AS (
         |  SELECT (SELECT min(u) FROM und) AS x, 0 AS hops
-        |  UNION
-        |  SELECT e.dst AS x, b.hops + 1
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS x, b.hops + 1
         |  FROM bfs b JOIN bedges e ON e.src = b.x
         |  WHERE b.hops < $BfsMaxHops)
         |SELECT x AS user_id, CAST(min(hops) AS BIGINT) AS hops

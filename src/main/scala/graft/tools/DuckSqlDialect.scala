@@ -69,6 +69,12 @@ object DuckSqlDialect {
       else None
     }
     var s = shielded
+    // 1b. CTE materialization hints: DuckDB's `AS MATERIALIZED (` forces a
+    //    multi-referenced CTE to evaluate once (the component oracles'
+    //    edges/edges2 would otherwise re-run the pair-generation chain per
+    //    label-propagation round, a measured 50x); Spark has no such
+    //    syntax and handles reuse itself — strip the hint
+    s = s.replaceAll("(?i)\\bAS MATERIALIZED\\s*\\(", "AS (")
     // 2. integer division: DuckDB `//` is Spark `div` (both floor on the
     //    BIGINT domains the oracles use)
     s = s.replace("//", " div ")

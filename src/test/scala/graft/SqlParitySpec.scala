@@ -11,7 +11,7 @@ import graft.tools.SqlParityProbe.canon
   * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
   *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
   *    verbatim;
-  *  - [[TranslatedSubset]] (132): the text runs after the mechanical
+  *  - [[TranslatedSubset]] (136): the text runs after the mechanical
   *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
   *    subscripts→element_at, list literals→array, slices→slice(),
   *    struct literals→named_struct, ordered list()/string_agg→
@@ -20,17 +20,24 @@ import graft.tools.SqlParityProbe.canon
   *    renames, …), parsed with raw string literals the way DuckDB reads
   *    them.
   *
-  * Together: 175 of the registry's 182 oracles (96%) re-evaluate through
-  * spark.sql. The 7 still excluded are blocked by ENGINE limits, not
+  * Together: 179 of the registry's 182 oracles (98%) re-evaluate through
+  * spark.sql. The 3 still excluded are blocked by ENGINE limits, not
   * dialect spelling — each adjudicated in [[ExcludedWhy]]:
-  *  - recursive-CTE UNION ×4: Spark 4.1 parses WITH RECURSIVE but
-  *    rejects distinct-UNION in the recursive step
-  *    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and the oracles' fixpoint
-  *    loops (min-label propagation, BFS frontier) rely on the dedup for
-  *    termination size — UNION ALL would blow up on path multiplicity;
   *  - mod-2⁶⁴ chains ×3: the lcg splitmix/simhash mixers multiply two
   *    ~2⁶³ operands under `% 2⁶⁴` — the 128-bit intermediates exceed
   *    DECIMAL(38,0) (≈10³⁸ < 2¹²⁶), Spark's widest exact integer.
+  *
+  * The four former recursive-CTE exclusions (Spark 4.1 parses WITH
+  * RECURSIVE but rejects distinct-UNION in the recursive step,
+  * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) were closed in round 15 by
+  * restating the oracles in forms BOTH engines accept: the three
+  * transitive-closure fixpoints as unrolled path-DOUBLING CTEs with no
+  * recursion at all ([[graft.operators.DedupOps.doublingClosureCtes]] —
+  * the recursive UNION ALL alternative genuinely non-terminates on
+  * symmetric edges), and the hop-bounded BFS as recursive UNION ALL with
+  * a per-LEVEL DISTINCT (each level ≤ n rows; the hop bound zeroes the
+  * step at level 5, so termination never depended on the cross-level
+  * dedup).
   */
 class SqlParitySpec extends SparkSuite {
 
@@ -51,13 +58,9 @@ class SqlParitySpec extends SparkSuite {
     "setop_obstacle_build", "skyline_pareto", "tableview_tombstone",
     "window_drawdown", "window_ntile_quartiles")
 
-  /** The 7 oracles that cannot run through spark.sql, each with the
+  /** The 3 oracles that cannot run through spark.sql, each with the
     * engine limit that blocks it (see class doc). */
   private val ExcludedWhy: Map[String, String] = Map(
-    "dedup_clusters" -> "recursive CTE needs distinct-UNION (star-contraction fixpoint)",
-    "dedup_embedding_clusters" -> "recursive CTE needs distinct-UNION (star-contraction fixpoint)",
-    "graph_bfs_hops" -> "recursive CTE needs distinct-UNION (BFS frontier dedup)",
-    "graph_components" -> "recursive CTE needs distinct-UNION (min-label fixpoint)",
     "lcg_event_type_counts" -> "mod-2^64 LCG products exceed DECIMAL(38,0)",
     "lcg_move_player_stats" -> "mod-2^64 LCG products exceed DECIMAL(38,0)",
     "dedup_simhash" -> "mod-2^64 splitmix products exceed DECIMAL(38,0)")
@@ -73,12 +76,14 @@ class SqlParitySpec extends SparkSuite {
     "cohort_retention", "conversion_latency_histogram", "dau_cumulative",
     "decontam_bloom", "decontam_embedding", "decontam_minhash",
     "decontam_ngram_exact", "dq_null_profile",
+    "dedup_clusters", "dedup_embedding_clusters",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_embedding_lsh_banded", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_span_boilerplate", "dedup_substring_runs",
     "dedup_substring_windows", "dq_pk_uniqueness", "dq_value_domain",
     "encode_decode_roundtrip", "event_transitions", "filter_bounds",
     "filter_self_kill", "flame_blocking", "flame_cells", "gen_id_suffix",
+    "graph_bfs_hops", "graph_components",
     "graph_lcc_topk", "graph_pagerank", "graph_sssp_weighted",
     "graph_triangles", "ingest_roundtrip", "join_asof_last_map",
     "join_death_attribution", "join_interval_overlap", "join_killer_owner",
@@ -133,10 +138,10 @@ class SqlParitySpec extends SparkSuite {
       body => SqlParityProbe.withRawLiterals(spark)(body))
   }
 
-  test("the two parity tiers cover at least 175 of the registry's oracles") {
+  test("the two parity tiers cover at least 179 of the registry's oracles") {
     val all = (AnsiSubset ++ TranslatedSubset).toSet
     assert(all.size === AnsiSubset.size + TranslatedSubset.size, "overlap")
-    assert(all.size >= 175)
+    assert(all.size >= 179)
     // every pinned name still exists in the registry
     val known = SparkEntry.oracleSql.keySet
     assert(all.subsetOf(known), (all -- known).mkString(", "))
