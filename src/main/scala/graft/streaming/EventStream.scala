@@ -207,9 +207,16 @@ object EventStream {
         // TrimSuffix-style inverse of "{room}-event-topic" produces, so
         // the new behavior is the CORRECT one. PulsarSeamSpec pins all
         // the edges including this one.
+        // \z, not $: Java's $ also matches before a final line terminator,
+        // so a pathological topic "room-1-event-topic\n" would strip the
+        // suffix mid-string and yield room "room-1\n". \z anchors to the
+        // true end of input, which is exact TrimSuffix semantics — the
+        // reference's inverse of "{room}-event-topic" strips only a TRUE
+        // suffix (broker names can't contain newlines, but the anchor
+        // costs nothing; PulsarSeamSpec pins the edge)
         raw.select(
           regexp_replace(substring_index(col("__topic"), "/", -1),
-            "(-event-topic)$", "").as("room"),
+            "(-event-topic)\\z", "").as("room"),
           col("__sequenceId").as("event_id"),
           col("__publishTime").as("ts"),
           from_json(col("value").cast("string"), EventsPayloadSchema).as("e"))

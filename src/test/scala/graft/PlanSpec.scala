@@ -263,7 +263,11 @@ class PlanSpec extends SparkSuite {
             s"(product must be 9.0e18): ...${m.matched.take(120)}")
       }
     }
-    assert(found >= 25,
+    // keep the floor within ~5 of the true site count (printed below), so
+    // PARTIAL rot — e.g. only the SQL-text half of the sites still
+    // matching after a Spark pretty-print change — also fails loudly
+    info(s"money-guard sites matched: $found")
+    assert(found >= 30, // true count 35 as of round 15 — keep within ~5
       s"plan-side guard regex matched only $found sites — pattern rot?")
   }
 

@@ -70,7 +70,12 @@ class PulsarSeamSpec extends SparkSuite {
       ("persistent://t/ns/room-3", "room-3"),      // no suffix to strip
       ("a/b-event-topic-event-topic", "b-event-topic"), // strip ONE suffix
       ("a/", ""),                                  // empty last segment
-      ("-event-topic", ""))                        // suffix-only segment: TrimSuffix semantics
+      ("-event-topic", ""),                        // suffix-only segment: TrimSuffix semantics
+      // \z anchor, not $: Java's $ also matches before a final newline and
+      // would strip the suffix mid-string (room "room-1\n"). TrimSuffix
+      // semantics — the reference's inverse of "{room}-event-topic" — only
+      // strips a TRUE suffix, so a terminator-carrying topic is unchanged.
+      ("room-1-event-topic\n", "room-1-event-topic\n"))
     import spark.implicits._
     val got = EventStream.normalize(
       EventStream.EventSourceConfig.pulsarReplay("/nonexistent"),
@@ -82,5 +87,64 @@ class PulsarSeamSpec extends SparkSuite {
           lit("{}").as("props"))).cast("binary")))
       .select("room").as[String].collect().toSeq
     assert(got === cases.map(_._2), s"room parse drifted: $got")
+  }
+
+  test("checked-in connector wire fixture round-trips the normalize branch exactly") {
+    // src/test/resources/pulsar_connector_frames.jsonl holds rows shaped
+    // exactly as the published pulsar-spark connector emits them — full
+    // persistent://tenant/namespace/topic names (multi-segment tenants,
+    // dotted namespaces, a non-persistent:// scheme), per-topic
+    // __sequenceId (duplicated ACROSS topics on purpose — uniqueness is
+    // per-room only), millisecond __publishTime, and base64 payload bytes.
+    // This pins the column contract against connector-doc reality without
+    // a broker: if normalize ever drifts from these frames, the fixture —
+    // not a synthesized frame builder sharing the bug — catches it.
+    val path = getClass.getResource("/pulsar_connector_frames.jsonl").getPath
+    val raw = spark.read
+      .schema("__topic STRING, __sequenceId BIGINT, " +
+        "__publishTime TIMESTAMP, value_base64 STRING")
+      .json(path)
+      .select(col("__topic"), col("__sequenceId"), col("__publishTime"),
+        unbase64(col("value_base64")).as("value"))
+    assert(raw.count() === 7)
+
+    val got = EventStream.normalize(
+        EventStream.EventSourceConfig.pulsarReplay("/nonexistent"), raw)
+      .orderBy("ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.toString, r.getLong(3), r.getString(4),
+        r.getDouble(5), r.getString(6)))
+      .toSeq
+
+    def ts(s: String) = java.time.Instant.parse(s).toString
+    val want = Seq(
+      ("room-0", 0L, ts("2026-03-01T10:00:00Z"), 7L, "move", 1.5, "{\"x\":3,\"y\":4}"),
+      ("room-0", 1L, ts("2026-03-01T10:00:00.250Z"), 7L, "bomb", 0.0, "{\"name\":\"player-7-bomb-1\"}"),
+      ("room-42", 0L, ts("2026-03-01T10:00:01Z"), 42L, "kill", 10.0, "{\"victim\":9}"),
+      ("room-abc", 5L, ts("2026-03-01T10:00:02.500Z"), 3L, "move", -2.25, null),
+      ("room-np", 2L, ts("2026-03-01T10:00:03Z"), 11L, "score", 99.5, "{}"),
+      ("lobby", 3L, ts("2026-03-01T10:00:04Z"), 1L, "join", 0.0, "{\"señal\":\"sí\"}"),
+      ("room-42", 1L, ts("2026-03-01T10:00:05.125Z"), 42L, "move", 7.0, "{\"x\":1}"))
+    assert(got === want)
+
+    // and through the STREAMING replay path (same frames as parquet): the
+    // file source + normalize must agree with the batch pass bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_wirefix").toString
+    raw.write.mode("overwrite").parquet(dir)
+    val q = EventStream.readEvents(spark,
+        EventStream.EventSourceConfig.pulsarReplay(dir))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("wire_fixture").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wire_fixture").orderBy("ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.toString, r.getLong(3), r.getString(4),
+        r.getDouble(5), r.getString(6)))
+      .toSeq
+    assert(streamed === want)
   }
 }
