@@ -115,6 +115,20 @@ object Bench {
       val w = new java.io.PrintWriter("bench_out.json")
       try { w.println(compact); w.println(detail) } finally w.close()
     } catch { case _: Throwable => () }
+    // BASELINE.md's per-round bench-detail contract, mechanized (the r13
+    // promise lapsed by hand once): stamp the full per-query detail with
+    // the CURRENT round — inferred as max existing BENCH_r{n}.json + 1,
+    // since the driver commits BENCH_r{n} at the END of round n — so the
+    // next judge always has a committed same-code snapshot to diff.
+    // Overwrite-safe: re-runs within a round land on the same stamp.
+    try {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1
+      val w = new java.io.PrintWriter(f"BENCH_DETAIL_r$round%02d.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
     println(detail)
     println(compact) // keep LAST: the driver's tail window is ~2000 chars
     Console.out.flush()

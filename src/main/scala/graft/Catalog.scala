@@ -13,12 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               supplier/part/orders/lineitem/events/documents/embeddings.
   *               None => driver records a weaker rows-only check.
   * @param bench  member of the headline benchmark set run by graft.Bench.
+  * @param minRows NON-VACUITY manifest: the minimum row count this query
+  *               must return on EVERY driver testbed sf (0.001 and up).
+  *               The oracle gate hashes Spark against DuckDB, but a 0 = 0
+  *               match proves nothing about the operator's logic — that
+  *               exact failure class shipped once (`decontam_embedding`
+  *               went silently 0-row for three rounds after a testdata
+  *               regeneration removed its only qualifying pairs, and the
+  *               hash gate stayed green). Enforced in RegistrySpec (every
+  *               query, sf0.001) and by graft.Verify at the driver's sf
+  *               (loud [verify] NONVACUITY lines + nonvacuity.json).
+  *               Default 1 — every registered query is intended nonempty;
+  *               a genuinely may-be-empty query must opt out with an
+  *               explicit 0 and a comment saying why.
   */
 final case class GQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    bench: Boolean = false)
+    bench: Boolean = false,
+    minRows: Long = 1L)
 
 /** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */
 object Tables {

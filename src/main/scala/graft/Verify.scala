@@ -17,11 +17,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // NON-VACUITY check rides the dump (GQuery.minRows): re-count each
+    // written parquet (footer-only, cheap) and flag any query below its
+    // manifest floor — a 0-row result would still hash-match a 0-row
+    // oracle, so the driver's gate alone can't see it go vacuous.
+    val counts = SparkEntry.all.sortBy(_.name).flatMap { gq =>
+      try {
+        gq.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${gq.name}")
+        val n = spark.read.parquet(s"$outDir/${gq.name}").count()
+        if (n < gq.minRows)
+          System.err.println(s"[verify] NONVACUITY ${gq.name}: $n rows < " +
+            s"minRows=${gq.minRows} — oracle row is vacuous at $sfDir")
+        Some((gq.name, n, gq.minRows))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ${gq.name} failed: ${e.getMessage}")
+        None
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +50,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val vacJson = counts.map { case (n, rows, min) =>
+      s"${q(n)}: {\"rows\": $rows, \"min_rows\": $min, " +
+        s"\"vacuous\": ${rows < min}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/nonvacuity.json"), vacJson)
+    val vac = counts.filter { case (_, rows, min) => rows < min }
+    System.err.println(s"[verify] nonvacuity: ${vac.size} of ${counts.size} " +
+      s"below manifest floor${if (vac.nonEmpty) ": " + vac.map(_._1).mkString(",") else ""}")
     // completion marker: distinguishes a finished dump from stale output of
     // an earlier run when a later invocation dies before writing anything
     System.err.println(s"[verify] done: ${SparkEntry.queries.size} queries dumped")

@@ -1415,25 +1415,55 @@ object DedupOps {
     * any benchmark doc, catching paraphrased contamination that shares no
     * n-grams with the benchmark. Shape mirrors [[decontamMinhash]] in
     * embedding space: both corpora get the banded sign-LSH buckets of
-    * [[bandedEmbPairs]] (one staged signature pass, B=4 × r=8 planes,
-    * banded recall ≈ 0.97 — EmbeddingLshSmoke), the BENCHMARK's
-    * (band, bucket) rows broadcast (the bench side is thousands of rows
-    * at any corpus scale), corpus rows probe the broadcast table — the
-    * corpus never shuffles — and candidates verify with the exact cosine
-    * carried inline (vectors ride the bucket rows, so no verification
-    * re-join). Bench-side buckets deliberately uncapped, same reasoning
-    * as decontamMinhash: the fan-out is bounded by the benchmark itself,
-    * and capping would cost recall exactly on the boilerplate-shaped docs
-    * most likely to be contaminated.
+    * [[bandedEmbPairs]] (B=4 × r=8 planes, banded recall ≈ 0.97 —
+    * EmbeddingLshSmoke), the BENCHMARK's (band, bucket) rows broadcast
+    * (the bench side is thousands of rows at any corpus scale), corpus
+    * rows probe the broadcast table — the corpus never shuffles — and
+    * candidates verify with the exact cosine carried inline (vectors ride
+    * the bucket rows, so no verification re-join). Bench-side buckets
+    * deliberately uncapped, same reasoning as decontamMinhash: the
+    * fan-out is bounded by the benchmark itself, and capping would cost
+    * recall exactly on the boilerplate-shaped docs most likely to be
+    * contaminated.
+    *
+    * BENCHMARK DERIVATION (round 16 — the non-vacuity re-arm): the bench
+    * side is a PARAPHRASE STAND-IN derived in-query, not a disjoint id
+    * slice. Rounds 13-15 used `vec_id % 7 = 0` as the benchmark and the
+    * complement as the corpus; the r13 testdata regeneration left no
+    * cross-slice pair above [[CosineThreshold]], so the query matched the
+    * oracle 0 = 0 — a row in the hard gate that could never fail. Now the
+    * benchmark is every `vec_id % 7 = 3` corpus vector with its LAST
+    * coordinate zeroed, re-normalized, and re-bucketed: a deterministic
+    * near-paraphrase (cosine to its source = ‖v₀..₆₂‖/‖v‖ ≈ 0.99) whose
+    * source REMAINS in the corpus, so true semantic contamination exists
+    * at every testbed sf (73 pairs at sf0.01, 305 at sf0.1 — and the LSH
+    * genuinely decides: at sf0.1 five planted sources land in no shared
+    * band and are correctly missed). [[GQuery.minRows]] = 1 makes the
+    * vacuity regression loud if a future generation defeats this too.
     */
   val decontamEmbedding = GQuery(
     "decontam_embedding",
     (s, d) => {
-      val exploded = explodedBandBuckets(s, d)
-      val benchSide = broadcast(exploded.filter(col("vec_id") % 7 === 0)
+      // benchmark: perturbed copies of the % 7 = 3 corpus slice — zero the
+      // last coordinate BEFORE re-normalization and re-bucketing, exactly
+      // as the oracle does (term-for-term identical float sums)
+      val benchVecs = normalizedVecs(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .withColumn("v",
+          expr("transform(v, (x, i) -> IF(i = 63, CAST(0 AS DOUBLE), x))"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .filter(col("nrm") > 0)
+      val benchBucketed = (0 until LshBands).foldLeft(benchVecs) {
+        (df, b) => SimilarityOps.withBandBucket(df, b, LshBandPlanes, s"b$b")
+      }
+      val benchSide = broadcast(benchBucketed
         .select(col("vec_id").as("bench_vec"), col("v").as("bv"),
-          col("nrm").as("bnrm"), col("band"), col("bucket")))
-      exploded.filter(col("vec_id") % 7 =!= 0)
+          col("nrm").as("bnrm"),
+          explode(array((0 until LshBands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+        .select(col("bench_vec"), col("bv"), col("bnrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+      explodedBandBuckets(s, d).filter(col("vec_id") % 7 =!= 0)
         .join(benchSide, Seq("band", "bucket"))
         .withColumn("cos",
           expr("graft_dot(v, bv)") / (col("nrm") * col("bnrm")))
@@ -1461,16 +1491,30 @@ object DedupOps {
          |  SELECT vec_id, u.band, u.bucket FROM de_wb,
          |  LATERAL (SELECT unnest($bandIdx) AS band,
          |                  unnest($bandRefs) AS bucket) u),
+         |de_p0 AS (
+         |  SELECT vec_id AS bench_vec,
+         |         list_transform(generate_series(1, 64),
+         |           i -> CASE WHEN i = 64 THEN 0::DOUBLE ELSE v[i] END) AS v
+         |  FROM de_e WHERE vec_id % 7 = 3),
+         |de_p AS (
+         |  SELECT bench_vec, v,
+         |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM de_p0),
+         |de_pwb AS (SELECT bench_vec, v, nrm, $bandCols FROM de_p WHERE nrm > 0),
+         |de_pbb AS (
+         |  SELECT bench_vec, u.band, u.bucket FROM de_pwb,
+         |  LATERAL (SELECT unnest($bandIdx) AS band,
+         |                  unnest($bandRefs) AS bucket) u),
          |de_cand AS (
-         |  SELECT DISTINCT q.vec_id AS bench_vec, c.vec_id AS corpus_vec
-         |  FROM de_bb q JOIN de_bb c
+         |  SELECT DISTINCT q.bench_vec, c.vec_id AS corpus_vec
+         |  FROM de_pbb q JOIN de_bb c
          |    ON q.band = c.band AND q.bucket = c.bucket
-         |  WHERE q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0)
+         |  WHERE c.vec_id % 7 <> 0)
          |SELECT c.bench_vec, c.corpus_vec,
          |       round(list_sum(list_transform(generate_series(1, len(a.v)),
          |             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
-         |FROM de_cand c JOIN de_wb a ON a.vec_id = c.bench_vec
-         |               JOIN de_wb b ON b.vec_id = c.corpus_vec
+         |FROM de_cand c JOIN de_wb a ON a.vec_id = c.corpus_vec
+         |               JOIN de_pwb b ON b.bench_vec = c.bench_vec
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin
     },

@@ -41,6 +41,21 @@ import org.apache.spark.sql.SparkSession
   */
 object RetryAudit {
 
+  /** True iff the executed plan contains a ShuffleExchangeLike anywhere —
+    * descending through AQE wrappers (AdaptiveSparkPlanExec holds its
+    * final plan out-of-tree; materialized stages sit behind
+    * QueryStageExec, whose wrapped `plan` is likewise not a child). */
+  private[tools] def hasShuffleExchange(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      hasShuffleExchange(a.executedPlan)
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      true
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      hasShuffleExchange(q.plan)
+    case other => other.children.exists(hasShuffleExchange)
+  }
+
   private def runAll(label: String, master: String, scanFault: Boolean,
                      postShuffleFault: Boolean, sfDir: String)
       : (Map[String, Either[String, (String, Int)]], Int) = {
@@ -63,10 +78,14 @@ object RetryAudit {
         val df =
           if (postShuffleFault) graft.Tables.retryFaultBarrier(base) else base
         val dig = Canon.digestDf(df)
-        // post-execution (AQE-final) plan: an Exchange below the barrier
-        // means the faulted final stage really was post-shuffle
-        if (postShuffleFault &&
-          df.queryExecution.executedPlan.toString.contains("Exchange"))
+        // post-execution (AQE-final) plan: a SHUFFLE exchange below the
+        // barrier means the faulted final stage really was post-shuffle.
+        // Walked, not substring-matched: the old `contains("Exchange")`
+        // also matched BroadcastExchangeExec, and a broadcast-only plan
+        // has no shuffle partials under its final stage — counting it
+        // would inflate the coverage number this audit exists to measure.
+        if (postShuffleFault && hasShuffleExchange(
+          df.queryExecution.executedPlan))
           postShuffleFaulted += 1
         Right(dig)
       } catch {

@@ -11,7 +11,7 @@ import graft.tools.SqlParityProbe.canon
   * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
   *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
   *    verbatim;
-  *  - [[TranslatedSubset]] (136): the text runs after the mechanical
+  *  - [[TranslatedSubset]] (137): the text runs after the mechanical
   *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
   *    subscripts→element_at, list literals→array, slices→slice(),
   *    struct literals→named_struct, ordered list()/string_agg→
@@ -20,7 +20,7 @@ import graft.tools.SqlParityProbe.canon
   *    renames, …), parsed with raw string literals the way DuckDB reads
   *    them.
   *
-  * Together: 179 of the registry's 182 oracles (98%) re-evaluate through
+  * Together: 180 of the registry's 183 oracles (98%) re-evaluate through
   * spark.sql. The 3 still excluded are blocked by ENGINE limits, not
   * dialect spelling — each adjudicated in [[ExcludedWhy]]:
   *  - mod-2⁶⁴ chains ×3: the lcg splitmix/simhash mixers multiply two
@@ -31,9 +31,11 @@ import graft.tools.SqlParityProbe.canon
   * RECURSIVE but rejects distinct-UNION in the recursive step,
   * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) were closed in round 15 by
   * restating the oracles in forms BOTH engines accept: the three
-  * transitive-closure fixpoints as unrolled path-DOUBLING CTEs with no
-  * recursion at all ([[graft.operators.DedupOps.doublingClosureCtes]] —
-  * the recursive UNION ALL alternative genuinely non-terminates on
+  * transitive-closure fixpoints as unrolled MIN-LABEL PROPAGATION CTEs
+  * with no recursion at all ([[graft.operators.DedupOps.labelPropCtes]];
+  * path-doubling was the REJECTED alternative — each unrolled round
+  * squares the join tree, exponential in Spark's analyzer — and the
+  * recursive UNION ALL alternative genuinely non-terminates on
   * symmetric edges), and the hop-bounded BFS as recursive UNION ALL with
   * a per-LEVEL DISTINCT (each level ≤ n rows; the hop bound zeroes the
   * step at level 5, so termination never depended on the cross-level
@@ -138,10 +140,10 @@ class SqlParitySpec extends SparkSuite {
       body => SqlParityProbe.withRawLiterals(spark)(body))
   }
 
-  test("the two parity tiers cover at least 179 of the registry's oracles") {
+  test("the two parity tiers cover at least 180 of the registry's oracles") {
     val all = (AnsiSubset ++ TranslatedSubset).toSet
     assert(all.size === AnsiSubset.size + TranslatedSubset.size, "overlap")
-    assert(all.size >= 179)
+    assert(all.size >= 180)
     // every pinned name still exists in the registry
     val known = SparkEntry.oracleSql.keySet
     assert(all.subsetOf(known), (all -- known).mkString(", "))
