@@ -14,7 +14,8 @@ object SparkEntry {
     EventOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       GameOps.queries ++ FoldOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ LcgSourceOps.queries ++
-      PipelineOps.queries ++ KMeansOps.queries ++ CorpusOps.queries ++
+      PipelineOps.queries ++ KMeansOps.queries ++ PqOps.queries ++
+      CorpusOps.queries ++
       AnalyticsOps.queries ++ SketchOps.queries ++ GraphOps.queries ++
       LayoutOps.queries
 

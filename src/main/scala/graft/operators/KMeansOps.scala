@@ -73,12 +73,35 @@ object KMeansOps {
     * recompiled the whole K-way least() per iteration, which dominated this
     * query's bench time.
     */
-  private def compCols(cents: Seq[(Int, Array[Long])]): Seq[Column] =
+  private def compCols(cents: Seq[(Int, Array[Long])],
+                       qq: Column = col("qq"),
+                       qvx: Column = col("qvx")): Seq[Column] =
     cents.map { case (cid, cv) =>
       val cc = cv.map(x => x * x).sum.toDouble
       val ext = cv.map(x => -2.0 * x).toSeq :+ cc
-      val dist = col("qq") + call_function("graft_dot", col("qvx"), typedLit(ext))
+      val dist = qq + call_function("graft_dot", qvx, typedLit(ext))
       dist * lit(CompBase.toDouble) + lit(cid.toDouble)
+    }
+
+  /** Nearest-centroid id as a standalone column over caller-supplied
+    * (qq, qvx) inputs — the row-local assignment [[withCid]] binds to the
+    * standard column names, exposed so a product-quantization encoder
+    * ([[PqOps]]) can compute M sub-space codes in ONE projection without
+    * reshaping the frame M times. Dispatches exactly like [[withCid]]:
+    * inline least() tree up to [[InlineAssignMaxK]], the
+    * `graft_argmin_centroid` kernel above it (Janino's 64 KB method limit
+    * — see [[InlineAssignMaxK]]). */
+  private[operators] def codeExpr(qq: Column, qvx: Column,
+                                  cents: Seq[(Int, Array[Long])]): Column =
+    if (cents.size <= InlineAssignMaxK)
+      least(compCols(cents, qq, qvx): _*).cast("long") % CompBase
+    else {
+      val ordered = cents.sortBy(_._1)
+      val exts = ordered.map { case (_, cv) =>
+        cv.map(x => -2.0 * x).toSeq :+ cv.map(x => x * x).sum.toDouble
+      }
+      call_function("graft_argmin_centroid", qvx, qq,
+        typedLit(ordered.map(_._1.toLong)), typedLit(exts))
     }
 
   /** Above this k the inline `least(graft_dot…)` tree exceeds Janino's
@@ -118,12 +141,13 @@ object KMeansOps {
   /** Driver-side centroid refresh from the collected (cid, pos, s, n) rows.
     * Empty clusters keep their previous centroid with n = 0. */
   private def nextCents(prev: Seq[(Int, Array[Long], Long)],
-                        rows: Array[Row]): Seq[(Int, Array[Long], Long)] = {
+                        rows: Array[Row],
+                        dims: Int): Seq[(Int, Array[Long], Long)] = {
     val byCid = rows.groupBy(_.getLong(0).toInt)
     prev.map { case (cid, cv, _) =>
       byCid.get(cid) match {
         case Some(rs) =>
-          val arr = new Array[Long](Dims)
+          val arr = new Array[Long](dims)
           val n = rs.head.getLong(3)
           rs.foreach(r => arr(r.getInt(1) - 1) = Math.floorDiv(r.getLong(2), n))
           (cid, arr, n)
@@ -195,16 +219,21 @@ object KMeansOps {
     * iterations appended to the cached vector) — the build-once helper's
     * outside-the-lock race would lose extensions. */
   private[graft] def lloyd(pts: DataFrame, d: String, iters: Int,
-                           k: Int = K): Seq[(Int, Array[Long], Long)] =
+                           k: Int = K, dims: Int = Dims,
+                           tag: String = ""): Seq[(Int, Array[Long], Long)] =
     synchronized {
       require(k < CompBase, s"k=$k must stay below CompBase=$CompBase " +
         "(the composite argmin encodes cid in the low digits)")
       val spark = pts.sparkSession
       // k is part of the identity: a scale caller (tools/IvfScaleSmoke
       // trains k=256) must not collide with the registry's k=8 model in
-      // either the in-process memo or the persisted artifact
+      // either the in-process memo or the persisted artifact. `tag`
+      // extends the identity the same way for sub-space models (the PQ
+      // trainer fits one codebook per vector slice over the SAME dataset
+      // dir — "-pq0".."-pqM"); `dims` is the slice width the update step
+      // refreshes (full-space callers leave both defaulted).
       val fp = datasetFingerprint(d)
-      val key = (spark.sparkContext.applicationId, d, s"$fp-k$k")
+      val key = (spark.sparkContext.applicationId, d, s"$fp-k$k$tag")
       var states = models.getOrElse(key,
         graft.ArtifactStore.load(spark, modelPersistence, d, key._3)
           .getOrElse {
@@ -218,7 +247,7 @@ object KMeansOps {
       while (states.length <= iters) {
         val cur = states.last
         val rows = sums(withCid(pts, cur.map(c => (c._1, c._2)))).collect()
-        states = states :+ nextCents(cur, rows)
+        states = states :+ nextCents(cur, rows, dims)
       }
       // write through only when this call actually extended the sequence,
       // and REPLACE the persisted artifact: the model extends across
@@ -246,8 +275,9 @@ object KMeansOps {
 
   // ---- oracle-side twin -----------------------------------------------------
 
-  /** The quantization + seed CTEs shared by both oracles. */
-  private val PtsCte =
+  /** The quantization CTE alone (no seeds) — [[PqOps]] opens its oracle
+    * with this and seeds each SUB-SPACE separately. */
+  private[operators] val PtsOnlyCte =
     """WITH pts AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -259,38 +289,45 @@ object KMeansOps {
       |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0
       |    AND NOT isnan(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
     AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) < CAST('Infinity' AS DOUBLE)
-    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
-      |c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < 8)""".stripMargin
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)""".stripMargin
+
+  /** The quantization + seed CTEs shared by both full-space oracles. */
+  private val PtsCte = PtsOnlyCte +
+    ",\nc0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < 8)"
 
   /** One unrolled Lloyd's iteration: assignment (cross join + argmin over the
     * dist·1000+cid composite), per-(cid,pos) sums, floor-div centroid update
     * with empty-cluster carry-forward — the exact integer twin of
-    * withCid/sums/nextCents. */
-  private def iterCte(t: Int): String = {
+    * withCid/sums/nextCents. `pfx` namespaces every intermediate CTE (and
+    * the c-series it reads/extends), `dims`/`pts` retarget the iteration at
+    * a sliced sub-space frame — defaults reproduce the full-space text
+    * byte-for-byte. */
+  private[operators] def iterCte(t: Int, pfx: String = "", dims: Int = Dims,
+                                 pts: String = "pts"): String = {
     val p = t - 1
-    s"""d$t AS (
+    s"""${pfx}d$t AS (
        |  SELECT p.vec_id,
-       |         list_sum(list_transform(generate_series(1, $Dims),
+       |         list_sum(list_transform(generate_series(1, $dims),
        |           i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) * $CompBase + c.cid AS comp
-       |  FROM pts p CROSS JOIN c$p c),
-       |a$t AS (
+       |  FROM $pts p CROSS JOIN ${pfx}c$p c),
+       |${pfx}a$t AS (
        |  SELECT p.vec_id, p.qv, CAST(m.comp % $CompBase AS BIGINT) AS cid
-       |  FROM pts p JOIN (SELECT vec_id, min(comp) AS comp FROM d$t GROUP BY vec_id) m
+       |  FROM $pts p JOIN (SELECT vec_id, min(comp) AS comp FROM ${pfx}d$t GROUP BY vec_id) m
        |  USING (vec_id)),
-       |u$t AS (
+       |${pfx}u$t AS (
        |  SELECT a.cid, g.pos, sum(a.qv[g.pos]) AS s, count(*) AS n
-       |  FROM a$t a CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS pos) g
+       |  FROM ${pfx}a$t a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS pos) g
        |  GROUP BY a.cid, g.pos),
-       |c$t AS (
-       |  SELECT c$p.cid, coalesce(u.cv, c$p.cv) AS cv, coalesce(u.n, 0) AS n
-       |  FROM c$p LEFT JOIN (
+       |${pfx}c$t AS (
+       |  SELECT ${pfx}c$p.cid, coalesce(u.cv, ${pfx}c$p.cv) AS cv, coalesce(u.n, 0) AS n
+       |  FROM ${pfx}c$p LEFT JOIN (
        |    SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY pos) AS cv,
        |           CAST(min(n) AS BIGINT) AS n
-       |    FROM u$t GROUP BY cid) u USING (cid))""".stripMargin
+       |    FROM ${pfx}u$t GROUP BY cid) u USING (cid))""".stripMargin
   }
 
   private def chain(iters: Int): String =
-    PtsCte + "," + (1 to iters).map(iterCte).mkString(",")
+    PtsCte + "," + (1 to iters).map(t => iterCte(t)).mkString(",")
 
   // ---- queries --------------------------------------------------------------
 
