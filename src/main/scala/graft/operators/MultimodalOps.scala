@@ -112,11 +112,92 @@ object MultimodalOps {
               "recognizes its header")
         val reader = readers.next()
         try {
-          // seekForwardOnly + ignoreMetadata: header fields only
-          reader.setInput(iis, true, true)
-          (reader.getWidth(0).toLong, reader.getHeight(0).toLong, 1L)
+          if (reader.getFormatName.equalsIgnoreCase("gif")) {
+            // GIF is a multi-FRAME container: n_frames is the real frame
+            // count (getNumImages needs a searchable input, so no
+            // seekForwardOnly here — still header walks, no pixel decode)
+            reader.setInput(iis, false, true)
+            (reader.getWidth(0).toLong, reader.getHeight(0).toLong,
+              reader.getNumImages(true).toLong)
+          } else {
+            // seekForwardOnly + ignoreMetadata: header fields only
+            reader.setInput(iis, true, true)
+            (reader.getWidth(0).toLong, reader.getHeight(0).toLong, 1L)
+          }
         } finally reader.dispose()
       } finally iis.close()
+    }
+
+    /** One decoded GIF frame: raster dims as stored (GIF frames may be
+      * partial-canvas patches), the GraphicControlExtension delay in
+      * centiseconds, and a CRC-32 over the ARGB pixels — the bounded
+      * stand-in for shipping raster bytes through a test plan. */
+    final case class GifFrame(index: Long, delay_cs: Long,
+        width: Long, height: Long, pixel_crc: Long)
+
+    /** Real PIXEL decode for the sampled frames of an animated GIF — the
+      * one multi-frame container the JDK decodes natively, which makes it
+      * the real-pixel leg of the frame-sampling pipeline (true video
+      * codecs keep the typed ffmpeg-seam error in [[decode]]).
+      *
+      * @param indices frame indices to decode (empty = all frames);
+      *                indices beyond the container's count are ignored,
+      *                matching a sample plan built from a stale count
+      */
+    def gifFrames(payload: Array[Byte],
+                  indices: Seq[Int] = Nil): Seq[GifFrame] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"RealDecoder: undecodable payload (${payload.length} bytes) " +
+              "— no installed ImageReader recognizes its header")
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif"))
+            throw new IllegalArgumentException(
+              s"RealDecoder: frame extraction needs a multi-frame " +
+                s"container; '${reader.getFormatName}' is single-frame " +
+                "(video codecs need the ffmpeg seam)")
+          reader.setInput(iis, false, false) // metadata needed: delays
+          val n = reader.getNumImages(true)
+          val want =
+            if (indices.isEmpty) 0 until n else indices.filter(_ < n)
+          want.map { i =>
+            val img = reader.read(i)
+            val crc = new java.util.zip.CRC32
+            val buf = java.nio.ByteBuffer.allocate(4)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                buf.clear(); buf.putInt(img.getRGB(x, y))
+                crc.update(buf.array())
+                x += 1
+              }
+              y += 1
+            }
+            GifFrame(i.toLong, gifDelayCs(reader.getImageMetadata(i)),
+              img.getWidth.toLong, img.getHeight.toLong, crc.getValue)
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** GraphicControlExtension delayTime (centiseconds) from a GIF
+      * frame's native metadata tree; 0 when the frame has no GCE. */
+    private def gifDelayCs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+      var node = root.getFirstChild
+      while (node != null) {
+        if (node.getNodeName == "GraphicControlExtension")
+          return node.getAttributes.getNamedItem("delayTime")
+            .getNodeValue.toLong
+        node = node.getNextSibling
+      }
+      0L
     }
 
     /** Little-endian unsigned int at `off` (RIFF sizes are uint32). */
@@ -431,12 +512,56 @@ object MultimodalOps {
     * work-list). Metadata-only: no payload bytes move.
     */
   /** Every 30th frame index per video — shared by the registry query and
-    * the Real-seam spec, so the planned work-list logic has ONE home. */
-  private[graft] def framePlan(meta: DataFrame): DataFrame =
+    * the Real-seam spec, so the planned work-list logic has ONE home.
+    * `mimes` widens the plan to other multi-frame containers (animated
+    * GIF under the real decoder); the registry default stays video-only
+    * to match its oracle. */
+  private[graft] def framePlan(meta: DataFrame,
+                               mimes: Seq[String] = Seq("video/mp4"),
+                               every: Int = 30): DataFrame =
     meta
-      .filter(col("mime") === "video/mp4")
+      .filter(col("mime").isin(mimes: _*))
       .select(col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))).as("frame_idx"))
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))).as("frame_idx"))
+
+  /** One sampled, REAL-decoded frame of a multi-frame payload. */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, delay_cs: Long,
+      width: Long, height: Long, pixel_crc: Long)
+
+  /** Execute a frame-sample plan with real PIXEL decode — the step after
+    * [[framePlan]]: every `every`-th frame of each animated-GIF payload
+    * is decoded executor-side via [[RealDecoder.gifFrames]] (only the
+    * sampled frames are read; the header count plans the indices). True
+    * video codecs keep the typed ffmpeg-seam error — the task fails with
+    * doc context exactly like a corrupt payload — and single-frame
+    * images / audio rows are not frame-sampleable, so the mime filter
+    * excludes them the way [[framePlan]]'s does. */
+  def extractFrames(ds: Dataset[MediaRow], every: Int = 30): Dataset[FrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("mime") === "image/gif" || col("mime").startsWith("video/"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.mime == "image/gif") {
+            val n =
+              try RealDecoder.decode(r.mime, r.payload)._3
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
+              }
+            val idx = (0L until n by every.toLong).map(_.toInt)
+            RealDecoder.gifFrames(r.payload, idx).map(f =>
+              FrameRow(r.doc_id, f.index, f.delay_cs, f.width, f.height,
+                f.pixel_crc))
+          } else
+            throw new IllegalArgumentException(
+              s"frame extraction for doc_id=${r.doc_id} (${r.mime}) needs " +
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF is " +
+                "the JDK-native multi-frame container")
+        }
+      }
+  }
 
   val multimodalFrameSample = GQuery(
     "multimodal_frame_sample",

@@ -501,6 +501,34 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- watermark late-data accounting ------------------------------------
+
+  /** Rows DROPPED BY THE WATERMARK so far, per stateful operator — summed
+    * over the query's retained progress events (the last
+    * `spark.sql.streaming.numRecentProgressUpdates`, default 100; a
+    * production monitor should fold each progress event into its own
+    * counter from a StreamingQueryListener instead of re-reading the
+    * bounded buffer).
+    *
+    * This is the number the streaming parity specs can't see: they replay
+    * in order, so every watermarked op (windowedCounts, sessionCounts,
+    * followupJoin, dedupedWithinWatermark) admits everything. On a real
+    * stream a row arriving behind the watermark VANISHES from append-mode
+    * results — correct eviction semantics, but silent unless this counter
+    * is surfaced. Keyed by operator name (`stateStoreSave`,
+    * `sessionWindowStateStoreSave`, `symmetricHashJoin`,
+    * `dedupeWithinWatermark`) so a multi-stage query attributes its drops.
+    */
+  def lateDropsByOperator(q: StreamingQuery): Map[String, Long] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators)
+      .groupBy(_.operatorName)
+      .map { case (op, ps) => op -> ps.map(_.numRowsDroppedByWatermark).sum }
+
+  /** Total watermark-dropped rows across all operators — the one-number
+    * alert threshold. */
+  def lateDrops(q: StreamingQuery): Long =
+    lateDropsByOperator(q).values.sum
+
   /** Run any streaming DataFrame to a named memory sink until input drains. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream

@@ -319,4 +319,107 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     assert(chain.exists(_.contains("doc_id=9")), chain.mkString(" | "))
     assert(chain.exists(_.contains("undecodable image")))
   }
+
+  // ---- animated GIF: the real-pixel frame leg -------------------------
+
+  /** A real animated GIF via the JDK's own sequence writer: one solid
+    * color per frame (palette-exact — no quantization nondeterminism) and
+    * an explicit GraphicControlExtension delay per frame. */
+  private def animatedGifBytes(frames: Seq[(Int, Int)], w: Int = 24,
+                               h: Int = 16): Array[Byte] = {
+    import javax.imageio._
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (rgb, delayCs) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  private val SevenFrames: Seq[(Int, Int)] = Seq(
+    0xff0000 -> 10, 0x00ff00 -> 20, 0x0000ff -> 30, 0xffff00 -> 40,
+    0xff00ff -> 50, 0x00ffff -> 60, 0xffffff -> 70)
+
+  test("animated gif header decode reports the real frame count") {
+    val gif = animatedGifBytes(SevenFrames)
+    assert(RealDecoder.decode("image/gif", gif) === ((24L, 16L, 7L)))
+    // single-frame gifs keep reporting 1
+    assert(RealDecoder.decode("image/gif", imageBytes("gif", 9, 5)) ===
+      ((9L, 5L, 1L)))
+  }
+
+  test("gifFrames: per-frame index, delay, dims, distinct pixels") {
+    val all = RealDecoder.gifFrames(animatedGifBytes(SevenFrames))
+    assert(all.map(_.index) === (0L until 7L))
+    assert(all.map(_.delay_cs) === Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L))
+    all.foreach(f => assert((f.width, f.height) === ((24L, 16L))))
+    // solid single-color frames: every sampled frame's pixels differ
+    assert(all.map(_.pixel_crc).distinct.size === 7)
+  }
+
+  test("gifFrames honors a sample plan's indices, ignoring out-of-range") {
+    val some = RealDecoder.gifFrames(
+      animatedGifBytes(SevenFrames), Seq(0, 3, 6, 30))
+    assert(some.map(_.index) === Seq(0L, 3L, 6L))
+    assert(some.map(_.delay_cs) === Seq(10L, 40L, 70L))
+  }
+
+  test("gifFrames on a single-frame format fails typed toward the ffmpeg seam") {
+    val err = intercept[IllegalArgumentException] {
+      RealDecoder.gifFrames(imageBytes("png", 4, 4))
+    }
+    assert(err.getMessage.contains("single-frame"))
+  }
+
+  test("frame-sample plan + real pixel extraction agree on an animated gif") {
+    // the multimodal_frame_sample pipeline with a REAL decoder leg: plan
+    // indices from the real frame count, then decode exactly those frames
+    val gif = animatedGifBytes(SevenFrames)
+    val rows = Seq(MediaRow(21L, "image/gif", gif),
+      MediaRow(22L, "image/gif", animatedGifBytes(SevenFrames.take(2))))
+    val meta = MultimodalOps.extractMeta(
+      spark.createDataset(rows), RealDecoder).toDF()
+    val plan = MultimodalOps.framePlan(meta,
+        mimes = Seq("image/gif", "video/mp4"), every = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(plan === Seq((21L, 0L), (21L, 3L), (21L, 6L), (22L, 0L)))
+    val frames = MultimodalOps.extractFrames(
+        spark.createDataset(rows), every = 3)
+      .collect().map(f => (f.doc_id, f.frame_idx)).toSeq.sorted
+    assert(frames === plan) // extraction executes exactly the plan
+  }
+
+  test("extractFrames keeps the typed ffmpeg-seam error for true video") {
+    val rows = Seq(MediaRow(31L, "video/mp4",
+      mp4Fixture(mvhd0(600, 3600), videoTrak(tkhd0(854, 480), "avc1", 181))))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractFrames(spark.createDataset(rows)).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("doc_id=31")), chain.mkString(" | "))
+    assert(chain.exists(_.contains("ffmpeg")), chain.mkString(" | "))
+  }
 }

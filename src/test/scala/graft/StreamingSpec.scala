@@ -510,4 +510,101 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(store === batchKillCounts)
   }
+
+  // ---- watermark late-data accounting ------------------------------------
+  // the parity tests above replay IN ORDER, so every watermarked op admits
+  // everything; these plant rows BEHIND an advanced watermark and assert
+  // they are COUNTED (EventStream.lateDrops), not silently lost, while the
+  // on-time result stays correct
+
+  import java.sql.Timestamp
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** (event_id, ts, value, event_type, user_id, props) — the raw events
+    * shape gameColumns consumes. */
+  private def rawEvent(id: Long, at: String, user: Long = 1L)
+      : (Long, Timestamp, Double, String, Long, String) =
+    (id, ts(at), 1.0, "click", user, """{"k": 3}""")
+
+  test("windowed agg: a row behind the watermark is counted as dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, String, Long, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "value", "event_type", "user_id", "props")
+    val q = EventStream.windowedCounts(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_win").start()
+    try {
+      // on-time 10:00-window rows + a 15:00 row that advances the
+      // watermark to 13:00 (event-time max − 2h) after this batch
+      input.addData(rawEvent(1, "2024-01-01 10:05:00"),
+        rawEvent(2, "2024-01-01 10:20:00"), rawEvent(3, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      // LATE: 10:40 is behind the 13:00 watermark → dropped, counted
+      input.addData(rawEvent(4, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+      // flush the 15:00 window past the watermark so append emits it
+      input.addData(rawEvent(5, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      assert(EventStream.lateDrops(q) === 1L)
+      assert(EventStream.lateDropsByOperator(q).keys.exists(_.contains("stateStore")))
+    } finally q.stop()
+    val counts = spark.table("late_win")
+      .collect().map(r => r.get(0).toString -> r.getLong(2)).toMap
+    // the late row did NOT sneak into its (already-emitted) 10:00 window
+    assert(counts.find(_._1.contains("10:00")).map(_._2) === Some(2L))
+  }
+
+  test("dropDuplicatesWithinWatermark: late rows counted, on-time admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupedWithinWatermark(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_dedup").start()
+    try {
+      // watermark after batch 1: 14:00 − 1h = 13:00
+      input.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+        (2L, ts("2024-01-01 14:00:00"), "view"))
+      q.processAllAvailable()
+      // id 3 is behind the watermark → dropped+counted; id 4 is on time
+      input.addData((3L, ts("2024-01-01 10:30:00"), "error"),
+        (4L, ts("2024-01-01 14:30:00"), "view"))
+      q.processAllAvailable()
+      assert(EventStream.lateDrops(q) === 1L)
+    } finally q.stop()
+    val ids = spark.table("late_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L))
+  }
+
+  test("stream-stream join: a late error is counted, not silently unpaired") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, String, Long, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "value", "event_type", "user_id", "props")
+    val q = EventStream.followupJoin(events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_join").start()
+    try {
+      // a purchase at 10:00, plus far-future rows on BOTH sides — the
+      // global watermark is the MIN across every event-time column, so
+      // both t_p and t_e must advance for anything to become late
+      input.addData(rawEvent(1, "2024-01-01 10:00:00").copy(_4 = "purchase"),
+        rawEvent(2, "2024-01-01 18:00:00").copy(_4 = "purchase"),
+        rawEvent(3, "2024-01-01 18:00:00").copy(_4 = "error"))
+      q.processAllAvailable()
+      // the error that WOULD have paired (10:10, inside the followup
+      // window) arrives behind the 16:00 watermark → dropped, counted
+      input.addData(rawEvent(4, "2024-01-01 10:10:00").copy(_4 = "error"))
+      q.processAllAvailable()
+      assert(EventStream.lateDrops(q) >= 1L,
+        EventStream.lateDropsByOperator(q).toString)
+    } finally q.stop()
+    // and the pair is genuinely absent from the on-time result
+    assert(spark.table("late_join").isEmpty)
+  }
 }
