@@ -60,6 +60,17 @@ object KMeansOps {
       .withColumn("qq", call_function("graft_dot", col("qvd"), col("qvd")))
       .withColumn("qvx", concat(col("qvd"), array(lit(1.0))))
 
+  /** The STAGED quantized frame, memoized per dataset — six queries
+    * across the trained-index family (kmeans, IVF ×2, PQ, IVFADC) walk
+    * it for training passes and search sides, and at 100 TB it is one
+    * shared index-build intermediate, not a per-query checkpoint.
+    * Fingerprint-keyed like every index artifact (an in-place testdata
+    * rewrite invalidates it). */
+  private val stagedQuantized = new graft.DatasetMemo[DataFrame]()
+  private[operators] def stagedPts(s: SparkSession, d: String): DataFrame =
+    stagedQuantized.get(s, d, "embeddings.parquet")(
+      Materialize.stage(quantized(s, d)))
+
   /** Row-local nearest-centroid assignment against literal centroids.
     * All arithmetic integer-valued (exact in double — see object doc).
     *
@@ -340,7 +351,7 @@ object KMeansOps {
   val kmeansCentroids = GQuery(
     "kmeans_centroids",
     (s, d) => {
-      val pts = Materialize.stage(quantized(s, d))
+      val pts = stagedPts(s, d)
       val cents = lloyd(pts, d, Iters - 1)
       val u = sums(withCid(pts, cents.map(c => (c._1, c._2))))
         .select(col("cid").as("cluster_id"), col("pos").cast("long").as("pos"),
@@ -375,7 +386,7 @@ object KMeansOps {
   val annIvfTrainedTopk = GQuery(
     "ann_ivf_trained_topk",
     (s, d) => {
-      val pts = Materialize.stage(quantized(s, d))
+      val pts = stagedPts(s, d)
       val cents = lloyd(pts, d, Iters)
       // staged once: both the broadcast query side and the big probe side
       // consume the assignment, and at scale the cell-assignment pass over
@@ -432,7 +443,7 @@ object KMeansOps {
   val annIvfNprobe2Topk = GQuery(
     "ann_ivf_nprobe2_topk",
     (s, d) => {
-      val pts = Materialize.stage(quantized(s, d))
+      val pts = stagedPts(s, d)
       val cents = lloyd(pts, d, Iters).map(c => (c._1, c._2))
       val asg = Materialize.stage(withCid(pts, cents)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid")))

@@ -99,6 +99,11 @@ object PqOps {
         book))
     }
 
+  /** Staged residual frame, memoized per dataset like [[KMeansOps.stagedPts]]
+    * (deterministic given the dataset: the coarse model is the memoized
+    * Iters-deep Lloyd sequence). */
+  private val stagedResidual = new graft.DatasetMemo[DataFrame]()
+
   /** Residual frame for IVFADC (Jégou et al. §IV): coarse cell id + the
     * residual x − c ON THE INTEGER GRID, renamed to the (qv, qvd)
     * contract the PQ trainer/encoder consume. Entirely row-local — the
@@ -160,7 +165,7 @@ object PqOps {
     "ann_pq_topk",
     (s, d) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      val base = Materialize.stage(KMeansOps.quantized(s, d))
+      val base = KMeansOps.stagedPts(s, d)
       val books = trainBooks(base, d)
       val codes = encode(base, books)
         .select(col("vec_id") +: (0 until M).map(j => col(s"c$j")): _*)
@@ -229,10 +234,11 @@ object PqOps {
     "ann_ivfadc_topk",
     (s, d) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      val base = Materialize.stage(KMeansOps.quantized(s, d))
+      val base = KMeansOps.stagedPts(s, d)
       val coarse = KMeansOps.lloyd(base, d, KMeansOps.Iters)
         .map(c => (c._1, c._2))
-      val res = Materialize.stage(residualize(base, coarse))
+      val res = stagedResidual.get(s, d, "embeddings.parquet")(
+        Materialize.stage(residualize(base, coarse)))
       val books = trainBooks(res, d, tagPrefix = "-rpq")
       val codes = encode(res, books)
         .select(col("vec_id") +: col("cid") +:
