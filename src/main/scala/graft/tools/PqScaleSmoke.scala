@@ -43,6 +43,10 @@ import org.apache.spark.sql.functions._
   *                recall@10 = 0.048 direct / 0.256 @R=100 / 0.836 @R=1000
   *   residual PQ: coarse 5.2 s + books 10.3 s, encode 4.2 s, ADC 3.3 s;
   *                recall@10 = 0.166 direct / 0.558 @R=100 / 0.948 @R=1000
+  *   + the IVF half (cell-restricted search, same run): nprobe=32
+  *     (12.5% of the corpus) reproduces the exhaustive numbers EXACTLY
+  *     (0.166/0.558/0.948) at 0.8 s vs 6.8 s — an 8× search cut at zero
+  *     recall loss; nprobe=8 (3.1%) holds 0.156/0.524/0.854.
   * The 2-3× residual-over-plain jump at every operating point is the
   * residual-encoding argument, measured; the absolute ceiling is the
   * DATA's — this corpus's discriminating signal is 0.65·U[-1,1] noise,
@@ -122,9 +126,14 @@ object PqScaleSmoke {
       (a, (System.nanoTime() - t) / 1e9)
     }
 
-    /** Residual-book LUTs per query, plus optional per-cell dot table. */
+    /** Residual-book LUTs per query, plus optional per-cell dot table;
+      * `nprobe` restricts each query's candidates to its top-`nprobe`
+      * cells by query-centroid dot (the IVF half of IVFADC — search cost
+      * becomes ~nprobe/k of the corpus instead of an exhaustive ADC
+      * scan). */
     def recallOf(codes: DataFrame, books: Seq[Seq[(Int, Array[Long])]],
-                 cellDots: Option[Seq[Seq[Double]]])
+                 cellDots: Option[Seq[Seq[Double]]],
+                 nprobe: Option[Int] = None)
         : (Double, Double, Double, Double) = {
       val luts = qRows.toSeq.zipWithIndex.map { case (r, qi) =>
         val qvd = r.getSeq[Double](1).toArray
@@ -142,7 +151,18 @@ object PqScaleSmoke {
         if (cellDots.isDefined)
           element_at(col("cellLut"), col("cid").cast("int") + 1)
         else lit(0.0)
-      val scored = codes.crossJoin(ldf)
+      val base = nprobe match {
+        case Some(np) =>
+          // per-query probe list from the SAME cell-dot table ADC uses
+          val pdf = broadcast(spark.createDataFrame(
+            qRows.toSeq.zipWithIndex.flatMap { case (r, qi) =>
+              cellDots.get(qi).zipWithIndex.sortBy(-_._1).take(np)
+                .map { case (_, cid) => (r.getLong(0), cid.toLong) }
+            }).toDF("query_id", "cid"))
+          codes.join(pdf, Seq("cid")).join(ldf, Seq("query_id"))
+        case None => codes.crossJoin(ldf)
+      }
+      val scored = base
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score", (0 until m).map(j =>
           element_at(element_at(col("lutMat"), j + 1),
@@ -210,6 +230,14 @@ object PqScaleSmoke {
       f"encode=$resEncodeS%.1fs adcTop10=$resSearchS%.1fs " +
       f"recall@10 direct=$resD%.3f rerank(R=100)=$resR%.3f " +
       f"rerank(R=1000)=$resR2%.3f")
+    // the IVF half: probe only the top cells per query
+    for (np <- Seq(8, 32)) {
+      val (pD, pR, pR2, pS) = recallOf(resCodes, resBooks, Some(cellDots),
+        nprobe = Some(np))
+      println(f"[pq-smoke] residual nprobe=$np%-3d (${np * 100.0 / k}%.1f%% of corpus): " +
+        f"adcTop10=$pS%.1fs recall@10 direct=$pD%.3f rerank(R=100)=$pR%.3f " +
+        f"rerank(R=1000)=$pR2%.3f")
+    }
     println(f"[pq-smoke] codes: cid + $m sub-codes ~${m + 1} B/vector vs " +
       "512 B float64x64 (~57x)")
     spark.stop()
