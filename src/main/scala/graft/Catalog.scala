@@ -32,7 +32,22 @@ final case class GQuery(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     bench: Boolean = false,
-    minRows: Long = 1L)
+    minRows: Long = 1L,
+    smokeMinRows: Option[Long] = None) {
+
+  /** The manifest floor that applies when verifying against `sfDir`.
+    * `minRows` is the DRIVER-GATE contract (sf0.01, where CORRECTNESS
+    * runs — the hash gate this manifest exists to protect); a query
+    * whose result is legitimately empty at the sf0.001 smoke tier (a
+    * fixed benchmark threshold no tiny corpus crosses, a recall<1
+    * sketch with no collisions among 500 rows) declares that with an
+    * explicit `smokeMinRows = Some(0)` AND a justification comment —
+    * the relaxed floor also covers non-sf dirs (the hostile corpus
+    * derives from sf0.001-sized sources). */
+  def minRowsAt(sfDir: String): Long =
+    if (sfDir.contains("sf0.01") || sfDir.contains("sf0.1")) minRows
+    else smokeMinRows.getOrElse(minRows)
+}
 
 /** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */
 object Tables {

@@ -26,10 +26,11 @@ object Verify {
         gq.run(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${gq.name}")
         val n = spark.read.parquet(s"$outDir/${gq.name}").count()
-        if (n < gq.minRows)
+        val floor = gq.minRowsAt(sfDir)
+        if (n < floor)
           System.err.println(s"[verify] NONVACUITY ${gq.name}: $n rows < " +
-            s"minRows=${gq.minRows} — oracle row is vacuous at $sfDir")
-        Some((gq.name, n, gq.minRows))
+            s"minRows=$floor — oracle row is vacuous at $sfDir")
+        Some((gq.name, n, floor))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${gq.name} failed: ${e.getMessage}")
         None

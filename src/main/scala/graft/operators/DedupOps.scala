@@ -1296,7 +1296,13 @@ object DedupOps {
          |FROM wc a JOIN wc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin),
-    bench = true)
+    bench = true,
+    // single-band 8-plane sign-LSH has recall < 1 BY DESIGN: at sf0.001
+    // the corpus's qualifying cosine pairs (dedup_embedding_cosine finds
+    // them) happen not to collide in the one 8-bit bucket — the banded
+    // sibling recovers them. 2 rows at the sf0.01 driver gate, where the
+    // non-vacuity contract is enforced.
+    smokeMinRows = Some(0L))
 
   /** Banded-LSH geometry: 4 bands × 8 planes (planes 0..31 of the shared
     * hyperplane family). Declared BEFORE [[dedupEmbeddingLshBanded]]:

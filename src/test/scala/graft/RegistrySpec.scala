@@ -28,10 +28,11 @@ class RegistrySpec extends SparkSuite {
       // the NON-VACUITY manifest (GQuery.minRows, default 1): a query that
       // silently returns 0 rows turns its oracle row into a 0 = 0 hash
       // match that can never fail — trip loudly instead
-      assert(n >= q.minRows,
-        s"${q.name} returned $n rows < minRows=${q.minRows}: the oracle " +
+      val floor = q.minRowsAt(smokeDir)
+      assert(n >= floor,
+        s"${q.name} returned $n rows < minRows=$floor: the oracle " +
           "row is vacuous — re-arm the query or justify an explicit " +
-          "minRows override")
+          "minRows/smokeMinRows override")
       assert(df.columns.nonEmpty)
       // re-run: same row count (no nondeterminism in the result set size)
       assert(q.run(spark, smokeDir).count() === n)
