@@ -56,6 +56,7 @@ object PqOps {
     * 4-sub-space oracle chain within reason; the smoke trains deeper). */
   val K: Int = KMeansOps.K
   val PqIters = 2
+  private val CompBase = KMeansOps.CompBase
 
   /** The sub-space j slice of a [[KMeansOps.quantized]] frame, renamed to
     * the (qv, qvd, qq, qvx) contract [[KMeansOps.lloyd]] trains on. */
@@ -230,82 +231,137 @@ object PqOps {
     * Same plan shape: staged row-local encode, broadcast 1-row query,
     * TakeOrderedAndProject.
     */
+  /** Shared Spark core of the IVFADC queries: the residual-encoded code
+    * frame crossJoined with the 1-row query, carrying the row-local ADC
+    * `qdot` plus the coarse model (for probe selection). Every ADC term
+    * reads a referenced literal matrix; nothing here shuffles. */
+  private def ivfadcScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Array[Long])]) = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val base = KMeansOps.stagedPts(s, d)
+    val coarse = KMeansOps.lloyd(base, d, KMeansOps.Iters)
+      .map(c => (c._1, c._2))
+    val res = stagedResidual.get(s, d, "embeddings.parquet")(
+      Materialize.stage(residualize(base, coarse)))
+    val books = trainBooks(res, d, tagPrefix = "-rpq")
+    val codes = encode(res, books)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until M).map(j => col(s"c$j")): _*)
+    val qrow = broadcast(base.filter(col("vec_id") === 0)
+      .select(col("qvd").as("qqvd")))
+    val centMatD: Seq[Seq[Double]] =
+      coarse.sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
+    val bookMat: Seq[Seq[Seq[Double]]] =
+      books.map(_.sortBy(_._1).map(_._2.map(_.toDouble).toSeq))
+    val adc = call_function("graft_dot", col("qqvd"),
+        element_at(typedLit(centMatD), col("cid").cast("int") + 1)) +
+      (0 until M).map { j =>
+        call_function("graft_dot",
+          slice(col("qqvd"), j * SubDims + 1, SubDims),
+          element_at(typedLit(bookMat(j)), col(s"c$j").cast("int") + 1))
+      }.reduce(_ + _)
+    (codes.filter(col("vec_id") =!= 0)
+      .crossJoin(qrow)
+      .withColumn("qdot", adc.cast("bigint")), coarse)
+  }
+
+  private def topOf(scored: DataFrame): DataFrame =
+    scored
+      .orderBy(desc("qdot"), asc("vec_id"))
+      .limit(SimilarityOps.TopK)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until M).map(j => col(s"c$j")) :+ col("qdot"): _*)
+
   val annIvfadcTopk = GQuery(
     "ann_ivfadc_topk",
-    (s, d) => {
-      graft.functions.VectorExpressions.ensureRegistered(s)
-      val base = KMeansOps.stagedPts(s, d)
-      val coarse = KMeansOps.lloyd(base, d, KMeansOps.Iters)
-        .map(c => (c._1, c._2))
-      val res = stagedResidual.get(s, d, "embeddings.parquet")(
-        Materialize.stage(residualize(base, coarse)))
-      val books = trainBooks(res, d, tagPrefix = "-rpq")
-      val codes = encode(res, books)
-        .select(col("vec_id") +: col("cid") +:
-          (0 until M).map(j => col(s"c$j")): _*)
-      val qrow = broadcast(base.filter(col("vec_id") === 0)
-        .select(col("qvd").as("qqvd")))
-      val centMatD: Seq[Seq[Double]] =
-        coarse.sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
-      val bookMat: Seq[Seq[Seq[Double]]] =
-        books.map(_.sortBy(_._1).map(_._2.map(_.toDouble).toSeq))
-      val adc = call_function("graft_dot", col("qqvd"),
-          element_at(typedLit(centMatD), col("cid").cast("int") + 1)) +
-        (0 until M).map { j =>
-          call_function("graft_dot",
-            slice(col("qqvd"), j * SubDims + 1, SubDims),
-            element_at(typedLit(bookMat(j)), col(s"c$j").cast("int") + 1))
-        }.reduce(_ + _)
-      codes.filter(col("vec_id") =!= 0)
-        .crossJoin(qrow)
-        .withColumn("qdot", adc.cast("bigint"))
-        .orderBy(desc("qdot"), asc("vec_id"))
-        .limit(SimilarityOps.TopK)
-        .select(col("vec_id") +: col("cid") +:
-          (0 until M).map(j => col(s"c$j")) :+ col("qdot"): _*)
-    },
-    oracle = Some {
-      val ci = KMeansOps.Iters
-      val coarseChain = (
-        s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < ${KMeansOps.K})" +:
-          (1 to ci).map(t => KMeansOps.iterCte(t))).mkString(",")
-      val terms = (0 until M).map { j =>
-        s"""list_sum(list_transform(generate_series(1, $SubDims),
-           |             i -> q.qv[${j * SubDims} + i] * cb$j.cv[i]))""".stripMargin
-      }.mkString("\n           + ")
-      val cbJoins = (0 until M).map(j =>
-        s"\nJOIN r${j}c$PqIters cb$j ON cb$j.cid = cd.c$j").mkString
-      s"""${KMeansOps.PtsOnlyCte},
-         |$coarseChain,
-         |cf AS (
-         |  SELECT p.vec_id,
-         |         list_sum(list_transform(generate_series(1, ${KMeansOps.Dims}),
-         |           i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) * ${KMeansOps.CompBase} + c.cid AS comp
-         |  FROM pts p CROSS JOIN c$ci c),
-         |afc AS MATERIALIZED (
-         |  SELECT vec_id, CAST(min(comp) % ${KMeansOps.CompBase} AS BIGINT) AS cid
-         |  FROM cf GROUP BY vec_id),
-         |rpts AS MATERIALIZED (
-         |  SELECT p.vec_id, a.cid,
-         |         list_transform(generate_series(1, ${KMeansOps.Dims}),
-         |           i -> p.qv[i] - cc.cv[i]) AS qv
-         |  FROM pts p JOIN afc a USING (vec_id) JOIN c$ci cc ON cc.cid = a.cid),
-         |${(0 until M).map(j => subspaceChain(j, "rpts", "rp", "r")).mkString(",")},
-         |${(0 until M).map(j => assignCte(j, "rp", "r", "raf")).mkString(",")},
-         |codes AS (
-         |  SELECT afc.vec_id, afc.cid, ${(0 until M).map(j => s"raf$j.cid AS c$j").mkString(", ")}
-         |  FROM afc ${(0 until M).map(j => s"JOIN raf$j USING (vec_id)").mkString(" ")}),
-         |q AS (SELECT qv FROM pts WHERE vec_id = 0)
-         |SELECT cd.vec_id, cd.cid, ${(0 until M).map(j => s"cd.c$j").mkString(", ")},
-         |       CAST(list_sum(list_transform(generate_series(1, ${KMeansOps.Dims}),
-         |             i -> q.qv[i] * cc.cv[i]))
-         |           + $terms AS BIGINT) AS qdot
-         |FROM codes cd CROSS JOIN q
-         |JOIN c$ci cc ON cc.cid = cd.cid$cbJoins
-         |WHERE cd.vec_id <> 0
-         |ORDER BY qdot DESC, cd.vec_id
-         |LIMIT ${SimilarityOps.TopK}""".stripMargin
-    })
+    (s, d) => topOf(ivfadcScored(s, d)._1),
+    oracle = Some(ivfadcOracle()))
 
-  val queries: Seq[GQuery] = Seq(annPqTopk, annIvfadcTopk)
+  /** Q:ann_ivfadc_nprobe2_topk — the cell-restricted IVFADC search: the
+    * query probes only its TWO best coarse cells (max query·centroid dot,
+    * ties to the lower cid — the max-inner-product analog of the IVF
+    * family's nprobe knob; at scale the scan touches nprobe/k of the
+    * code table instead of all of it, the operating point
+    * [[graft.tools.PqScaleSmoke]] measures at 2M vectors: nprobe=32
+    * reproduces exhaustive recall at 8× less search). Probe selection is
+    * row-local — the k composite (−dot·CompBase + cid) values sort in an
+    * array column, pmod decodes the two best cids, and the candidate
+    * filter is a plain OR; no extra join, no shuffle. Integer-exact like
+    * the rest of the family (|dot|·CompBase ≪ 2⁵³), so the oracle's
+    * ORDER BY comp LIMIT 2 replays the probe choice bit-for-bit.
+    */
+  val annIvfadcNprobe2Topk = GQuery(
+    "ann_ivfadc_nprobe2_topk",
+    (s, d) => {
+      val (scored, coarse) = ivfadcScored(s, d)
+      val comps = coarse.sortBy(_._1).map { case (cid, cv) =>
+        call_function("graft_dot", col("qqvd"),
+          typedLit(cv.map(_.toDouble).toSeq)) *
+          lit(-CompBase.toDouble) + lit(cid.toDouble)
+      }
+      val sorted = array_sort(array(comps: _*))
+      def probe(i: Int): Column =
+        pmod(element_at(sorted, i), lit(CompBase.toDouble)).cast("long")
+      topOf(scored.filter(col("cid") === probe(1) || col("cid") === probe(2)))
+    },
+    oracle = Some(ivfadcOracle(nprobe = Some(2))))
+
+  /** The composed IVFADC oracle: coarse chain → assignment → MATERIALIZED
+    * residual frame → 4 namespaced residual sub-chains → codes → ADC
+    * scoring; `nprobe` adds the probe-cell CTE and candidate filter. */
+  private def ivfadcOracle(nprobe: Option[Int] = None): String = {
+    val ci = KMeansOps.Iters
+    val coarseChain = (
+      s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts WHERE vec_id < ${KMeansOps.K})" +:
+        (1 to ci).map(t => KMeansOps.iterCte(t))).mkString(",")
+    val terms = (0 until M).map { j =>
+      s"""list_sum(list_transform(generate_series(1, $SubDims),
+         |             i -> q.qv[${j * SubDims} + i] * cb$j.cv[i]))""".stripMargin
+    }.mkString("\n           + ")
+    val cbJoins = (0 until M).map(j =>
+      s"\nJOIN r${j}c$PqIters cb$j ON cb$j.cid = cd.c$j").mkString
+    val probeCte = nprobe.map(np =>
+      s""",
+         |qc AS (
+         |  SELECT -(list_sum(list_transform(generate_series(1, ${KMeansOps.Dims}),
+         |             i -> q.qv[i] * c.cv[i]))) * $CompBase + c.cid AS comp
+         |  FROM c$ci c CROSS JOIN q),
+         |pr AS (
+         |  SELECT CAST(((comp % $CompBase) + $CompBase) % $CompBase AS BIGINT) AS cid
+         |  FROM qc ORDER BY comp LIMIT $np)""".stripMargin).getOrElse("")
+    val probeFilter =
+      if (nprobe.isDefined) "\n  AND cd.cid IN (SELECT cid FROM pr)" else ""
+    s"""${KMeansOps.PtsOnlyCte},
+       |$coarseChain,
+       |cf AS (
+       |  SELECT p.vec_id,
+       |         list_sum(list_transform(generate_series(1, ${KMeansOps.Dims}),
+       |           i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) * $CompBase + c.cid AS comp
+       |  FROM pts p CROSS JOIN c$ci c),
+       |afc AS MATERIALIZED (
+       |  SELECT vec_id, CAST(min(comp) % $CompBase AS BIGINT) AS cid
+       |  FROM cf GROUP BY vec_id),
+       |rpts AS MATERIALIZED (
+       |  SELECT p.vec_id, a.cid,
+       |         list_transform(generate_series(1, ${KMeansOps.Dims}),
+       |           i -> p.qv[i] - cc.cv[i]) AS qv
+       |  FROM pts p JOIN afc a USING (vec_id) JOIN c$ci cc ON cc.cid = a.cid),
+       |${(0 until M).map(j => subspaceChain(j, "rpts", "rp", "r")).mkString(",")},
+       |${(0 until M).map(j => assignCte(j, "rp", "r", "raf")).mkString(",")},
+       |codes AS (
+       |  SELECT afc.vec_id, afc.cid, ${(0 until M).map(j => s"raf$j.cid AS c$j").mkString(", ")}
+       |  FROM afc ${(0 until M).map(j => s"JOIN raf$j USING (vec_id)").mkString(" ")}),
+       |q AS (SELECT qv FROM pts WHERE vec_id = 0)$probeCte
+       |SELECT cd.vec_id, cd.cid, ${(0 until M).map(j => s"cd.c$j").mkString(", ")},
+       |       CAST(list_sum(list_transform(generate_series(1, ${KMeansOps.Dims}),
+       |             i -> q.qv[i] * cc.cv[i]))
+       |           + $terms AS BIGINT) AS qdot
+       |FROM codes cd CROSS JOIN q
+       |JOIN c$ci cc ON cc.cid = cd.cid$cbJoins
+       |WHERE cd.vec_id <> 0$probeFilter
+       |ORDER BY qdot DESC, cd.vec_id
+       |LIMIT ${SimilarityOps.TopK}""".stripMargin
+  }
+
+  val queries: Seq[GQuery] = Seq(annPqTopk, annIvfadcTopk, annIvfadcNprobe2Topk)
 }

@@ -11,7 +11,7 @@ import graft.tools.SqlParityProbe.canon
   * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
   *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
   *    verbatim;
-  *  - [[TranslatedSubset]] (139): the text runs after the mechanical
+  *  - [[TranslatedSubset]] (140): the text runs after the mechanical
   *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
   *    subscripts→element_at, list literals→array, slices→slice(),
   *    struct literals→named_struct, ordered list()/string_agg→
@@ -20,7 +20,7 @@ import graft.tools.SqlParityProbe.canon
   *    renames, …), parsed with raw string literals the way DuckDB reads
   *    them.
   *
-  * Together: 182 of the registry's 185 oracles (98%) re-evaluate through
+  * Together: 183 of the registry's 186 oracles (98%) re-evaluate through
   * spark.sql. The 3 still excluded are blocked by ENGINE limits, not
   * dialect spelling — each adjudicated in [[ExcludedWhy]]:
   *  - mod-2⁶⁴ chains ×3: the lcg splitmix/simhash mixers multiply two
@@ -71,8 +71,8 @@ class SqlParitySpec extends SparkSuite {
     "agg_cube", "agg_global_scoreboard", "agg_grouping_sets",
     "agg_kill_count", "agg_percentiles", "agg_pivot", "agg_priority_count",
     "agg_rollup", "agg_word_count", "ann_cosine_topk", "ann_ivf_label_topk",
-    "ann_ivf_nprobe2_topk", "ann_ivf_trained_topk", "ann_ivfadc_topk",
-    "ann_lsh_bucket",
+    "ann_ivf_nprobe2_topk", "ann_ivf_trained_topk",
+    "ann_ivfadc_nprobe2_topk", "ann_ivfadc_topk", "ann_lsh_bucket",
     "ann_pq_topk", "ann_quantized_topk", "ann_topk_per_query", "anomaly_burst",
     "anti_join_occupied", "anti_join_spawn_clear", "array_membership",
     "assoc_lift_daily", "chunk_documents", "churn_accounting",
@@ -141,10 +141,10 @@ class SqlParitySpec extends SparkSuite {
       body => SqlParityProbe.withRawLiterals(spark)(body))
   }
 
-  test("the two parity tiers cover at least 182 of the registry's oracles") {
+  test("the two parity tiers cover at least 183 of the registry's oracles") {
     val all = (AnsiSubset ++ TranslatedSubset).toSet
     assert(all.size === AnsiSubset.size + TranslatedSubset.size, "overlap")
-    assert(all.size >= 182)
+    assert(all.size >= 183)
     // every pinned name still exists in the registry
     val known = SparkEntry.oracleSql.keySet
     assert(all.subsetOf(known), (all -- known).mkString(", "))
