@@ -36,17 +36,24 @@ final case class GQuery(
     smokeMinRows: Option[Long] = None) {
 
   /** The manifest floor that applies when verifying against `sfDir`.
-    * `minRows` is the DRIVER-GATE contract (sf0.01, where CORRECTNESS
-    * runs — the hash gate this manifest exists to protect); a query
-    * whose result is legitimately empty at the sf0.001 smoke tier (a
-    * fixed benchmark threshold no tiny corpus crosses, a recall<1
-    * sketch with no collisions among 500 rows) declares that with an
-    * explicit `smokeMinRows = Some(0)` AND a justification comment —
-    * the relaxed floor also covers non-sf dirs (the hostile corpus
-    * derives from sf0.001-sized sources). */
+    * `minRows` is the DRIVER-GATE contract (sf0.01 and up, where
+    * CORRECTNESS runs — the hash gate this manifest exists to protect);
+    * a query whose result is legitimately empty at the sf0.001 smoke
+    * tier (a fixed benchmark threshold no tiny corpus crosses, a
+    * recall<1 sketch with no collisions among 500 rows) declares that
+    * with an explicit `smokeMinRows = Some(0)` AND a justification
+    * comment. The relaxed floor applies ONLY to an explicit allowlist
+    * of tiny-corpus dirs — the sf0.001 smoke tier and the hostile gate
+    * (whose tables derive from sf0.001-sized sources); every other dir,
+    * including future sf1/sf10 tiers or renamed gate dirs, defaults to
+    * the STRICT contract, so an unrecognized path can never silently
+    * weaken the gate (the prior substring test on 'sf0.01'/'sf0.1' did
+    * exactly that for unknown names, and also mis-fired on e.g.
+    * 'sf0.15'). */
   def minRowsAt(sfDir: String): Long =
-    if (sfDir.contains("sf0.01") || sfDir.contains("sf0.1")) minRows
-    else smokeMinRows.getOrElse(minRows)
+    if (sfDir.contains("sf0.001") || sfDir.contains("hostile"))
+      smokeMinRows.getOrElse(minRows)
+    else minRows
 }
 
 /** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */

@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same artifact-store arming as graft.Bench (see the note there):
+    // fingerprint+version-keyed load-or-build for the index artifacts
+    val artifactsDir = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
+      new java.io.File("graft_artifacts").getAbsolutePath)
+    if (artifactsDir.nonEmpty)
+      spark.conf.set(ArtifactStore.DirConfKey, artifactsDir)
     new java.io.File(outDir).mkdirs()
     // NON-VACUITY check rides the dump (GQuery.minRows): re-count each
     // written parquet (footer-only, cheap) and flag any query below its

@@ -1208,7 +1208,7 @@ object DedupOps {
     */
   private[graft] val LabelPropRounds = 12
 
-  private[operators] def labelPropCtes(rounds: Int = LabelPropRounds): String = {
+  private[graft] def labelPropCtes(rounds: Int = LabelPropRounds): String = {
     val steps = (1 to rounds).map { k =>
       s"""lab$k AS (SELECT e2.dst AS u, min(l.lbl) AS lbl
          |          FROM lab${k - 1} l JOIN edges2 e2 ON l.u = e2.src

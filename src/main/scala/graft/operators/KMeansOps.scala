@@ -236,15 +236,19 @@ object KMeansOps {
       require(k < CompBase, s"k=$k must stay below CompBase=$CompBase " +
         "(the composite argmin encodes cid in the low digits)")
       val spark = pts.sparkSession
-      // k is part of the identity: a scale caller (tools/IvfScaleSmoke
-      // trains k=256) must not collide with the registry's k=8 model in
-      // either the in-process memo or the persisted artifact. `tag`
-      // extends the identity the same way for sub-space models (the PQ
-      // trainer fits one codebook per vector slice over the SAME dataset
-      // dir — "-pq0".."-pqM"); `dims` is the slice width the update step
-      // refreshes (full-space callers leave both defaulted).
+      // k AND dims are part of the identity: a scale caller
+      // (tools/IvfScaleSmoke trains k=256) must not collide with the
+      // registry's k=8 model in either the in-process memo or the
+      // persisted artifact, and two sub-space geometries of equal k on
+      // the same dataset (e.g. M=4×16 vs M=8×8 PQ slicings) must not
+      // share a codebook of the wrong width — dims in the key makes the
+      // slice geometry part of the model identity rather than an
+      // accident of which k each caller picked. `tag` extends the
+      // identity the same way for sub-space models (the PQ trainer fits
+      // one codebook per vector slice over the SAME dataset dir —
+      // "-pq0".."-pqM"); full-space callers leave dims/tag defaulted.
       val fp = datasetFingerprint(d)
-      val key = (spark.sparkContext.applicationId, d, s"$fp-k$k$tag")
+      val key = (spark.sparkContext.applicationId, d, s"$fp-k$k-d$dims$tag")
       var states = models.getOrElse(key,
         graft.ArtifactStore.load(spark, modelPersistence, d, key._3)
           .getOrElse {

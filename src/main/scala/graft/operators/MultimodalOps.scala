@@ -145,7 +145,17 @@ object MultimodalOps {
       *                matching a sample plan built from a stale count
       */
     def gifFrames(payload: Array[Byte],
-                  indices: Seq[Int] = Nil): Seq[GifFrame] = {
+                  indices: Seq[Int] = Nil): Seq[GifFrame] =
+      gifFrameImages(payload, indices).map { case (i, delay, img) =>
+        GifFrame(i.toLong, delay, img.getWidth.toLong,
+          img.getHeight.toLong, argbCrc(img))
+      }
+
+    /** The pixel-bearing variant of [[gifFrames]]: (index, delay_cs,
+      * decoded raster) per sampled frame — the seam the resize executor
+      * feeds from, so frame selection/decode logic has ONE home. */
+    def gifFrameImages(payload: Array[Byte], indices: Seq[Int] = Nil)
+        : Seq[(Int, Long, java.awt.image.BufferedImage)] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -166,24 +176,57 @@ object MultimodalOps {
           val want =
             if (indices.isEmpty) 0 until n else indices.filter(_ < n)
           want.map { i =>
-            val img = reader.read(i)
-            val crc = new java.util.zip.CRC32
-            val buf = java.nio.ByteBuffer.allocate(4)
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                buf.clear(); buf.putInt(img.getRGB(x, y))
-                crc.update(buf.array())
-                x += 1
-              }
-              y += 1
-            }
-            GifFrame(i.toLong, gifDelayCs(reader.getImageMetadata(i)),
-              img.getWidth.toLong, img.getHeight.toLong, crc.getValue)
+            (i, gifDelayCs(reader.getImageMetadata(i)), reader.read(i))
           }
         } finally reader.dispose()
       } finally iis.close()
+    }
+
+    /** CRC-32 over row-major big-endian ARGB pixels — the bounded
+      * stand-in for shipping raster bytes through a test plan; shared by
+      * the frame extractor and the resize executor so both pin the SAME
+      * pixel identity. */
+    def argbCrc(img: java.awt.image.BufferedImage): Long = {
+      val crc = new java.util.zip.CRC32
+      val buf = java.nio.ByteBuffer.allocate(4)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          buf.clear(); buf.putInt(img.getRGB(x, y))
+          crc.update(buf.array())
+          x += 1
+        }
+        y += 1
+      }
+      crc.getValue
+    }
+
+    /** Nearest-neighbor resize to (tw, th), hand-rolled integer source
+      * mapping (sx = x·srcW div tw). Deliberately NOT Graphics2D
+      * drawImage: Java2D routes scaling through platform render
+      * pipelines whose interpolating filters may differ in low bits
+      * across JDK builds, and this raster feeds a PINNED CRC — integer
+      * NN is bit-reproducible everywhere by construction. The output is
+      * TYPE_INT_ARGB regardless of the source color model, so the CRC
+      * never depends on the GIF's palette layout. */
+    def resizeArgb(img: java.awt.image.BufferedImage, tw: Int,
+                   th: Int): java.awt.image.BufferedImage = {
+      require(tw > 0 && th > 0, s"resize target must be positive: ${tw}x$th")
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val sw = img.getWidth; val sh = img.getHeight
+      var y = 0
+      while (y < th) {
+        val sy = y * sh / th
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * sw / tw, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
     /** GraphicControlExtension delayTime (centiseconds) from a GIF
@@ -544,19 +587,81 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.mime == "image/gif") {
-            val n =
-              try RealDecoder.decode(r.mime, r.payload)._3
-              catch {
-                case e: Exception => throw new IllegalArgumentException(
-                  s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
-              }
-            val idx = (0L until n by every.toLong).map(_.toInt)
-            RealDecoder.gifFrames(r.payload, idx).map(f =>
-              FrameRow(r.doc_id, f.index, f.delay_cs, f.width, f.height,
-                f.pixel_crc))
+            // ONE doc-context wrapper around BOTH decode steps: the header
+            // walk plans the indices, but a payload that passes the header
+            // yet corrupts mid-stream fails inside gifFrames — that path
+            // must carry doc_id context too, or the task error points at a
+            // partition instead of a row.
+            try {
+              val n = RealDecoder.decode(r.mime, r.payload)._3
+              val idx = (0L until n by every.toLong).map(_.toInt)
+              RealDecoder.gifFrames(r.payload, idx).map(f =>
+                FrameRow(r.doc_id, f.index, f.delay_cs, f.width, f.height,
+                  f.pixel_crc))
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
+            }
           } else
             throw new IllegalArgumentException(
               s"frame extraction for doc_id=${r.doc_id} (${r.mime}) needs " +
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF is " +
+                "the JDK-native multi-frame container")
+        }
+      }
+  }
+
+  /** One sampled frame after REAL resize execution: source dims, the
+    * aspect-preserving box target (same floor semantics as
+    * [[resizePlan]]), and the CRC of the resized ARGB raster. */
+  final case class ResizedFrameRow(doc_id: Long, frame_idx: Long,
+      src_w: Long, src_h: Long, target_w: Long, target_h: Long,
+      pixel_crc: Long)
+
+  /** Execute the resize plan on real pixels — the step after
+    * [[extractFrames]]: every `every`-th frame of each animated-GIF
+    * payload is decoded executor-side, resized into the `box`-bounding
+    * aspect-preserving target (floor semantics identical to
+    * [[resizePlan]]'s metadata-only targets, applied to the FRAME's own
+    * dims — GIF frames may be partial-canvas patches), and emitted as
+    * (target dims, pixel CRC). The resize itself is
+    * [[RealDecoder.resizeArgb]] — integer nearest-neighbor, so the CRC
+    * is bit-reproducible across JDK builds. True video codecs keep the
+    * typed ffmpeg-seam error exactly like [[extractFrames]]. */
+  def executeResize(ds: Dataset[MediaRow], box: Int = 256,
+                    every: Int = 30): Dataset[ResizedFrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("mime") === "image/gif" || col("mime").startsWith("video/"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.mime == "image/gif") {
+            try {
+              val n = RealDecoder.decode(r.mime, r.payload)._3
+              val idx = (0L until n by every.toLong).map(_.toInt)
+              RealDecoder.gifFrameImages(r.payload, idx).map {
+                case (i, _, img) =>
+                  val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+                  // floor semantics as resizePlan, clamped to ≥1: a
+                  // 512×1 strip would otherwise floor its short side to
+                  // a 0-pixel raster, which no image type can hold
+                  val (tw, th) =
+                    if (w >= h) (box.toLong, math.max(1L, h * box / w))
+                    else (math.max(1L, w * box / h), box.toLong)
+                  val resized =
+                    RealDecoder.resizeArgb(img, tw.toInt, th.toInt)
+                  ResizedFrameRow(r.doc_id, i.toLong, w, h, tw, th,
+                    RealDecoder.argbCrc(resized))
+              }
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"resize execution failed for doc_id=${r.doc_id}: " +
+                  s"${e.getMessage}", e)
+            }
+          } else
+            throw new IllegalArgumentException(
+              s"resize execution for doc_id=${r.doc_id} (${r.mime}) needs " +
                 "a codec the JDK does not ship (the ffmpeg seam) — GIF is " +
                 "the JDK-native multi-frame container")
         }

@@ -102,8 +102,13 @@ object PqOps {
 
   /** Staged residual frame, memoized per dataset like [[KMeansOps.stagedPts]]
     * (deterministic given the dataset: the coarse model is the memoized
-    * Iters-deep Lloyd sequence). */
-  private val stagedResidual = new graft.DatasetMemo[DataFrame]()
+    * Iters-deep Lloyd sequence). Persisted through [[graft.ArtifactStore]]
+    * when the store is armed — the residualization itself is a cheap
+    * projection, but it sits downstream of the coarse Lloyd training, so
+    * a fresh session that loads this frame skips BOTH (the loaded parquet
+    * doubles as the staging medium). */
+  private val stagedResidual = new graft.DatasetMemo[DataFrame](
+    Some(graft.ArtifactStore.frame("ivfadc_residual")))
 
   /** Residual frame for IVFADC (Jégou et al. §IV): coarse cell id + the
     * residual x − c ON THE INTEGER GRID, renamed to the (qv, qvd)

@@ -707,6 +707,66 @@ object RelationalOps {
         |LIMIT 20""".stripMargin),
     bench = true)
 
+  /** Q:q12_shipmode_priority — TPC-H Q12 (shipping modes and order
+    * priority) over the testbed star schema. The textbook query counts,
+    * per ship mode in a two-mode set, how many late-delivered lines
+    * (receipt after commit, ship before commit, receipt inside one year)
+    * belong to high- vs low-priority orders. This testbed's lineitem
+    * carries neither l_shipmode nor l_commitdate/l_receiptdate, so per
+    * the family's standing adaptation rule (keep the correlation
+    * STRUCTURE, swap only unavailable columns — SURVEY §2.9): the
+    * two-of-N mode filter becomes l_returnflag IN ('A','R') (two of the
+    * three flag values), the lateness chain becomes the one date
+    * ordering the columns support (l_shipdate ≥ o_orderdate + 60 days —
+    * a cross-table lateness predicate, like the original's
+    * commit-vs-receipt ordering), and the one-year receipt window
+    * becomes the 1997 ship-date window. The aggregate is the original's
+    * verbatim: a conditional two-column count splitting each group on
+    * o_orderpriority ∈ {1-URGENT, 2-HIGH}.
+    *
+    * Plan shape: the flag + ship-date-window predicates push into the
+    * lineitem scan (PushedFilters; the window alone cuts the fact scan
+    * to one year), orders scans only (o_orderkey, o_orderpriority,
+    * o_orderdate), the join is the co-keyed l_orderkey ⋈ o_orderkey
+    * shuffle, the cross-table lateness predicate applies at the join,
+    * and the two conditional sums partial-aggregate map-side into a
+    * ≤3-row result — no sort beyond the 3-row output ORDER BY. Counts
+    * are exact BIGINTs; no float arithmetic anywhere, so the hash
+    * cannot drift.
+    */
+  val q12ShipmodePriority = GQuery(
+    "q12_shipmode_priority",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("l_shipdate >= o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          expr(
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("high_line_count"),
+          expr(
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("low_line_count"))
+        .orderBy("ship_class")
+    },
+    oracle = Some(
+      """SELECT l_returnflag AS ship_class,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+    bench = true)
+
   /** Nation set for [[q7VolumeShipping]] — three nations (the textbook
     * query's two give an empty result on the sf0.001 smoke testbed, which
     * would make every in-repo check vacuous; the N-nation trade matrix is
@@ -1841,7 +1901,8 @@ object RelationalOps {
     aggPriorityCount, aggDistinctCells, setopObstacleBuild, aggAboveTypeAvg,
     aggSaltedSkew, setopIntersect, aggPivot, aggPercentiles, joinRangeBucketed,
     joinIntervalOverlap, q5RegionRevenue, q3ShippingPriority, q18LargeOrders,
-    q10ReturnedItems, skylinePareto, q7VolumeShipping, dqReferential,
+    q10ReturnedItems, q12ShipmodePriority, skylinePareto, q7VolumeShipping,
+    dqReferential,
     dqPkUniqueness, dqNullProfile, q14PromoShare, reshapeUnpivot, windowNtileQuartiles,
     skewReport,
     q19DisjunctiveRevenue, q21SuppliersKeptWaiting, q22GlobalSalesOpportunity,

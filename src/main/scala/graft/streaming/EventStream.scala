@@ -529,6 +529,41 @@ object EventStream {
   def lateDrops(q: StreamingQuery): Long =
     lateDropsByOperator(q).values.sum
 
+  // ---- state-store size accounting ---------------------------------------
+
+  /** `numRowsTotal` per stateful operator across the retained progress
+    * events, in batch order — the state-GROWTH trend line, the
+    * production alarm that pairs with [[lateDropsByOperator]]: late
+    * drops say rows vanished, this says state is (or is not) growing
+    * without bound. For the bounded-state operators (lastPerKey = one
+    * row per live key, StreamingTopK ≤ one ranking per query,
+    * StreamingSketch ≤ k entries per group) the series must go FLAT
+    * once the key universe saturates — StreamingSpec pins that over a
+    * multi-batch run; an unbounded-state bug (e.g. keying on an
+    * ever-growing attribute) shows up here as a monotone climb. Same
+    * retention caveat as [[lateDropsByOperator]]: a production monitor
+    * folds progress events from a StreamingQueryListener instead of
+    * re-reading the bounded buffer. */
+  def stateRowsHistory(q: StreamingQuery): Map[String, Seq[Long]] =
+    q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(s =>
+        (s.operatorName, p.batchId, s.numRowsTotal)))
+      .groupBy(_._1)
+      .map { case (op, xs) => op -> xs.sortBy(_._2).map(_._3) }
+
+  /** Latest state footprint per operator: (numRowsTotal,
+    * memoryUsedBytes) from the most recent progress event that ran it —
+    * the two numbers a capacity dashboard charts per query. */
+  def stateSizeByOperator(q: StreamingQuery): Map[String, (Long, Long)] =
+    q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(s =>
+        (s.operatorName, p.batchId, s.numRowsTotal, s.memoryUsedBytes)))
+      .groupBy(_._1)
+      .map { case (op, xs) =>
+        val last = xs.maxBy(_._2)
+        op -> (last._3, last._4)
+      }
+
   /** Run any streaming DataFrame to a named memory sink until input drains. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream

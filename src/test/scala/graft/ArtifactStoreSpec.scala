@@ -128,7 +128,7 @@ class ArtifactStoreSpec extends SparkSuite {
       assert(builds === 1)
       // the publish rename reached the countfs FileSystem: the artifact
       // sits on the backing local disk, complete, with no .tmp- leak
-      val dirs = Option(new java.io.File(s"$local/spec_countfs").listFiles())
+      val dirs = Option(new java.io.File(s"$local/spec_countfs/${ArtifactStore.FormatVersion}").listFiles())
         .getOrElse(Array.empty).toSeq
       assert(dirs.count(_.isDirectory) === 1,
         s"expected exactly the published artifact, got $dirs")
@@ -160,7 +160,7 @@ class ArtifactStoreSpec extends SparkSuite {
       ArtifactStore.save(spark, p, ds, "fixedfp", spark.range(9).toDF("v"))
       assert(ArtifactStore.load(spark, p, ds, "fixedfp").get.count() === 3,
         "incumbent was overwritten by the race loser")
-      val dirs = new java.io.File(s"$store/spec_race").listFiles().toSeq
+      val dirs = new java.io.File(s"$store/spec_race/${ArtifactStore.FormatVersion}").listFiles().toSeq
       assert(dirs.count(_.isDirectory) === 1, s"temp dir leaked: $dirs")
     }
   }
@@ -174,7 +174,7 @@ class ArtifactStoreSpec extends SparkSuite {
         replace = true)
       assert(ArtifactStore.load(spark, p, ds, "fixedfp").get.count() === 7,
         "replace kept the shallow incumbent")
-      val dirs = new java.io.File(s"$store/spec_replace").listFiles().toSeq
+      val dirs = new java.io.File(s"$store/spec_replace/${ArtifactStore.FormatVersion}").listFiles().toSeq
       assert(dirs.count(_.isDirectory) === 1, s"tmp/old dir leaked: $dirs")
     }
   }
@@ -191,7 +191,7 @@ class ArtifactStoreSpec extends SparkSuite {
       // published artifact (5 rows) used as the plant template
       ArtifactStore.save(spark, p, ds, "racefp", spark.range(2).toDF("v"))
       ArtifactStore.save(spark, p, ds, "racertpl", spark.range(5).toDF("v"))
-      val slots = new java.io.File(s"$local/spec_replace_race")
+      val slots = new java.io.File(s"$local/spec_replace_race/${ArtifactStore.FormatVersion}")
       val slotOf: String => java.io.File =
         fp => slots.listFiles().filter(_.getName.endsWith(s"-$fp")).head
       RacingLocalFs.arm(slotOf("racertpl").toString)
@@ -231,7 +231,7 @@ class ArtifactStoreSpec extends SparkSuite {
         replace = true)
       assert(ArtifactStore.load(spark, p, ds, "fp").get.count() === 3,
         "incumbent lost: the failed swap did not restore it")
-      val dirs = new java.io.File(s"$store/spec_replace_restore").listFiles().toSeq
+      val dirs = new java.io.File(s"$store/spec_replace_restore/${ArtifactStore.FormatVersion}").listFiles().toSeq
       assert(dirs.count(_.isDirectory) === 1, s"tmp/old dir leaked: $dirs")
     }
   }
@@ -244,7 +244,7 @@ class ArtifactStoreSpec extends SparkSuite {
       val centroids = KMeansOps.kmeansCentroids.run(spark, ds)
       assert(centroids.count() > 0)
       def artifactDirs(name: String) =
-        Option(new java.io.File(s"$store/$name").listFiles())
+        Option(new java.io.File(s"$store/$name/${ArtifactStore.FormatVersion}").listFiles())
           .getOrElse(Array.empty).filter(_.isDirectory).toSeq
       val bloomDirs = artifactDirs("bloom_words")
       assert(bloomDirs.size === 1, s"bloom artifact missing under $store")

@@ -18,6 +18,37 @@ import graft.tools.ClosureDepthSmoke
   */
 class ClosureDepthSpec extends SparkSuite {
 
+  test("depth-11 adversarial chain: early-exited star rewrite == fixed 12-round unroll") {
+    // The Spark side converges EARLY (digest-gated fixpoint detection in
+    // starComponents); the oracle always unrolls exactly 12 label-prop
+    // rounds. A fixpoint is invariant under extra rounds, so the two can
+    // only disagree if the early exit fires BEFORE the true fixpoint —
+    // and the hardest case inside the oracle's margin is a chain whose
+    // farthest node sits 11 hops from the component minimum. Run the
+    // oracle's own CTE text through spark.sql over that chain and
+    // require label-for-label equality with the early-exited rewrite.
+    import spark.implicits._
+    val n = 12 // nodes 0..11 → max node→rep distance 11
+    val chain = (0 until n - 1).map(i => (i.toLong * 13 + 5, (i + 1).toLong * 13 + 5))
+    val viaStar = DedupOps.componentsFromPairs(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val values = chain.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val sql = graft.tools.DuckSqlDialect.toSpark(
+      s"""WITH raw AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM (VALUES $values) AS t(src, dst)),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+         |${DedupOps.labelPropCtes()}
+         |SELECT u, lbl FROM comp_labels""".stripMargin)
+    val viaUnroll = spark.sql(sql)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaUnroll,
+      "early-exit diverged from the fixed-depth oracle on the depth-11 chain")
+    // and both collapse the chain to its minimum id
+    assert(viaStar.values.toSet === Set(5L))
+  }
+
   for (dir <- Seq(smokeDir, "/root/testdata/sf0.01")) {
     test(s"label-prop margin holds on $dir") {
       ClosureDepthSmoke.graphsAt(spark, dir).foreach { case (name, edges) =>

@@ -60,7 +60,8 @@ class KMeansSpec extends SparkSuite {
     try {
       val staged = Materialize.stage(KMeansOps.quantized(spark, ds))
       def persistedDepth: Int = {
-        val dirs = new java.io.File(s"$store/ivf_model").listFiles()
+        val dirs = new java.io.File(
+          s"$store/ivf_model/${graft.ArtifactStore.FormatVersion}").listFiles()
           .filter(_.isDirectory)
         assert(dirs.length === 1, s"expected one artifact dir, got ${dirs.toSeq}")
         spark.read.parquet(dirs.head.toString)
@@ -93,7 +94,9 @@ class KMeansSpec extends SparkSuite {
       }.toSet
     val mk4 = KMeansOps.lloyd(staged, ds, 1, k = 4)
     KMeansOps.lloyd(staged, ds, 1, k = 6)
-    assert(kept === Set("-k4", "-k6"),
+    // dims is part of the model identity since round 17 (ADVICE: two
+    // sub-space geometries of equal k must not share a codebook width)
+    assert(kept === Set("-k4-d64", "-k6-d64"),
       s"training k=6 must not evict the still-current k=4 sibling: $kept")
     // alternating back must serve the memoized states object, not retrain
     assert(KMeansOps.lloyd(staged, ds, 1, k = 4).eq(mk4) ||

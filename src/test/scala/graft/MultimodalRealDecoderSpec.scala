@@ -411,6 +411,93 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     assert(frames === plan) // extraction executes exactly the plan
   }
 
+  test("resizeArgb on a written-then-reread gif frame: exact NN raster, pinned CRC") {
+    // write a real GIF, re-read it through the decoder, execute the resize
+    // — the full pixel round trip the resize executor performs. The 24×16
+    // solid-red frame resized into the 8-box target is an 8×5 solid-red
+    // ARGB raster; its CRC is a pure function of those bytes, so pin it.
+    val img = RealDecoder.gifFrameImages(
+      animatedGifBytes(SevenFrames.take(1))).head._3
+    val out = RealDecoder.resizeArgb(img, 8, 5)
+    assert((out.getWidth, out.getHeight) === ((8, 5)))
+    for (x <- 0 until 8; y <- 0 until 5)
+      assert(out.getRGB(x, y) === 0xffff0000) // opaque solid red survives NN
+    val pinned = {
+      // independent recomputation of CRC32 over 8×5 big-endian ARGB reds
+      val crc = new java.util.zip.CRC32
+      val b = java.nio.ByteBuffer.allocate(4 * 8 * 5)
+      (0 until 40).foreach(_ => b.putInt(0xffff0000))
+      crc.update(b.array())
+      crc.getValue
+    }
+    assert(RealDecoder.argbCrc(out) === pinned)
+    // NN on a non-integer ratio picks floor-mapped source pixels: resizing
+    // back UP from 8×5 to 24×16 keeps a solid frame solid
+    val up = RealDecoder.resizeArgb(out, 24, 16)
+    assert(RealDecoder.argbCrc(up) === RealDecoder.argbCrc(img))
+  }
+
+  test("executeResize: sampled gif frames resized on real pixels, plan-consistent targets") {
+    val rows = Seq(MediaRow(41L, "image/gif", animatedGifBytes(SevenFrames)),
+      MediaRow(42L, "image/gif",
+        animatedGifBytes(SevenFrames.take(2), w = 16, h = 24)))
+    val got = MultimodalOps.executeResize(
+        spark.createDataset(rows), box = 8, every = 3)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    // sampling: every 3rd of 7 frames for 41, frame 0 of 42
+    assert(got.map(r => (r.doc_id, r.frame_idx)).toSeq ===
+      Seq((41L, 0L), (41L, 3L), (41L, 6L), (42L, 0L)))
+    // aspect-preserving box targets with resizePlan's floor semantics
+    assert(got.filter(_.doc_id == 41L).map(r =>
+      (r.src_w, r.src_h, r.target_w, r.target_h)).toSeq ===
+      Seq.fill(3)((24L, 16L, 8L, 5L)))
+    assert(got.filter(_.doc_id == 42L).map(r =>
+      (r.src_w, r.src_h, r.target_w, r.target_h)).toSeq ===
+      Seq((16L, 24L, 5L, 8L)))
+    // CRCs match a driver-side re-execution of the same decode+resize
+    got.foreach { r =>
+      val img = RealDecoder.gifFrameImages(
+        rows.find(_.doc_id == r.doc_id).get.payload,
+        Seq(r.frame_idx.toInt)).head._3
+      val re = RealDecoder.resizeArgb(img, r.target_w.toInt, r.target_h.toInt)
+      assert(RealDecoder.argbCrc(re) === r.pixel_crc,
+        s"doc ${r.doc_id} frame ${r.frame_idx}")
+    }
+    // distinct solid colors stay distinct through the resize
+    assert(got.filter(_.doc_id == 41L).map(_.pixel_crc).distinct.length === 3)
+  }
+
+  test("executeResize keeps the typed ffmpeg-seam error for true video") {
+    val rows = Seq(MediaRow(43L, "video/mp4",
+      mp4Fixture(mvhd0(600, 3600), videoTrak(tkhd0(854, 480), "avc1", 181))))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.executeResize(spark.createDataset(rows)).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("doc_id=43")), chain.mkString(" | "))
+    assert(chain.exists(_.contains("ffmpeg")), chain.mkString(" | "))
+  }
+
+  test("a payload that passes the header walk but fails in gifFrames carries doc context") {
+    // ADVICE r16: the doc-context catch must span BOTH decode steps. A
+    // PNG byte stream under a gif mime is exactly that split: decode()
+    // sniffs bytes (PNG reader, n=1 — header walk passes), then
+    // gifFrames rejects the single-frame container — and that second
+    // failure must still carry doc_id. (A TRUNCATED gif cannot produce
+    // this split: the JDK reader's frame-count walk only counts COMPLETE
+    // frames, so truncation shrinks n gracefully — probed empirically,
+    // cuts of 10..300 bytes all read back clean with smaller n.)
+    val rows = Seq(MediaRow(44L, "image/gif", imageBytes("png", 6, 4)))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractFrames(spark.createDataset(rows), every = 1).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("doc_id=44")), chain.mkString(" | "))
+    assert(chain.exists(_.contains("single-frame")), chain.mkString(" | "))
+  }
+
   test("extractFrames keeps the typed ffmpeg-seam error for true video") {
     val rows = Seq(MediaRow(31L, "video/mp4",
       mp4Fixture(mvhd0(600, 3600), videoTrak(tkhd0(854, 480), "avc1", 181))))

@@ -9,7 +9,7 @@ import graft.tools.SqlParityProbe.canon
   * planner over the same text DuckDB hash-verifies).
   *
   * Two pinned tiers, both produced by graft.tools.SqlParityProbe:
-  *  - [[AnsiSubset]] (43): the oracle text parses in Spark's dialect
+  *  - [[AnsiSubset]] (44): the oracle text parses in Spark's dialect
   *    verbatim;
   *  - [[TranslatedSubset]] (140): the text runs after the mechanical
   *    DuckDB→Spark rewrite in [[DuckSqlDialect]] (`//`→div, 1-indexed
@@ -20,7 +20,7 @@ import graft.tools.SqlParityProbe.canon
   *    renames, …), parsed with raw string literals the way DuckDB reads
   *    them.
   *
-  * Together: 183 of the registry's 186 oracles (98%) re-evaluate through
+  * Together: 184 of the registry's 187 oracles (98%) re-evaluate through
   * spark.sql. The 3 still excluded are blocked by ENGINE limits, not
   * dialect spelling — each adjudicated in [[ExcludedWhy]]:
   *  - mod-2⁶⁴ chains ×3: the lcg splitmix/simhash mixers multiply two
@@ -50,7 +50,8 @@ class SqlParitySpec extends SparkSuite {
     "funnel_windowed", "fuzzy_name_pairs", "join_anti", "join_broadcast",
     "join_followup_window", "join_hash_equi", "join_left_display",
     "join_semi", "next_position", "obstacle_density", "q10_returned_items",
-    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q11_important_parts", "q12_shipmode_priority",
+    "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_excess_shipments", "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",

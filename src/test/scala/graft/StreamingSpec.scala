@@ -431,6 +431,88 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("bounded-state trio holds flat numRowsTotal across batches (state-size accounting)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // (1) lastPerKey: one state row per live (room, victim) key — a fixed
+    // key universe re-touched every batch must keep numRowsTotal flat
+    def raw(id: Long, user: Long) =
+      (id, new java.sql.Timestamp(1700000000000L + id * 1000),
+        id.toDouble, "DeathEvent", user, s"""{"k":$id}""")
+    val lastIn = MemoryStream[(Long, java.sql.Timestamp, Double, String, Long, String)]
+    val lastDf = lastIn.toDF()
+      .toDF("event_id", "ts", "value", "event_type", "user_id", "props")
+    val lastQ = EventStream.lastPerKey(lastDf).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_size_last").start()
+    (0 until 3).foreach { b =>
+      lastIn.addData((1L to 4L).map(u => raw(b * 10 + u, u)): _*)
+      lastQ.processAllAvailable()
+    }
+    val lastHist = EventStream.stateRowsHistory(lastQ)
+    lastQ.stop()
+    val lastSeries = lastHist.values.flatten.toSeq
+    assert(lastHist.nonEmpty && lastSeries.nonEmpty)
+    // 4 users → 4 keys from batch 1 on; flat at 4 for every later batch
+    // (dropWhile: a no-data startup batch may record 0 before data lands)
+    assert(lastSeries.dropWhile(_ == 0L).distinct === Seq(4L),
+      s"lastPerKey state must stay one row per key: $lastHist")
+
+    // (2) StreamingTopK: ≤ one ranking state per query — candidate churn
+    // (new ids every batch, fixed query set) must not grow state.
+    // transformWithState needs the RocksDB provider (column families).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (topkHist, topkSize) = try {
+      val topkIn = MemoryStream[graft.streaming.StreamingTopK.Scored]
+      val topkQ = graft.streaming.StreamingTopK.topkPerQuery(topkIn.toDS(), k = 3)
+        .toDF().writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("state_size_topk").start()
+      (0 until 3).foreach { b =>
+        topkIn.addData((0 until 6).map(i =>
+          graft.streaming.StreamingTopK.Scored(
+            i.toLong % 2, 100L + b * 10 + i, 0.1 * i + 0.01 * b)): _*)
+        topkQ.processAllAvailable()
+      }
+      val h = EventStream.stateRowsHistory(topkQ)
+      val s = EventStream.stateSizeByOperator(topkQ)
+      topkQ.stop()
+      (h, s)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val topkSeries = topkHist.values.flatten.toSeq
+    assert(topkSeries.nonEmpty)
+    // 2 queries → state saturates at its per-query bound on batch 1 and
+    // stays flat while 18 candidates churn through
+    assert(topkSeries.dropWhile(_ == 0L).distinct.size === 1,
+      s"topk state must stay bounded per query: $topkHist")
+    assert(topkSize.values.forall { case (rows, mem) => rows > 0 && mem > 0 },
+      s"latest footprint must report both rows and bytes: $topkSize")
+
+    // (3) StreamingSketch KMV: ≤ k entries per group, stored as one
+    // aggregation row per event_type — flat for a fixed type set while
+    // distinct users keep growing past k
+    val kmvIn = MemoryStream[(Long, java.sql.Timestamp, Double, String, Long, String)]
+    val kmvDf = kmvIn.toDF()
+      .toDF("event_id", "ts", "value", "event_type", "user_id", "props")
+    val kmvQ = graft.streaming.StreamingSketch.distinctKmv(kmvDf)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("state_size_kmv").start()
+    (0 until 3).foreach { b =>
+      kmvIn.addData((1L to 40L).map(u =>
+        raw(b * 100 + u, b * 1000 + u)): _*)
+      kmvQ.processAllAvailable()
+    }
+    val kmvHist = EventStream.stateRowsHistory(kmvQ)
+    kmvQ.stop()
+    val kmvSeries = kmvHist.values.flatten.toSeq
+    assert(kmvSeries.nonEmpty)
+    assert(kmvSeries.dropWhile(_ == 0L).distinct.size === 1,
+      s"kmv state must stay one bounded row per group: $kmvHist")
+  }
+
   test("flame timers emit derived UndoExplodeEvent after TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
