@@ -186,7 +186,7 @@ object ArtifactStore {
   def frame(name: String): Persistence[DataFrame] = Persistence(
     name,
     save = (_, path, df) => df.write.mode("overwrite").parquet(path),
-    load = (spark, path) => Materialize.stage(spark.read.parquet(path)))
+    load = (spark, path) => Materialize.stageShared(spark.read.parquet(path)))
 
   /** A packed-words artifact (the Bloom filter): order carried by an
     * explicit index column — parquet row order is not a contract. The

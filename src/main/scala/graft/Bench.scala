@@ -85,22 +85,25 @@ object Bench {
       new java.io.File("graft_artifacts").getAbsolutePath)
     if (artifactsDir.nonEmpty)
       spark.conf.set(ArtifactStore.DirConfKey, artifactsDir)
-    // RELIABLE checkpointing for staged intermediates (round 17, the
+    // RELIABLE checkpointing for SHARED intermediates (round 17, the
     // r14-r16 silent-failure root cause): releaseStaged() unpersists every
     // block after each query for per-query isolation, but the dataset
-    // memos (staged shingles/band-buckets/quantized pts) legitimately
-    // hand their frames to LATER queries — under default localCheckpoint
-    // staging those reuses threw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, and
-    // timeOnce's catch silently recorded the failure latency as the
-    // query's time (ann_ivf_trained/ivfadc/pq and the post-build
-    // dedup/decontam reuses were all affected). With the checkpoint dir
-    // set, Materialize.stage writes reliable checkpoint FILES; unpersist
-    // drops only in-memory blocks and reuse recomputes from the files —
-    // exactly the documented 100 TB posture, where staging is reliable
-    // storage and executor loss must not strand an index artifact.
+    // memos (staged shingles/band-buckets/quantized pts/IVFADC residual)
+    // legitimately hand their frames to LATER queries — under default
+    // localCheckpoint staging those reuses threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, and timeOnce's catch silently
+    // recorded the failure latency as the query's time
+    // (ann_ivf_trained/ivfadc/pq and the post-build dedup/decontam reuses
+    // were all affected — full list in BASELINE.md). With the SHARED
+    // checkpoint dir set, Materialize.stageShared writes reliable
+    // checkpoint FILES for exactly the memo-held frames; unpersist drops
+    // only in-memory blocks and reuse recomputes from the files.
+    // Query-INTERNAL staging (star rounds, BFS/SSSP frontiers) keeps the
+    // cheap localCheckpoint path — those blocks never outlive their query,
+    // and routing them to disk cost +0.8 s on graph_components alone.
     val ckptDir = java.nio.file.Files
       .createTempDirectory("graft_bench_ckpt").toString
-    spark.conf.set(graft.Materialize.DirConfKey, ckptDir)
+    spark.conf.set(graft.Materialize.SharedDirConfKey, ckptDir)
     warmup(spark, sfDir)
     val headline = SparkEntry.benchQueries.map(_.name).toSet
     // A query that THROWS must be visible, not silently timed: the r16

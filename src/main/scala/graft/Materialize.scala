@@ -20,39 +20,68 @@ object Materialize {
 
   val DirConfKey = "spark.graft.checkpoint.dir"
 
+  /** Reliable-checkpoint dir for SHARED intermediates only (the
+    * dataset-memo artifacts that outlive the query that built them).
+    * A session that isolates queries by unpersisting all blocks between
+    * them (graft.Bench's releaseStaged) sets ONLY this key: memo frames
+    * then survive the release — recompute reads the checkpoint files —
+    * while query-internal iteration frames (star rounds, BFS/SSSP
+    * frontiers) keep the cheap localCheckpoint path instead of paying a
+    * disk write per loop round (measured +0.8 s on graph_components
+    * alone when the blanket [[DirConfKey]] was used for this). The full
+    * 100 TB posture still sets [[DirConfKey]], which covers both. */
+  val SharedDirConfKey = "spark.graft.checkpoint.sharedDir"
+
+  /** Stage an intermediate that OUTLIVES the building query — a
+    * dataset-memo artifact handed to later queries. Honors
+    * [[SharedDirConfKey]], then [[DirConfKey]], else localCheckpoint. */
+  def stageShared[T](df: Dataset[T]): Dataset[T] = {
+    val spark = df.sparkSession
+    spark.conf.getOption(SharedDirConfKey).filter(_.nonEmpty) match {
+      case Some(dir) => reliably(df, dir)
+      case None      => stage(df)
+    }
+  }
+
   def stage[T](df: Dataset[T]): Dataset[T] = {
     val spark = df.sparkSession
-    // Audit-only fault point (graft.tools.RetryAudit): staged intermediates
-    // are computed by their own checkpoint job, so a barrier here makes that
-    // job's final stage — post-shuffle wherever the staged frame shuffles —
-    // fail attempt 0 and re-execute over the written partials.
-    val src =
-      if (spark.conf.get(Tables.RetryFaultPostShuffleKey, "false") == "true")
-        Tables.retryFaultBarrier(df)
-      else df
     spark.conf.getOption(DirConfKey) match {
-      case Some(dir) =>
-        spark.sparkContext.getCheckpointDir match {
-          case None => spark.sparkContext.setCheckpointDir(dir)
-          // setCheckpointDir appends a random UUID segment and may qualify
-          // the scheme, so "already ours" = the configured path is a
-          // path-component prefix of the effective one (scheme and trailing
-          // slash stripped on both sides — a bare substring test would let
-          // "/a" accept "file:/abc/<uuid>"). SparkContext's dir wins once
-          // set; a silently-ignored config is worse than a loud one.
-          case Some(existing) =>
-            def norm(p: String) =
-              p.replaceFirst("^file:", "").stripSuffix("/")
-            val want = norm(dir)
-            val have = norm(existing)
-            if (have != want && !have.startsWith(want + "/"))
-              throw new IllegalStateException(
-                s"$DirConfKey=$dir conflicts with the SparkContext checkpoint " +
-                  s"dir already set to $existing; unset one of them")
-        }
-        src.checkpoint()
-      case None =>
-        src.localCheckpoint()
+      case Some(dir) => reliably(df, dir)
+      case None      => withRetryBarrier(df).localCheckpoint()
     }
+  }
+
+  /** Audit-only fault point (graft.tools.RetryAudit): staged intermediates
+    * are computed by their own checkpoint job, so a barrier here makes that
+    * job's final stage — post-shuffle wherever the staged frame shuffles —
+    * fail attempt 0 and re-execute over the written partials. */
+  private def withRetryBarrier[T](df: Dataset[T]): Dataset[T] =
+    if (df.sparkSession.conf
+          .get(Tables.RetryFaultPostShuffleKey, "false") == "true")
+      Tables.retryFaultBarrier(df)
+    else df
+
+  private def reliably[T](df: Dataset[T], dir: String): Dataset[T] = {
+    val spark = df.sparkSession
+    spark.sparkContext.getCheckpointDir match {
+      case None => spark.sparkContext.setCheckpointDir(dir)
+      // setCheckpointDir appends a random UUID segment and may qualify
+      // the scheme, so "already ours" = the configured path is a
+      // path-component prefix of the effective one (scheme and trailing
+      // slash stripped on both sides — a bare substring test would let
+      // "/a" accept "file:/abc/<uuid>"). SparkContext's dir wins once
+      // set; a silently-ignored config is worse than a loud one.
+      case Some(existing) =>
+        def norm(p: String) =
+          p.replaceFirst("^file:", "").stripSuffix("/")
+        val want = norm(dir)
+        val have = norm(existing)
+        if (have != want && !have.startsWith(want + "/"))
+          throw new IllegalStateException(
+            s"a graft checkpoint dir of $dir conflicts with the " +
+              s"SparkContext checkpoint dir already set to $existing; " +
+              "unset one of them")
+    }
+    withRetryBarrier(df).checkpoint()
   }
 }

@@ -190,7 +190,7 @@ object DedupOps {
       // join materializes once (the uncached shAll scan evaluates twice
       // — once for keepSh, once here — which is cheap for the native
       // generator)
-      Materialize.stage(shAll.join(keepSh, Seq("sh")))
+      Materialize.stageShared(shAll.join(keepSh, Seq("sh")))
     }
 
   /** Shared oracle CTE: tokens → distinct shingles → integer shingle keys. */
@@ -286,7 +286,7 @@ object DedupOps {
     * localCheckpoint-loss tradeoff note as [[cappedShingles]]. */
   private[operators] def stagedHashedShingles(s: SparkSession, d: String): DataFrame =
     hashedShingleFrames.get(s, d, "documents.parquet") {
-      graft.Materialize.stage(hashedShingleArrays(s, d))
+      graft.Materialize.stageShared(hashedShingleArrays(s, d))
     }
 
   /** doc_id + tks → doc_id, mh0..mh{15}: row-local minhash signature. */
@@ -1389,7 +1389,7 @@ object DedupOps {
       val bucketed = (0 until bands).foldLeft(normalizedVecs(s, d)) {
         (df, b) => SimilarityOps.withBandBucket(df, b, r, s"b$b")
       }
-      Materialize.stage(bucketed)
+      Materialize.stageShared(bucketed)
         .select(col("vec_id"), col("v"), col("nrm"),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))

@@ -69,7 +69,7 @@ object KMeansOps {
   private val stagedQuantized = new graft.DatasetMemo[DataFrame]()
   private[operators] def stagedPts(s: SparkSession, d: String): DataFrame =
     stagedQuantized.get(s, d, "embeddings.parquet")(
-      Materialize.stage(quantized(s, d)))
+      Materialize.stageShared(quantized(s, d)))
 
   /** Row-local nearest-centroid assignment against literal centroids.
     * All arithmetic integer-valued (exact in double — see object doc).

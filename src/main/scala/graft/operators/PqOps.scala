@@ -247,7 +247,7 @@ object PqOps {
     val coarse = KMeansOps.lloyd(base, d, KMeansOps.Iters)
       .map(c => (c._1, c._2))
     val res = stagedResidual.get(s, d, "embeddings.parquet")(
-      Materialize.stage(residualize(base, coarse)))
+      Materialize.stageShared(residualize(base, coarse)))
     val books = trainBooks(res, d, tagPrefix = "-rpq")
     val codes = encode(res, books)
       .select(col("vec_id") +: col("cid") +:

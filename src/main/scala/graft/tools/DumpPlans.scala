@@ -56,6 +56,7 @@ object DumpPlans {
       "assoc_lift_daily" -> "basket lift: ONE basket distinct shuffle, pair join co-keyed on (user, day) and bounded by the type vocabulary, per-type counts broadcast — no corpus-sized non-basket shuffle",
       "scd2_asof_snapshot" -> "SCD2 as-of: one user-keyed window shuffle (lead over (ts, event_id)), row-local interval test — the cutoff filter never rescans",
       "q10_returned_items" -> "TPC-H Q10 shape: quarter + returnflag predicates pushed into both scans, lineitem⋈orders co-keyed, only the per-custkey aggregate joins customer/nation, top-20 via TakeOrderedAndProject",
+      "q12_shipmode_priority" -> "TPC-H Q12 shape: returnflag + ship-date-window predicates pushed into the lineitem scan, 3-column orders ReadSchema, one co-keyed fact join with the cross-table lateness predicate at the join, conditional BIGINT sums partial-aggregated map-side into a 2-row result",
       "skyline_pareto" -> "skyline: per-price hash agg → per-bucket bounded window → broadcast bucket-prefix join — the quadratic dominance join never appears",
       "dau_cumulative" -> "DAU growth: (day, user) distinct feeds both legs; cumulative distinct-to-date is a running sum over the day-grain frame, never an O(days·users) re-distinct",
       "graph_sssp_weighted" -> "weighted SSSP: per-round frontier⋈edges co-keyed join + min-aggregate merge, frontiers staged — no path enumeration, no driver collect",
