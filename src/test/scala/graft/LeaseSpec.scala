@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.{EventStream, FsLease, Lease}
+
+/** The exclusive-ownership lease behind ST3's leader election and ST10's
+  * session lock — the broker-independent analog of the reference's
+  * exclusive-subscription races (pulsar.go:142-152 login guard,
+  * pulsar.go:198-227 map-regenerator race). Pins the four behaviors a
+  * lease system must get right: single-winner races, the reference's
+  * rejection/release semantics, expiry takeover with a single takeover
+  * winner, and epoch fencing of zombie owners.
+  */
+class LeaseSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_lease_spec").toString
+
+  private def lease(root: String, name: String, owner: String,
+                    ttlMs: Long = 60000L): FsLease =
+    new FsLease(root, name, owner, ttlMs, spark.sessionState.newHadoopConf())
+
+  /** Run one thunk per claimant on its own thread, all released together
+    * (latch), collecting each claimant's outcome — a genuine concurrent
+    * race, not a sequential loop. */
+  private def race[T](n: Int)(claim: Int => T): Seq[T] = {
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val out = new java.util.concurrent.ConcurrentHashMap[Int, T]()
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => { start.await(); out.put(i, claim(i)); () })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    (0 until n).map(out.get)
+  }
+
+  test("N concurrent claimants: exactly one wins the election race") {
+    val root = freshRoot()
+    // 8 "clients" race the same role from 8 threads — the
+    // canUpdateObstacles shape (all share one subscription name)
+    val results =
+      race(8)(i => lease(root, "role-map-regen", s"client-$i").tryAcquire())
+    assert(results.count(_.isDefined) === 1,
+      s"exactly one exclusive claimant must win: $results")
+    assert(results.flatten === Seq(1L)) // first epoch
+  }
+
+  test("session lock: double login rejected, logout frees, re-login wins") {
+    val root = freshRoot()
+    val a = lease(root, "session-roomX-alice", "laptop")
+    val b = lease(root, "session-roomX-alice", "phone")
+    val ep = a.tryAcquire()
+    assert(ep === Some(1L))
+    // the reference's "this player has logged in" outcome
+    assert(b.tryAcquire() === None)
+    // same client re-acquiring its live session is idempotent
+    assert(a.tryAcquire() === Some(1L))
+    a.release(ep.get)
+    // logout frees the player for the next device
+    assert(b.tryAcquire() === Some(1L))
+    // a stale release from the old session must not evict the new one
+    a.release(ep.get)
+    assert(b.isOwner(1L), "stale release evicted the live session")
+  }
+
+  test("expired lease: challengers take over with a single winner and a higher epoch") {
+    val root = freshRoot()
+    val dead = lease(root, "role-r", "crashed", ttlMs = 1L)
+    assert(dead.tryAcquire() === Some(1L))
+    Thread.sleep(10) // let the 1 ms lease lapse
+    val challengers =
+      race(6)(i => lease(root, "role-r", s"c-$i").tryAcquire())
+    assert(challengers.count(_.isDefined) === 1,
+      s"exactly one challenger may take over: $challengers")
+    // crash takeover FENCES: epoch strictly increases, so a fencing
+    // token from the dead owner's era can never pass again. (A clean
+    // release restarts epochs — the fencing identity is the
+    // (owner, epoch) PAIR; see isOwner.)
+    assert(challengers.flatten === Seq(2L), "takeover must fence with epoch+1")
+    assert(!dead.isOwner(1L), "the dead owner must not still read as owner")
+  }
+
+  test("renewal extends the lease; a fenced-out epoch cannot renew or act") {
+    val root = freshRoot()
+    val a = lease(root, "role-s", "a", ttlMs = 150L)
+    assert(a.tryAcquire() === Some(1L))
+    // renewals keep a short lease alive well past its original TTL
+    (0 until 4).foreach { _ =>
+      Thread.sleep(60)
+      assert(a.renew(1L), "owner renewal must succeed while held")
+      assert(a.isOwner(1L))
+    }
+    // let it lapse, lose it to b, then the zombie's fencing checks fail
+    Thread.sleep(300)
+    val b = lease(root, "role-s", "b", ttlMs = 60000L)
+    assert(b.tryAcquire() === Some(2L))
+    assert(!a.isOwner(1L), "zombie must observe fencing before writing")
+    assert(!a.renew(1L), "zombie renewal must be rejected")
+    assert(b.isOwner(2L))
+  }
+
+  test("election facade guards the map-regen job: only the leader generates") {
+    import spark.implicits._
+    spark.conf.set(Lease.RootConfKey, freshRoot())
+    try {
+      val clients = (0 until 3).map(i =>
+        Lease.election(spark, "map-regen", s"client-$i"))
+      val grants = clients.map(_.tryAcquire())
+      assert(grants.count(_.isDefined) === 1)
+      val leaderIdx = grants.indexWhere(_.isDefined)
+      val epoch = grants(leaderIdx).get
+      // the regen tick runs ONLY under a live fencing check — the shape
+      // a multi-writer deployment wraps around periodicMapRegen's
+      // obstacle write (single-driver deployments skip the election:
+      // the driver is structurally the leader, SURVEY §2.9 ST3)
+      val generated = clients.zipWithIndex.flatMap { case (c, i) =>
+        if (grants(i).exists(e => c.isOwner(e)))
+          Some(EventStream.mapRegenEvents(Seq(7L).toDF("value"))
+            .select("list").collect().head.getSeq[Int](0))
+        else None
+      }
+      assert(generated.size === 1, "exactly one client regenerates the map")
+      assert(generated.head.length === 64) // the reference's list shape
+      // leader steps down → a successor can win the vacated role
+      clients(leaderIdx).release(epoch)
+      assert(clients((leaderIdx + 1) % 3).tryAcquire().isDefined)
+    } finally spark.conf.unset(Lease.RootConfKey)
+  }
+}
