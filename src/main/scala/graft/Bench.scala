@@ -56,6 +56,67 @@ import org.apache.spark.sql.SparkSession
   *     sums. Per-query maps live on the detail line and bench_out.json.
   */
 object Bench {
+
+  /** One timing pass over the registry plus the telemetry that
+    * adjudicates it: the calibration-probe time (machine speed during
+    * THIS pass), wall/GC/process-CPU for the whole pass, and the
+    * artifact-store traffic it generated. */
+  private final case class BenchPass(
+      times: Map[String, Option[Double]],
+      calib: Double, wall: Double, gc: Double, cpu: Double,
+      storeHits: Long, storeMisses: Long)
+
+  /** Pinned idle-machine time for [[calibrationOnce]]'s fixed workload —
+    * measured on the round-18 build box by graft.tools.CalibrationProbe
+    * (local[4], min of 7 runs: 1.279 s). `*_norm` numbers are
+    * raw × (this / the run's measured calibration): a run on a machine 2×
+    * slower than the pin reports normalized times 2× below its raw ones.
+    * The pin is a UNIT, not a target — changing it rescales every
+    * normalized number, so it moves only with the calibration workload
+    * itself (re-run the probe if calibrationOnce ever changes). */
+  val CalibrationRefSec = 1.279
+
+  /** Fixed synthetic workload for the calibration probe: a deterministic
+    * range → hash projection → 4096-key shuffle + aggregate, sized to
+    * ~2 s idle at local[4]. Exercises codegen arithmetic, shuffle write/
+    * read, and hash aggregation — the same machine resources the real
+    * queries spend — with zero data dependence (no parquet, no artifact
+    * store), so its time moves ONLY with machine conditions. */
+  def calibrationProbeOnce(spark: SparkSession): Double = calibrationOnce(spark)
+
+  private def calibrationOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 384L * 1000 * 1000, 1, 32)
+      .selectExpr("id % 4096 AS k", "hash(id) AS h")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("h").as("s"),
+        org.apache.spark.sql.functions.avg("h").as("a"),
+        org.apache.spark.sql.functions.count("*").as("c"))
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of two back-to-back probe runs: a single contention burst inside
+    * one probe would otherwise inflate the pass's calibration and deflate
+    * every normalized number for the pass (a burst spanning BOTH probes
+    * still leaks — documented limitation; the three-pass structure bounds
+    * the damage to one pass). */
+  private def calibration(spark: SparkSession): Double =
+    math.min(calibrationOnce(spark), calibrationOnce(spark))
+
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
+  }
+
+  private def cpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,50 +170,98 @@ object Bench {
     // A query that THROWS must be visible, not silently timed: the r16
     // numbers carried failure latencies as if they were query times (see
     // the checkpoint note above). The catch stays — one broken query must
-    // not void the whole bench — but every failure is recorded and the
-    // compact line carries the count for the driver gate.
+    // not void the whole bench — but every failure is recorded, the
+    // per-query maps carry null (never the time-to-throw — ADVICE r17),
+    // totals exclude the failed query, and the compact line carries the
+    // count for the driver gate.
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timeOnce(q: GQuery): Double = {
+    def timeOnce(q: GQuery): Option[Double] = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors += q.name
-          System.err.println(s"[bench] ERR ${q.name}: ${e.getMessage}")
-      }
+      val ok =
+        try { q.run(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors += q.name
+            System.err.println(s"[bench] ERR ${q.name}: ${e.getMessage}")
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       releaseStaged(spark)
-      sec
+      if (ok) Some(sec) else None
     }
     val qs = SparkEntry.all.sortBy(_.name)
     // three passes (see COLD/WARM CONTRACT): the two warm samples of any
-    // query land minutes apart, so a contention burst can't inflate both
-    def pass(): Map[String, Double] =
-      qs.map(q => q.name -> timeOnce(q)).toMap
-    val cold = pass()
-    val warm1 = pass()
-    val warm2 = pass()
-    val results =
-      qs.map(q => (q.name, cold(q.name), math.min(warm1(q.name), warm2(q.name))))
+    // query land minutes apart, so a contention burst can't inflate both.
+    // Each pass opens with the calibration probe and closes with its
+    // telemetry snapshot (SELF-ADJUDICATION, round 18): two rounds running
+    // the real defect was measurement — 16 silently-timed failures
+    // (r14-r16) and machine-day cold mirages like r17's 47.8 s
+    // schema_enforce — so every pass now records how fast THIS machine ran
+    // a fixed workload, how much wall went to GC, and how much process CPU
+    // the pass actually got. A judge separates contention from regression
+    // from the snapshot alone: contention inflates calibration/wall but
+    // not cpu-per-query; a plan regression inflates cpu too.
+    def runPass(): BenchPass = {
+      val gc0 = gcSec(); val cpu0 = cpuSec(); val t0 = System.nanoTime()
+      val h0 = ArtifactStore.hits.get(); val m0 = ArtifactStore.misses.get()
+      val calib = calibration(spark)
+      val times = qs.map(q => q.name -> timeOnce(q)).toMap
+      BenchPass(times, calib, (System.nanoTime() - t0) / 1e9,
+        gcSec() - gc0, cpuSec() - cpu0,
+        ArtifactStore.hits.get() - h0, ArtifactStore.misses.get() - m0)
+    }
+    val cold = runPass()
+    val warm1 = runPass()
+    val warm2 = runPass()
+    // raw warm = min over the two warm samples; normalized warm = min over
+    // the two CALIBRATION-SCALED samples (each sample is scaled by its OWN
+    // pass's machine-speed ratio before the min, so a pass-long slowdown
+    // is corrected per pass, not averaged across both)
+    def scale(p: BenchPass): Double = CalibrationRefSec / p.calib
+    def minDefined(xs: Seq[Option[Double]]): Option[Double] =
+      xs.flatten match { case Seq() => None; case s => Some(s.min) }
+    val warms = qs.map(q => q.name ->
+      minDefined(Seq(warm1.times(q.name), warm2.times(q.name))))
+    val warmsNorm = qs.map(q => q.name -> minDefined(Seq(
+      warm1.times(q.name).map(_ * scale(warm1)),
+      warm2.times(q.name).map(_ * scale(warm2)))))
+    val colds = qs.map(q => q.name -> cold.times(q.name))
+    val coldsNorm = qs.map(q => q.name -> cold.times(q.name).map(_ * scale(cold)))
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val warms = results.map(r => (r._1, r._3))
-    val colds = results.map(r => (r._1, r._2))
-    val headlineTotal = warms.collect { case (k, v) if headline(k) => v }.sum
-    val headlineCold = colds.collect { case (k, v) if headline(k) => v }.sum
-    val totalAll = warms.map(_._2).sum
-    val totalAllCold = colds.map(_._2).sum
+    def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
+    def qmap(rs: Seq[(String, Option[Double])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }
+        .mkString("{", ",", "}")
+    def total(rs: Seq[(String, Option[Double])],
+              keep: String => Boolean = _ => true): Double =
+      rs.collect { case (k, Some(v)) if keep(k) => v }.sum
+    val headlineTotal = total(warms, headline)
+    val headlineCold = total(colds, headline)
+    val headlineNorm = total(warmsNorm, headline)
+    val headlineColdNorm = total(coldsNorm, headline)
+    val totalAll = total(warms)
+    val totalAllCold = total(colds)
+    val totalAllNorm = total(warmsNorm)
+    val totalAllColdNorm = total(coldsNorm)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def passJson(p: BenchPass): String =
+      s"""{"calibration_sec":${fmt(p.calib)},"wall_sec":${fmt(p.wall)},"gc_sec":${fmt(p.gc)},"process_cpu_sec":${fmt(p.cpu)},"store_hits":${p.storeHits},"store_misses":${p.storeMisses}}"""
+    // the store-state stamp (ADVICE r17): armed says the store was ON;
+    // the cold pass's hit/miss split says whether it was pre-populated
+    // (warm store) or empty (every load fell through to a build) — a
+    // committed BENCH_DETAIL is no longer ambiguous about which
+    // configuration its cold numbers measured
+    val storeJson =
+      s"""{"armed":${artifactsDir.nonEmpty},"cold_hits":${cold.storeHits},"cold_misses":${cold.storeMisses},"saves":${ArtifactStore.saves.get()}}"""
     val detail =
-      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)}}"""
+      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"calibration_ref_sec":${fmt(CalibrationRefSec)},"headline_norm_sec":${fmt(headlineNorm)},"headline_cold_norm_sec":${fmt(headlineColdNorm)},"total_all_norm_sec":${fmt(totalAllNorm)},"total_all_cold_norm_sec":${fmt(totalAllColdNorm)},"artifact_store":$storeJson,"passes":{"cold":${passJson(cold)},"warm1":${passJson(warm1)},"warm2":${passJson(warm2)}},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)},"queries_warm_norm":${qmap(warmsNorm)},"queries_cold_norm":${qmap(coldsNorm)}}"""
     // NO per-query map on the final line: round 11's headline map alone
     // was 2.4 KB — past the driver's ~2000-char tail window, so
-    // BENCH_r11.json parsed null. Totals only (~300 bytes); the maps
+    // BENCH_r11.json parsed null. Totals only (~450 bytes); the maps
     // live on the detail line and in bench_out.json.
     val compact =
-      s"""{"metric":"total","value":${fmt(headlineTotal)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_headline":${warms.count(r => headline(r._1))},"n_errors":${errors.size},"total_all_sec":${fmt(totalAll)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)}}"""
+      s"""{"metric":"total","value":${fmt(headlineTotal)},"unit":"sec","sf":"$sfDir","n_queries":${qs.size},"n_headline":${warms.count(r => headline(r._1))},"n_errors":${errors.size},"total_all_sec":${fmt(totalAll)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"headline_norm_sec":${fmt(headlineNorm)},"calib_sec":${fmt(math.min(warm1.calib, warm2.calib))},"store_cold_hits":${cold.storeHits}}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try { w.println(compact); w.println(detail) } finally w.close()

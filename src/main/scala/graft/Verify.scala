@@ -16,12 +16,19 @@ object Verify {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same artifact-store arming as graft.Bench (see the note there):
-    // fingerprint+version-keyed load-or-build for the index artifacts
-    val artifactsDir = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS_DIR",
-      new java.io.File("graft_artifacts").getAbsolutePath)
-    if (artifactsDir.nonEmpty)
-      spark.conf.set(ArtifactStore.DirConfKey, artifactsDir)
+    // UNARMED by default (reversed from round 17 per ADVICE r18): Verify
+    // is the CORRECTNESS gate, and with the store armed a populated
+    // graft_artifacts/ would make the gate verify loaded parquet instead
+    // of executing the index-builder code paths — a builder regression
+    // would pass until someone cleared the store, with staleness
+    // protection resting entirely on a hand-bumped FormatVersion. Every
+    // verify run now executes every builder (Lloyd training, band/Bloom
+    // builds — cheap at gate SF); graft.Bench keeps the store armed
+    // because it measures the production steady state, and its detail
+    // JSON stamps which configuration it measured. Opt in explicitly via
+    // SPARK_GRAFT_ARTIFACTS_DIR to verify a store-armed deployment.
+    sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR").filter(_.nonEmpty)
+      .foreach(spark.conf.set(ArtifactStore.DirConfKey, _))
     new java.io.File(outDir).mkdirs()
     // NON-VACUITY check rides the dump (GQuery.minRows): re-count each
     // written parquet (footer-only, cheap) and flag any query below its

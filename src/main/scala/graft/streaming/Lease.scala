@@ -118,10 +118,10 @@ final class FsLease(root: String, name: String, ownerId: String,
     * in-flight takeovers, heartbeats) — the floor a vacant-slot creation
     * must clear so a challenger racing a takeover can never re-issue an
     * epoch the dead owner already held. `dead-*` floor markers are
-    * permanent, so any epoch that ever CRASHED here stays fenced
-    * forever; only a lease with a purely clean-release history restarts
-    * at 1 — and the fencing identity is the (owner, epoch) PAIR, not
-    * the epoch alone. */
+    * permanent and written by BOTH ownership-ending paths — takeover of
+    * a crashed owner AND voluntary [[release]] — so epochs are strictly
+    * monotone for the lease directory's lifetime and the bare epoch
+    * number is a valid Chubby-style sequencer token on its own. */
   private def maxKnownEpoch(): Long =
     try {
       fs.listStatus(dir).map(_.getPath.getName).collect {
@@ -242,10 +242,20 @@ final class FsLease(root: String, name: String, ownerId: String,
     }
 
   /** Voluntary release (logout / leader stepping down): only the current
-    * owner's release removes the lock; a stale owner's is a no-op. */
+    * owner's release removes the lock; a stale owner's is a no-op. The
+    * released epoch is pinned with the SAME permanent `dead-<epoch>` floor
+    * marker the takeover path writes, so epochs are monotone for the lease
+    * directory's whole lifetime — a protected resource can implement the
+    * plain Chubby sequencer contract (reject any token <= the highest it
+    * has seen) without special-casing clean releases, and the fencing
+    * token is the bare epoch NUMBER, not the (owner, epoch) pair. The
+    * marker is written BEFORE the lock is deleted: a vacancy claimant
+    * only scans the dir after observing the missing lock, so it always
+    * sees the floor. */
   def release(epoch: Long): Unit =
     readLock() match {
       case Some((o, e, _)) if o == ownerId && e == epoch =>
+        writeAtomic(new Path(dir, s"dead-$e"), "", overwrite = true)
         try { fs.delete(lock, false); fs.delete(heartbeat(e), false) }
         catch { case scala.util.control.NonFatal(_) => () }
       case _ => ()

@@ -56,11 +56,39 @@ class LeaseSpec extends SparkSuite {
     // same client re-acquiring its live session is idempotent
     assert(a.tryAcquire() === Some(1L))
     a.release(ep.get)
-    // logout frees the player for the next device
-    assert(b.tryAcquire() === Some(1L))
+    // logout frees the player for the next device; the released epoch is
+    // floor-pinned, so the successor's epoch is STRICTLY higher — the
+    // bare number is a valid sequencer token even across clean releases
+    assert(b.tryAcquire() === Some(2L))
     // a stale release from the old session must not evict the new one
     a.release(ep.get)
-    assert(b.isOwner(1L), "stale release evicted the live session")
+    assert(b.isOwner(2L), "stale release evicted the live session")
+  }
+
+  test("epochs are monotone across clean releases (sequencer-token contract)") {
+    val root = freshRoot()
+    // three own/release generations, then a crash takeover: every
+    // granted epoch must be strictly greater than all before it, so a
+    // resource rejecting tokens <= max-seen (the Chubby sequencer
+    // pattern) never rejects a live owner or admits a stale one
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 3).foreach { i =>
+      val l = lease(root, "role-seq", s"gen-$i")
+      val e = l.tryAcquire()
+      assert(e.isDefined, s"generation $i must win the vacant lease")
+      epochs += e.get
+      l.release(e.get)
+    }
+    val crash = lease(root, "role-seq", "crasher", ttlMs = 1L)
+    val ce = crash.tryAcquire()
+    assert(ce.isDefined); epochs += ce.get
+    Thread.sleep(10)
+    val successor = lease(root, "role-seq", "successor")
+    val se = successor.tryAcquire()
+    assert(se.isDefined); epochs += se.get
+    assert(epochs.toSeq === epochs.sorted.distinct.toSeq,
+      s"epochs must be strictly increasing: $epochs")
+    assert(epochs.head === 1L && epochs.last === 5L)
   }
 
   test("expired lease: challengers take over with a single winner and a higher epoch") {
@@ -73,9 +101,8 @@ class LeaseSpec extends SparkSuite {
     assert(challengers.count(_.isDefined) === 1,
       s"exactly one challenger may take over: $challengers")
     // crash takeover FENCES: epoch strictly increases, so a fencing
-    // token from the dead owner's era can never pass again. (A clean
-    // release restarts epochs — the fencing identity is the
-    // (owner, epoch) PAIR; see isOwner.)
+    // token from the dead owner's era can never pass again (clean
+    // releases pin the same floor — see the sequencer-token case).
     assert(challengers.flatten === Seq(2L), "takeover must fence with epoch+1")
     assert(!dead.isOwner(1L), "the dead owner must not still read as owner")
   }
