@@ -68,22 +68,29 @@ object Bench {
 
   /** Pinned idle-machine time for [[calibrationOnce]]'s fixed workload —
     * measured on the round-18 build box by graft.tools.CalibrationProbe
-    * (local[4], min of 7 runs: 1.279 s). `*_norm` numbers are
-    * raw × (this / the run's measured calibration): a run on a machine 2×
-    * slower than the pin reports normalized times 2× below its raw ones.
-    * The pin is a UNIT, not a target — changing it rescales every
-    * normalized number, so it moves only with the calibration workload
-    * itself (re-run the probe if calibrationOnce ever changes). */
-  val CalibrationRefSec = 1.279
+    * at the DRIVER'S OWN bench config (SPARK_GRAFT_CPUS=32 ⇒ local[32],
+    * 32 shuffle partitions — BENCH_r16 records cpus: 32; min of 7 runs:
+    * 0.461 s). The probe parallelizes,
+    * so its time moves with the worker count — normalized numbers are
+    * only cross-comparable between runs at the SAME cpus setting, which
+    * both JSON lines now stamp. `*_norm` numbers are raw × (this / the
+    * run's measured calibration): a run on a machine-day 2× slower than
+    * the pin reports normalized times 2× below its raw ones. The pin is
+    * a UNIT, not a target — changing it rescales every normalized
+    * number, so it moves only with the calibration workload itself
+    * (re-run the probe at cpus=32 if calibrationOnce ever changes). */
+  val CalibrationRefSec = 0.461
 
-  /** Fixed synthetic workload for the calibration probe: a deterministic
-    * range → hash projection → 4096-key shuffle + aggregate, sized to
-    * ~2 s idle at local[4]. Exercises codegen arithmetic, shuffle write/
-    * read, and hash aggregation — the same machine resources the real
-    * queries spend — with zero data dependence (no parquet, no artifact
-    * store), so its time moves ONLY with machine conditions. */
+  /** Public seam for graft.tools.CalibrationProbe (the pin's tool). */
   def calibrationProbeOnce(spark: SparkSession): Double = calibrationOnce(spark)
 
+  /** Fixed synthetic workload for the calibration probe: a deterministic
+    * range → hash projection → 4096-key shuffle + aggregate (384 M rows —
+    * ~0.5 s idle at the driver's local[32], ~1.3 s at local[4]).
+    * Exercises codegen arithmetic, shuffle write/read, and hash
+    * aggregation — the same machine resources the real queries spend —
+    * with zero data dependence (no parquet, no artifact store), so its
+    * time moves ONLY with machine conditions and worker count. */
   private def calibrationOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 384L * 1000 * 1000, 1, 32)
@@ -255,13 +262,13 @@ object Bench {
     val storeJson =
       s"""{"armed":${artifactsDir.nonEmpty},"cold_hits":${cold.storeHits},"cold_misses":${cold.storeMisses},"saves":${ArtifactStore.saves.get()}}"""
     val detail =
-      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"calibration_ref_sec":${fmt(CalibrationRefSec)},"headline_norm_sec":${fmt(headlineNorm)},"headline_cold_norm_sec":${fmt(headlineColdNorm)},"total_all_norm_sec":${fmt(totalAllNorm)},"total_all_cold_norm_sec":${fmt(totalAllColdNorm)},"artifact_store":$storeJson,"passes":{"cold":${passJson(cold)},"warm1":${passJson(warm1)},"warm2":${passJson(warm2)}},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)},"queries_warm_norm":${qmap(warmsNorm)},"queries_cold_norm":${qmap(coldsNorm)}}"""
+      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"calibration_ref_sec":${fmt(CalibrationRefSec)},"headline_norm_sec":${fmt(headlineNorm)},"headline_cold_norm_sec":${fmt(headlineColdNorm)},"total_all_norm_sec":${fmt(totalAllNorm)},"total_all_cold_norm_sec":${fmt(totalAllColdNorm)},"artifact_store":$storeJson,"passes":{"cold":${passJson(cold)},"warm1":${passJson(warm1)},"warm2":${passJson(warm2)}},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)},"queries_warm_norm":${qmap(warmsNorm)},"queries_cold_norm":${qmap(coldsNorm)}}"""
     // NO per-query map on the final line: round 11's headline map alone
     // was 2.4 KB — past the driver's ~2000-char tail window, so
     // BENCH_r11.json parsed null. Totals only (~450 bytes); the maps
     // live on the detail line and in bench_out.json.
     val compact =
-      s"""{"metric":"total","value":${fmt(headlineTotal)},"unit":"sec","sf":"$sfDir","n_queries":${qs.size},"n_headline":${warms.count(r => headline(r._1))},"n_errors":${errors.size},"total_all_sec":${fmt(totalAll)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"headline_norm_sec":${fmt(headlineNorm)},"calib_sec":${fmt(math.min(warm1.calib, warm2.calib))},"store_cold_hits":${cold.storeHits}}"""
+      s"""{"metric":"total","value":${fmt(headlineTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${qs.size},"n_headline":${warms.count(r => headline(r._1))},"n_errors":${errors.size},"total_all_sec":${fmt(totalAll)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"headline_norm_sec":${fmt(headlineNorm)},"calib_sec":${fmt(math.min(warm1.calib, warm2.calib))},"store_cold_hits":${cold.storeHits}}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try { w.println(compact); w.println(detail) } finally w.close()
@@ -304,6 +311,11 @@ object Bench {
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     spark.range(1000).selectExpr("sum(id)").collect()
+    // one unmeasured calibration run: the COLD pass's calibration must
+    // measure the machine, not the probe's own codegen compile + JIT
+    // warmup (measured: 1.17 s cold-pass calibration vs 0.71 s warm
+    // without this, which would deflate every cold normalized number)
+    calibrationOnce(spark): Unit
     SparkEntry.entry(spark).count()
     Tables.events(spark, sfDir)
       .limit(64)

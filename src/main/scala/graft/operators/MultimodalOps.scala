@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * changing the plan). The decoder is pluggable:
   *   - [[RealDecoder]] decodes real bytes with what every JDK ships:
   *     header-only ImageIO reads for PNG/JPEG/GIF/BMP (no pixel decode —
-  *     width/height come off the image header) and a RIFF chunk walk for
-  *     WAV audio. Video stays a typed, actionable error (the JDK has no
-  *     MP4 demuxer; the message names the binding to wire);
+  *     width/height come off the image header), RIFF chunk walks for WAV
+  *     audio and AVI video, and an ISO-BMFF box walk for MP4 metadata.
+  *     REAL pixels come out of the two containers that need no codec:
+  *     animated GIF and MJPEG-in-AVI (each movi chunk is a baseline
+  *     JPEG). H.264/MP4 frame decode stays a typed, actionable error
+  *     (the message names the ffmpeg binding to wire);
   *   - [[FakeDecoder]] is a deterministic stand-in (shapes derived from a
   *     byte checksum) so the registry queries stay oracle-checkable over
   *     the testbed's text-bytes payloads, which are not real media.
@@ -91,6 +94,9 @@ object MultimodalOps {
         decodeWavHeader(payload)
       else if (m == "video/mp4" || m == "video/quicktime" || m == "video/x-m4v") {
         val meta = mp4Meta(payload)
+        (meta.width, meta.height, meta.n_frames)
+      } else if (m == "video/x-msvideo" || m == "video/avi") {
+        val meta = aviMeta(payload)
         (meta.width, meta.height, meta.n_frames)
       } else
         throw new UnsupportedOperationException(
@@ -290,6 +296,130 @@ object MultimodalOps {
       if (dataBytes < 0) bad("no data chunk")
       if (blockAlign <= 0) bad(s"non-positive block align $blockAlign")
       (sampleRate, channels, dataBytes / blockAlign)
+    }
+
+    // ---- AVI (RIFF) walk + MJPEG frame decode ------------------------
+    //
+    // AVI is the RIFF sibling of the WAV walk above, and MJPEG-in-AVI is
+    // the one TRUE VIDEO container the JDK can take all the way to real
+    // pixels: every movi video chunk of an MJPEG stream is a standalone
+    // baseline JPEG, which ImageIO decodes natively. H.264/MP4 frame
+    // decode keeps the typed ffmpeg-seam error — this path closes the
+    // "no real video pixels" gap for the codec that needs no codec.
+
+    private def badAvi(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"RealDecoder: undecodable AVI payload — $why")
+
+    /** (fourcc, payloadStart, payloadEnd) per RIFF chunk in [start, end).
+      * Chunks are word-aligned (odd sizes carry a pad byte); sizes are
+      * uint32, so all span arithmetic is Long until validated. A declared
+      * size overrunning the span is a typed error, never a silent clamp. */
+    private def riffChunks(b: Array[Byte], start: Int, end: Int)
+        : Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start.toLong
+      while (off < end) {
+        if (off + 8 > end) badAvi(s"truncated chunk header at offset $off")
+        val id = tag(b, off.toInt)
+        val size = u32(b, off.toInt + 4)
+        val pEnd = off + 8L + size
+        if (pEnd > end) badAvi(s"chunk '$id' size $size overruns [$start,$end)")
+        out += ((id, off.toInt + 8, pEnd.toInt))
+        off = pEnd + (size & 1L)
+      }
+      out.result()
+    }
+
+    /** A LIST chunk's list type is its first 4 payload bytes. */
+    private def riffListType(b: Array[Byte], s: Int, e: Int): String =
+      if (e - s < 4) badAvi(s"truncated LIST type at $s") else tag(b, s)
+
+    /** Typed AVI header record: avih dims/frame count/frame period, plus
+      * the first `vids` stream's fourcc and ORDINAL — the ordinal names
+      * the movi chunks ("NNdc"), so frame extraction needs it. */
+    final case class AviMeta(width: Long, height: Long, n_frames: Long,
+        frame_delay_cs: Long, codec: String, video_stream: Int)
+
+    /** AVI metadata by RIFF walk — header chunks only, no frame bytes
+      * touched: `hdrl/avih` gives dwWidth/dwHeight/dwTotalFrames and the
+      * frame period, each `hdrl/strl/strh` declares its stream type and
+      * codec fourcc. The cost profile matches the WAV/MP4 walks. */
+    def aviMeta(b: Array[Byte]): AviMeta = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        badAvi("missing RIFF/'AVI ' magic")
+      val top = riffChunks(b, 12, b.length)
+      val (hdrlS, hdrlE) = top.collectFirst {
+        case ("LIST", s, e) if riffListType(b, s, e) == "hdrl" => (s + 4, e)
+      }.getOrElse(badAvi("no hdrl LIST"))
+      val hdrlKids = riffChunks(b, hdrlS, hdrlE)
+      val (avihS, avihE) = hdrlKids
+        .collectFirst { case ("avih", s, e) => (s, e) }
+        .getOrElse(badAvi("no avih header"))
+      if (avihE - avihS < 40) badAvi(s"avih body ${avihE - avihS} < 40 bytes")
+      // avih: dwMicroSecPerFrame(0) ... dwTotalFrames(16) ... dwWidth(32),
+      // dwHeight(36)
+      val usPerFrame = u32(b, avihS)
+      val nFrames = u32(b, avihS + 16)
+      val width = u32(b, avihS + 32)
+      val height = u32(b, avihS + 36)
+      // stream ordinal among ALL strl lists (audio included) names the
+      // movi chunk prefix for the video stream
+      val strls = hdrlKids.collect {
+        case ("LIST", s, e) if riffListType(b, s, e) == "strl" => (s + 4, e)
+      }
+      val (streamIdx, codec) = strls.zipWithIndex.flatMap { case ((s, e), i) =>
+        riffChunks(b, s, e).collectFirst {
+          case ("strh", hs, he) if he - hs >= 8 && tag(b, hs) == "vids" =>
+            (i, tag(b, hs + 4))
+        }
+      }.headOption.getOrElse(badAvi("no 'vids' stream among the strl lists"))
+      AviMeta(width, height, nFrames, usPerFrame / 10000L, codec, streamIdx)
+    }
+
+    /** The sampled frames of an MJPEG AVI decoded to REAL pixels with the
+      * JDK's own JPEG reader. Walks `movi` (one level of 'rec ' grouping
+      * per the spec), takes the video stream's `NNdc`/`NNdb` chunks in
+      * stream order, and ImageIO-decodes only the requested indices —
+      * non-JPEG codec chunks fail typed, naming the stream fourcc (the
+      * ffmpeg seam), exactly like MP4 frame extraction.
+      *
+      * @param indices frame indices to decode (empty = all); indices
+      *                beyond the container's chunk count are ignored,
+      *                matching a sample plan built from a stale count
+      */
+    def aviFrameImages(b: Array[Byte], indices: Seq[Int] = Nil)
+        : Seq[(Int, java.awt.image.BufferedImage)] = {
+      val meta = aviMeta(b)
+      val top = riffChunks(b, 12, b.length)
+      val (moviS, moviE) = top.collectFirst {
+        case ("LIST", s, e) if riffListType(b, s, e) == "movi" => (s + 4, e)
+      }.getOrElse(badAvi("no movi LIST"))
+      val pfx = f"${meta.video_stream}%02d"
+      def videoChunks(s: Int, e: Int): Seq[(String, Int, Int)] =
+        riffChunks(b, s, e).flatMap {
+          case ("LIST", ls, le) if riffListType(b, ls, le) == "rec " =>
+            videoChunks(ls + 4, le)
+          case c @ (id, _, _)
+              if id.startsWith(pfx) &&
+                (id.endsWith("dc") || id.endsWith("db")) => Seq(c)
+          case _ => Nil
+        }
+      val frames = videoChunks(moviS, moviE)
+      val want =
+        if (indices.isEmpty) frames.indices.toSeq
+        else indices.filter(_ < frames.size)
+      want.map { i =>
+        val (id, s, e) = frames(i)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(b, s, e)))
+        if (img == null) badAvi(
+          s"frame $i (chunk '$id') is not a JDK-decodable image — stream " +
+            s"codec '${meta.codec}' needs the ffmpeg seam (MJPEG decodes " +
+            "natively)")
+        (i, img)
+      }
     }
 
     // ---- ISO-BMFF (MP4) box walk ------------------------------------
@@ -602,11 +732,27 @@ object MultimodalOps {
               case e: Exception => throw new IllegalArgumentException(
                 s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
             }
+          } else if (r.mime == "video/x-msvideo" || r.mime == "video/avi") {
+            // the real-VIDEO pixel leg: MJPEG-in-AVI frames are baseline
+            // JPEGs the JDK decodes natively; delay is the container's
+            // fixed frame period (avih dwMicroSecPerFrame)
+            try {
+              val meta = RealDecoder.aviMeta(r.payload)
+              val idx = (0L until meta.n_frames by every.toLong).map(_.toInt)
+              RealDecoder.aviFrameImages(r.payload, idx).map { case (i, img) =>
+                FrameRow(r.doc_id, i.toLong, meta.frame_delay_cs,
+                  img.getWidth.toLong, img.getHeight.toLong,
+                  RealDecoder.argbCrc(img))
+              }
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
+            }
           } else
             throw new IllegalArgumentException(
               s"frame extraction for doc_id=${r.doc_id} (${r.mime}) needs " +
-                "a codec the JDK does not ship (the ffmpeg seam) — GIF is " +
-                "the JDK-native multi-frame container")
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF and " +
+                "MJPEG-AVI are the JDK-native multi-frame containers")
         }
       }
   }
@@ -659,11 +805,29 @@ object MultimodalOps {
                 s"resize execution failed for doc_id=${r.doc_id}: " +
                   s"${e.getMessage}", e)
             }
+          } else if (r.mime == "video/x-msvideo" || r.mime == "video/avi") {
+            try {
+              val meta = RealDecoder.aviMeta(r.payload)
+              val idx = (0L until meta.n_frames by every.toLong).map(_.toInt)
+              RealDecoder.aviFrameImages(r.payload, idx).map { case (i, img) =>
+                val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+                val (tw, th) =
+                  if (w >= h) (box.toLong, math.max(1L, h * box / w))
+                  else (math.max(1L, w * box / h), box.toLong)
+                val resized = RealDecoder.resizeArgb(img, tw.toInt, th.toInt)
+                ResizedFrameRow(r.doc_id, i.toLong, w, h, tw, th,
+                  RealDecoder.argbCrc(resized))
+              }
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"resize execution failed for doc_id=${r.doc_id}: " +
+                  s"${e.getMessage}", e)
+            }
           } else
             throw new IllegalArgumentException(
               s"resize execution for doc_id=${r.doc_id} (${r.mime}) needs " +
-                "a codec the JDK does not ship (the ffmpeg seam) — GIF is " +
-                "the JDK-native multi-frame container")
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF and " +
+                "MJPEG-AVI are the JDK-native multi-frame containers")
         }
       }
   }

@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.tools.CalibrationProbe"
   *
   * Prints N probe runs plus their min; the pin is the idle min at the
-  * bench's own settings (local[4], 4 shuffle partitions — override with
-  * SPARK_GRAFT_CPUS to match a different driver). If the calibration
-  * WORKLOAD in Bench.calibrationOnce ever changes, re-run this and move
-  * the pin with it; nothing else should move it (it is a unit, not a
-  * target).
+  * DRIVER'S bench settings — the probe parallelizes, so always pin at
+  * the same SPARK_GRAFT_CPUS the driver benches with (32 — BENCH_r16
+  * records cpus: 32; the current pin is the cpus=32 idle min). If the calibration WORKLOAD in
+  * Bench.calibrationOnce ever changes, re-run this and move the pin
+  * with it; nothing else should move it (it is a unit, not a target).
   */
 object CalibrationProbe {
   def main(args: Array[String]): Unit = {

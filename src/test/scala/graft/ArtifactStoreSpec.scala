@@ -236,6 +236,41 @@ class ArtifactStoreSpec extends SparkSuite {
     }
   }
 
+  test("publish evicts stale fingerprints down to winner + 1 survivor") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_evict")
+      // three dataset generations = three fingerprints of the same
+      // artifact name; pre-eviction this grew without bound
+      for ((fp, n) <- Seq(("gen1", 1), ("gen2", 2), ("gen3", 3))) {
+        ArtifactStore.save(spark, p, ds, fp, spark.range(n.toLong).toDF("v"))
+        Thread.sleep(20) // keep publish mtimes strictly ordered
+      }
+      val dirs = new java.io.File(s"$store/spec_evict/${ArtifactStore.FormatVersion}")
+        .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs.size === 2, s"expected winner + 1 survivor, got $dirs")
+      assert(dirs.exists(_.endsWith("-gen3")), s"winner evicted: $dirs")
+      assert(dirs.exists(_.endsWith("-gen2")), s"most recent sibling evicted: $dirs")
+      // the winner stays loadable; the evicted generation degrades to None
+      assert(ArtifactStore.load(spark, p, ds, "gen3").get.count() === 3)
+      assert(ArtifactStore.load(spark, p, ds, "gen1").isEmpty)
+    }
+  }
+
+  test("store traffic counters: hit, miss, and save are each counted") {
+    val ds = scratchDataset()
+    withStore { _ =>
+      ArtifactStore.resetStats()
+      val p = ArtifactStore.frame("spec_stats")
+      assert(ArtifactStore.load(spark, p, ds, "fp").isEmpty)
+      assert(ArtifactStore.misses.get() === 1 && ArtifactStore.hits.get() === 0)
+      ArtifactStore.save(spark, p, ds, "fp", spark.range(2).toDF("v"))
+      assert(ArtifactStore.saves.get() === 1)
+      assert(ArtifactStore.load(spark, p, ds, "fp").isDefined)
+      assert(ArtifactStore.hits.get() === 1 && ArtifactStore.misses.get() === 1)
+    }
+  }
+
   test("real call sites write through: bloom words and the IVF model") {
     val ds = scratchDataset()
     withStore { store =>
