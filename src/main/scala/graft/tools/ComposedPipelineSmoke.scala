@@ -34,7 +34,16 @@ import org.apache.spark.sql.functions._
   *   3. decontamination of the SURVIVORS: benchmark shingle set
   *      (hashedShinglesOf over the 4 bench docs, broadcast) joined
   *      against the survivor corpus's exploded shingles — any shared
-  *      trigram flags the doc (the decontam_ngram_exact shape).
+  *      trigram CANDIDATES the doc (the decontam_ngram_exact shape) —
+  *      then EXACT trigram-string verification of the candidates only.
+  *      The verify stage is not decorative: shingle keys are mod-(2³¹−1)
+  *      polyhashes, and at this corpus volume (~1.5·10⁸ corpus shingles
+  *      against the bench set) the birthday bound predicts a handful of
+  *      hash-collision candidates — the first 2M-doc run measured
+  *      exactly 5. At oracle SF the FP probability is ~10⁻⁵ (why the
+  *      registry query needs no verify stage); at 100 TB the
+  *      candidates-only exact join is the required shape, same as the
+  *      dedup family's verification stage.
   *
   * Asserted distributed (no corpus-sized collect):
   *  - stage-1 recall ≥ 99% of planted pairs (banding catches J≥0.8
@@ -111,14 +120,31 @@ object ComposedPipelineSmoke {
     println(s"[composed] stage2 dedup: $nDropped docs dropped as non-reps")
 
     // ---- stage 3: decontaminate the survivors -------------------------
+    // 3a: hash-shingle prefilter over the full survivor corpus
     val benchSh = DedupOps.hashedShinglesOf(bench)
       .select(explode(col("tks")).as("sh")).distinct()
-    val flagged = graft.Materialize.stage(
+    val candidates = graft.Materialize.stage(
       DedupOps.hashedShinglesOf(survivors)
         .select(col("doc_id"), explode(col("tks")).as("sh"))
         .join(broadcast(benchSh), Seq("sh"))
         .select("doc_id").distinct())
+    val nCandidates = candidates.count()
+    // 3b: exact trigram-STRING verification of the candidates only (the
+    // candidate set is plant-sized, so the string explode is trivial)
+    val trigrams = """transform(
+      |  sequence(0, greatest(size(t) - 3, -1)),
+      |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin
+    def trigramRows(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("t", split(col("text"), " +"))
+      .select(col("doc_id"), explode(expr(trigrams)).as("tg"))
+    val benchTg = trigramRows(bench).select("tg").distinct()
+    val flagged = graft.Materialize.stage(
+      trigramRows(survivors.join(candidates, Seq("doc_id")))
+        .join(broadcast(benchTg), Seq("tg"))
+        .select("doc_id").distinct())
     val nFlagged = flagged.count()
+    println(s"[composed] stage3 decontam: $nCandidates hash candidates, " +
+      s"$nFlagged verified exact (${nCandidates - nFlagged} hash-collision FPs)")
     val clean = survivors.join(flagged, Seq("doc_id"), "left_anti").count()
     val secs = (System.nanoTime() - t0) / 1e9
 
@@ -130,12 +156,17 @@ object ComposedPipelineSmoke {
     // by [plantedFound, found] and in practice equals plantedFound
     require(nDropped >= planted && nDropped <= found,
       s"stage-2 drop count $nDropped outside [$planted, $found]")
-    // flagged must be EXACTLY the planted contaminated set: same count,
-    // zero flagged docs off the plant residue, zero planted docs missed
+    // VERIFIED flags must be EXACTLY the planted contaminated set: same
+    // count, zero flagged docs off the plant residue, zero planted docs
+    // missed. (The unverified candidate set may legitimately exceed it
+    // by the hash-collision FPs reported above — bounded loosely here;
+    // a blowup means the prefilter broke, not the hash.)
     val offPlant = flagged.filter(col("doc_id") % 500 =!= 7).count()
-    require(offPlant == 0, s"$offPlant false contamination flags")
+    require(offPlant == 0, s"$offPlant false contamination flags survived exact verification")
     require(nFlagged == expectedContam,
       s"flagged $nFlagged != planted $expectedContam (missed hits)")
+    require(nCandidates - nFlagged <= 100,
+      s"${nCandidates - nFlagged} hash-collision candidates — prefilter broke")
     require(clean == n - nDropped - nFlagged,
       s"clean count $clean inconsistent with drops/flags")
     require(secs <= ceiling,
