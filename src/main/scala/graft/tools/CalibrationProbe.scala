@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object CalibrationProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = args.headOption.map(_.toInt).getOrElse(5)
+    // default matches the DRIVER's bench config (cpus=32), because the
+    // pin must be measured at the worker count the bench runs with
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = args.headOption.map(_.toInt).getOrElse(7)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

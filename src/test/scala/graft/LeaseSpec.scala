@@ -109,16 +109,23 @@ class LeaseSpec extends SparkSuite {
 
   test("renewal extends the lease; a fenced-out epoch cannot renew or act") {
     val root = freshRoot()
-    val a = lease(root, "role-s", "a", ttlMs = 150L)
+    // TTL sized for a LOADED box: the renew cadence (150 ms) must fit
+    // inside the TTL (900 ms) even when a full-suite run stalls this
+    // thread for several hundred ms between sleep and renew — at the
+    // original 150 ms TTL / 60 ms cadence a ~90 ms GC pause was enough
+    // to lapse a live owner mid-loop (flaked once under `sbt test`)
+    val a = lease(root, "role-s", "a", ttlMs = 900L)
     assert(a.tryAcquire() === Some(1L))
-    // renewals keep a short lease alive well past its original TTL
-    (0 until 4).foreach { _ =>
-      Thread.sleep(60)
+    // renewals keep a short lease alive well PAST its original TTL: the
+    // loop spans ~1.2 s of a 0.9 s lease, so if renew() did nothing the
+    // later isOwner checks would fail
+    (0 until 8).foreach { _ =>
+      Thread.sleep(150)
       assert(a.renew(1L), "owner renewal must succeed while held")
       assert(a.isOwner(1L))
     }
     // let it lapse, lose it to b, then the zombie's fencing checks fail
-    Thread.sleep(300)
+    Thread.sleep(1800)
     val b = lease(root, "role-s", "b", ttlMs = 60000L)
     assert(b.tryAcquire() === Some(2L))
     assert(!a.isOwner(1L), "zombie must observe fencing before writing")
