@@ -49,11 +49,16 @@ final case class GQuery(
     * the STRICT contract, so an unrecognized path can never silently
     * weaken the gate (the prior substring test on 'sf0.01'/'sf0.1' did
     * exactly that for unknown names, and also mis-fired on e.g.
-    * 'sf0.15'). */
-  def minRowsAt(sfDir: String): Long =
-    if (sfDir.contains("sf0.001") || sfDir.contains("hostile"))
+    * 'sf0.15'). Matching is by PATH SEGMENT, not substring: the sf tier
+    * must be a whole component ('.../sf0.001/...'), so a hypothetical
+    * 'sf0.0015' dir stays strict; the hostile gate matches any segment
+    * carrying 'hostile' (its dir is .../graft_hostile/data). */
+  def minRowsAt(sfDir: String): Long = {
+    val segments = sfDir.split('/').filter(_.nonEmpty)
+    if (segments.contains("sf0.001") || segments.exists(_.contains("hostile")))
       smokeMinRows.getOrElse(minRows)
     else minRows
+  }
 }
 
 /** Loaders for the driver testbed (TESTDATA.md). One parquet file per table. */

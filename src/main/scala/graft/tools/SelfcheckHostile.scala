@@ -584,6 +584,48 @@ object SelfcheckHostile {
     bb.array()
   }
 
+  /** Minimal spec-conformant MJPEG AVI around the JDK's own JPEG encoder
+    * output (the round-18 real-pixel true-video leg): RIFF('AVI '
+    * LIST(hdrl avih strl) LIST(movi 00dc…)). */
+  private def aviBytes(nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    def le(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def a(s: String) = s.getBytes("ASCII")
+    def chunk(id: String, body: Array[Byte]) =
+      a(id) ++ le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, parts: Array[Byte]*) =
+      chunk("LIST", a(typ) ++ parts.flatten.toArray)
+    val avih = chunk("avih", le(40000) ++ le(0) ++ le(0) ++ le(0) ++
+      le(nFrames) ++ le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++
+      Array.fill[Byte](16)(0))
+    val strl = list("strl",
+      chunk("strh", a("vids") ++ a("MJPG") ++ Array.fill[Byte](48)(0)),
+      chunk("strf", le(40) ++ le(w) ++ le(h) ++ Array.fill[Byte](28)(0)))
+    val frames = (0 until nFrames).map { i =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, Seq(0xff0000, 0x00ff00, 0x0000ff)(i % 3))
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", out), "no jpg writer")
+      chunk("00dc", out.toByteArray)
+    }
+    val body = a("AVI ") ++ list("hdrl", avih, strl) ++ list("movi", frames: _*)
+    a("RIFF") ++ le(body.length) ++ body
+  }
+
+  /** RIFF/'AVI ' whose first LIST declares size 0xFFFFFFF8 — the same
+    * hostile uint32 class as [[hostileWavBytes]], against the AVI walk. */
+  private def hostileAviBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(0).put("AVI ".getBytes("ASCII"))
+    bb.put("LIST".getBytes("ASCII")).putInt(0xFFFFFFF8)
+    bb.put(Array.fill[Byte](16)(7))
+    bb.array()
+  }
+
   def realDecoderPass(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.operators.MultimodalOps
@@ -596,20 +638,36 @@ object SelfcheckHostile {
       MediaRow(4L, "image/bmp", imageBytes("bmp", 12, 7)),
       // mislabeled: PNG bytes under a JPEG mime — sniffing must win
       MediaRow(5L, "image/jpeg", imageBytes("png", 5, 9)),
-      MediaRow(6L, "audio/wav", wavBytes(16000, 1, 777)))
+      MediaRow(6L, "audio/wav", wavBytes(16000, 1, 777)),
+      // true video with real pixels: MJPEG-in-AVI (round 18)
+      MediaRow(7L, "video/x-msvideo", aviBytes(2, 16, 12)))
     val got = MultimodalOps.extractMeta(good.toDS(), RealDecoder)
       .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
     val want = Map(
       1L -> ((37L, 21L, 1L)), 2L -> ((64L, 48L, 1L)), 3L -> ((9L, 5L, 1L)),
-      4L -> ((12L, 7L, 1L)), 5L -> ((5L, 9L, 1L)), 6L -> ((16000L, 1L, 777L)))
+      4L -> ((12L, 7L, 1L)), 5L -> ((5L, 9L, 1L)), 6L -> ((16000L, 1L, 777L)),
+      7L -> ((16L, 12L, 2L)))
     require(got == want, s"real-decoder good rows diverged: $got")
+    // and the AVI's sampled frame decodes to REAL pixels through the full
+    // executor path (every=30 over 2 frames ⇒ frame 0 only)
+    val aviFrames = MultimodalOps.extractFrames(
+      good.filter(_.doc_id == 7L).toDS(), every = 30).collect()
+    require(aviFrames.length == 1 && aviFrames.head.frame_idx == 0L &&
+      aviFrames.head.width == 16L && aviFrames.head.height == 12L &&
+      aviFrames.head.delay_cs == 4L,
+      s"avi frame extraction diverged: ${aviFrames.toSeq}")
+    val reDecoded = RealDecoder.aviFrameImages(
+      good.find(_.doc_id == 7L).get.payload, Seq(0)).head._2
+    require(RealDecoder.argbCrc(reDecoded) == aviFrames.head.pixel_crc,
+      "avi frame pixel CRC diverged from an independent re-decode")
 
     val bad = Seq(
       MediaRow(101L, "image/png", imageBytes("png", 8, 8).take(10)), // truncated
       MediaRow(102L, "image/png", "not an image at all".getBytes("UTF-8")),
       MediaRow(103L, "audio/wav", hostileWavBytes), // ex-infinite-loop chunk
       MediaRow(104L, "image/png", Array.emptyByteArray),
-      MediaRow(105L, "video/mp4", imageBytes("png", 4, 4))) // unsupported family
+      MediaRow(105L, "video/mp4", imageBytes("png", 4, 4)), // unsupported family
+      MediaRow(106L, "video/x-msvideo", hostileAviBytes)) // uint32 overrun LIST
     for (row <- bad) {
       val failure =
         try {
