@@ -180,7 +180,7 @@ object ArtifactStore {
       }
     }
 
-  /** How many stale same-artifact fingerprints survive a publish beside
+  /** How many stale same-variant generations survive a publish beside
     * the winner. >0 keeps a safety margin for a concurrent session still
     * reading an artifact for the PREVIOUS dataset generation (its read
     * degrades to a rebuild if evicted — the store is a cache — but not
@@ -188,25 +188,52 @@ object ArtifactStore {
     * common regenerate-once case). */
   private val KeepStaleSiblings = 1
 
-  /** Evict stale fingerprints of the artifact just published at `dst`
+  /** (dirHash, datasetFp, variant) of an artifact dir name. The name is
+    * `<dirHash>-<fingerprint>` where the fingerprint is the dataset
+    * fingerprint (dash-free murmur hex) optionally extended by a caller
+    * variant suffix (`-k8-d16-pq2` — model hyperparameters that make
+    * SEVERAL fingerprints legitimately live at once under one artifact
+    * name). */
+  private def keyParts(name: String): (String, String, String) = {
+    val seg = name.split('-')
+    (seg.headOption.getOrElse(""),
+      if (seg.length > 1) seg(1) else "",
+      seg.drop(2).mkString("-"))
+  }
+
+  /** Evict STALE GENERATIONS of the artifact just published at `dst`
     * (ADVICE r17 / judge item: a fingerprint miss used to write the new
     * artifact "beside the stale one" forever, so testdata regenerations
-    * grew the store without bound). Keeps the winner plus the
-    * [[KeepStaleSiblings]] most recently modified complete siblings under
-    * the same `<name>/<FormatVersion>/` directory; transient `.tmp-*` /
-    * `.old-*` dirs belong to live (or crashed) writers and are left to
-    * their owners. Best-effort: eviction failure must never fail the
-    * publish that triggered it. */
+    * grew the store without bound). Stale = a complete sibling under the
+    * same `<name>/<FormatVersion>/` directory with the SAME dataset dir
+    * hash and the SAME variant suffix but a DIFFERENT dataset
+    * fingerprint — i.e. the same logical artifact built from a
+    * superseded data generation. Siblings that differ in variant (other
+    * hyperparameter slicings: the k=256 scale model beside the registry
+    * k=8, the per-slice PQ codebooks) or in dataset dir are LIVE peers
+    * and are never touched — the round-18 first cut pruned by name alone
+    * and evicted 7 live variants, which the warm-store bench exposed as
+    * 9 rebuilds on a populated store. Keeps the winner plus the
+    * [[KeepStaleSiblings]] most recent stale generations; transient
+    * `.tmp-*` / `.old-*` dirs belong to live (or crashed) writers and
+    * are left to their owners. Best-effort: eviction failure must never
+    * fail the publish that triggered it. */
   private def prune(fs: FileSystem, dst: Path): Unit =
     try {
-      val siblings = fs.listStatus(dst.getParent)
+      val (winDir, winFp, winVar) = keyParts(dst.getName)
+      val stale = fs.listStatus(dst.getParent)
         .filter(_.isDirectory)
         .filter { s =>
           val n = s.getPath.getName
-          n != dst.getName && !n.contains(".tmp-") && !n.contains(".old-")
+          if (n == dst.getName || n.contains(".tmp-") || n.contains(".old-"))
+            false
+          else {
+            val (d, fp, v) = keyParts(n)
+            d == winDir && v == winVar && fp != winFp
+          }
         }
         .sortBy(-_.getModificationTime)
-      siblings.drop(KeepStaleSiblings)
+      stale.drop(KeepStaleSiblings)
         .foreach(s => fs.delete(s.getPath, true))
     } catch { case scala.util.control.NonFatal(_) => () }
 

@@ -2,18 +2,21 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measures graft.Bench's calibration workload on THIS machine — the tool
-  * that produced (and re-validates) the pinned `Bench.CalibrationRefSec`.
-  * Run on an idle box:
+/** Measures graft.Bench's calibration workload on THIS machine:
   *
   *   sbt "runMain graft.tools.CalibrationProbe"
   *
-  * Prints N probe runs plus their min; the pin is the idle min at the
-  * DRIVER'S bench settings — the probe parallelizes, so always pin at
-  * the same SPARK_GRAFT_CPUS the driver benches with (32 — BENCH_r16
-  * records cpus: 32; the current pin is the cpus=32 idle min). If the calibration WORKLOAD in
-  * Bench.calibrationOnce ever changes, re-run this and move the pin
-  * with it; nothing else should move it (it is a unit, not a target).
+  * Prints N probe runs plus their min. CAVEAT (learned round 18): this
+  * standalone probe reads ~40% SLOWER than the same workload measured
+  * mid-bench (0.46 s vs 0.32 s on the same idle box at cpus=32) — a
+  * fresh JVM's JIT warmth is shallower than a bench pass's, and the
+  * calibration is consumed mid-bench. So the probe is a quick sanity
+  * check and a relative-machine-speed read; the authoritative pin for
+  * `Bench.CalibrationRefSec` is the min warm-pass `calibration_sec`
+  * across idle-day bench runs at the driver's SPARK_GRAFT_CPUS=32
+  * (both stamped on every BENCH_DETAIL line). If the calibration
+  * WORKLOAD in Bench.calibrationOnce ever changes, re-derive the pin
+  * that way; nothing else should move it (it is a unit, not a target).
   */
 object CalibrationProbe {
   def main(args: Array[String]): Unit = {

@@ -257,6 +257,34 @@ class ArtifactStoreSpec extends SparkSuite {
     }
   }
 
+  test("eviction never touches live sibling VARIANTS of the same name") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_evict_variants")
+      // two live hyperparameter variants + one other-variant generation,
+      // all same dataset generation "aaa" except the last publish
+      ArtifactStore.save(spark, p, ds, "aaa-k8", spark.range(1).toDF("v"))
+      Thread.sleep(20)
+      ArtifactStore.save(spark, p, ds, "aaa-k16", spark.range(2).toDF("v"))
+      Thread.sleep(20)
+      // a new DATA generation of the k8 variant: supersedes aaa-k8 (kept
+      // as the 1 stale survivor), never touches the k16 variant
+      ArtifactStore.save(spark, p, ds, "bbb-k8", spark.range(3).toDF("v"))
+      Thread.sleep(20)
+      ArtifactStore.save(spark, p, ds, "ccc-k8", spark.range(4).toDF("v"))
+      val dirs = new java.io.File(s"$store/spec_evict_variants/${ArtifactStore.FormatVersion}")
+        .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+      // ccc-k8 (winner) + bbb-k8 (1 stale generation) + aaa-k16 (live
+      // variant, untouched); aaa-k8 (2 generations old) evicted
+      assert(dirs.exists(_.endsWith("-ccc-k8")), s"winner missing: $dirs")
+      assert(dirs.exists(_.endsWith("-bbb-k8")), s"stale survivor missing: $dirs")
+      assert(dirs.exists(_.endsWith("-aaa-k16")),
+        s"live sibling variant was evicted: $dirs")
+      assert(!dirs.exists(_.endsWith("-aaa-k8")), s"2-gen-old not evicted: $dirs")
+      assert(ArtifactStore.load(spark, p, ds, "aaa-k16").get.count() === 2)
+    }
+  }
+
   test("store traffic counters: hit, miss, and save are each counted") {
     val ds = scratchDataset()
     withStore { _ =>
