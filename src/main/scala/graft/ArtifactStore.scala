@@ -69,7 +69,10 @@ object ArtifactStore {
     * configuration it measured (ADVICE r17: a committed BENCH_DETAIL was
     * ambiguous between warm-store and empty-store cold passes). `hits` =
     * loads served from a persisted artifact; `misses` = armed-store loads
-    * that fell through to a build; `saves` = artifacts published. Zero
+    * that fell through to a build; `saves` = artifacts actually PUBLISHED
+    * — incremented only after the publish rename succeeds, so race losers
+    * and failed writes never inflate it and the BENCH_DETAIL store stamp
+    * counts real artifacts on disk (ADVICE r18). Zero
     * traffic with the store armed means no artifact query ran. Counters
     * are process-wide (the store itself is), reset by the harness at the
     * start of the window it reports on. */
@@ -132,7 +135,6 @@ object ArtifactStore {
               fingerprint: String, v: V, replace: Boolean = false): Unit =
     root(spark).foreach { r =>
       try {
-        saves.incrementAndGet()
         val dst = new Path(pathFor(r, p.name, dir, fingerprint))
         val tmp = new Path(
           s"${dst.toString}.tmp-${spark.sparkContext.applicationId}")
@@ -151,7 +153,10 @@ object ArtifactStore {
             val published =
               try publish(fs, tmp, dst)
               catch { case scala.util.control.NonFatal(_) => false }
-            if (published) { fs.delete(aside, true); prune(fs, dst) }
+            if (published) {
+              saves.incrementAndGet()
+              fs.delete(aside, true); prune(fs, dst)
+            }
             else {
               // publish lost: either a racer took the empty slot (keep
               // THEIR artifact — restoring ours would rename onto an
@@ -164,6 +169,7 @@ object ArtifactStore {
             }
           } else fs.delete(tmp, true): Unit
         } else if (publish(fs, tmp, dst)) {
+          saves.incrementAndGet()
           prune(fs, dst)
         } else {
           // lost the race (or a stale artifact dir exists): keep the
@@ -182,10 +188,21 @@ object ArtifactStore {
 
   /** How many stale same-variant generations survive a publish beside
     * the winner. >0 keeps a safety margin for a concurrent session still
-    * reading an artifact for the PREVIOUS dataset generation (its read
-    * degrades to a rebuild if evicted — the store is a cache — but not
-    * evicting the most recent predecessor avoids that hiccup in the
-    * common regenerate-once case). */
+    * MID-LOAD on an artifact for the PREVIOUS dataset generation.
+    * Eviction-vs-reader precision (ADVICE r18 asked for it): every
+    * [[Persistence]] load is EAGER — `frame` re-stages through
+    * [[Materialize.stageShared]] (an eager checkpoint/localCheckpoint
+    * that fully reads the parquet before load returns) and `longArray`
+    * collects — so once `load` has returned Some, the value no longer
+    * references the artifact files and a later eviction cannot touch it
+    * (ArtifactStoreSpec pins this with a delete-then-consume case). The
+    * only exposed window is DURING a load's materialization; an eviction
+    * there throws inside `p.load`, which `load`'s catch converts to None
+    * ⇒ rebuild. Keeping the most recent predecessor narrows even that
+    * window away in the common regenerate-once case. Eagerness is
+    * therefore part of the Persistence contract: a new artifact kind
+    * whose load returned a LAZY handle over the artifact path would turn
+    * eviction into a consumer-side FileNotFoundException. */
   private val KeepStaleSiblings = 1
 
   /** (dirHash, datasetFp, variant) of an artifact dir name. The name is

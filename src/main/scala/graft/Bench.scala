@@ -132,10 +132,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // an explicit Int, validated up front: the raw env string is
+    // interpolated into both JSON lines as a bare number, so a
+    // non-numeric value (e.g. '*' for local[*]) would emit unparseable
+    // JSON at the very end of the run (ADVICE r18) — and local[*] would
+    // also untether the calibration pin, which is defined at a fixed
+    // worker count. Fail fast with the reason instead.
+    val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = cpusStr.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+      s"SPARK_GRAFT_CPUS must be a positive integer worker count, got " +
+        s"'$cpusStr' ('*'/local[*] is not benchable: the calibration pin " +
+        "is defined at an explicit cpu count)"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Hold every generated class for the whole 93-query run (default 100

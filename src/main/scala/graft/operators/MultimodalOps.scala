@@ -385,10 +385,35 @@ object MultimodalOps {
       * ffmpeg seam), exactly like MP4 frame extraction.
       *
       * @param indices frame indices to decode (empty = all); indices
-      *                beyond the container's chunk count are ignored,
-      *                matching a sample plan built from a stale count
+      *                beyond the container's chunk count — or negative
+      *                ones, from a sample plan that wrapped Int — are
+      *                ignored, matching a plan built from a stale count
       */
     def aviFrameImages(b: Array[Byte], indices: Seq[Int] = Nil)
+        : Seq[(Int, java.awt.image.BufferedImage)] =
+      aviDecodeAt(b, frames =>
+        if (indices.isEmpty) frames.indices.toSeq
+        else indices.filter(i => i >= 0 && i < frames.size))
+
+    /** Every `every`-th frame of an MJPEG AVI, sampled against the ACTUAL
+      * movi chunk count — never the header's dwTotalFrames. The header
+      * count is an untrusted uint32: a hostile avih claiming 2^32-1
+      * frames would make a caller-built `(0L until n by every)` index
+      * list materialize billions of elements (executor OOM) and wrap
+      * past Int.MaxValue into negatives (ADVICE r18, the medium). The
+      * chunk list is bounded by the payload itself (≥ 8 bytes per
+      * chunk), so a sampling plan built HERE is inherently clamped. */
+    def aviFrameImagesEvery(b: Array[Byte], every: Int)
+        : Seq[(Int, java.awt.image.BufferedImage)] = {
+      require(every > 0, s"sampling step must be positive, got $every")
+      aviDecodeAt(b, frames => frames.indices by every)
+    }
+
+    /** Shared movi walk + decode: `pick` sees the real chunk list and
+      * returns the indices to decode (already in-bounds by contract of
+      * the two public faces above). */
+    private def aviDecodeAt(b: Array[Byte],
+        pick: Seq[(String, Int, Int)] => Seq[Int])
         : Seq[(Int, java.awt.image.BufferedImage)] = {
       val meta = aviMeta(b)
       val top = riffChunks(b, 12, b.length)
@@ -406,10 +431,7 @@ object MultimodalOps {
           case _ => Nil
         }
       val frames = videoChunks(moviS, moviE)
-      val want =
-        if (indices.isEmpty) frames.indices.toSeq
-        else indices.filter(_ < frames.size)
-      want.map { i =>
+      pick(frames).map { i =>
         val (id, s, e) = frames(i)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(
@@ -737,9 +759,11 @@ object MultimodalOps {
             // JPEGs the JDK decodes natively; delay is the container's
             // fixed frame period (avih dwMicroSecPerFrame)
             try {
+              // sample against the ACTUAL chunk count, never the header's
+              // untrusted dwTotalFrames (ADVICE r18 — a hostile 2^32-1
+              // count must not size the index list)
               val meta = RealDecoder.aviMeta(r.payload)
-              val idx = (0L until meta.n_frames by every.toLong).map(_.toInt)
-              RealDecoder.aviFrameImages(r.payload, idx).map { case (i, img) =>
+              RealDecoder.aviFrameImagesEvery(r.payload, every).map { case (i, img) =>
                 FrameRow(r.doc_id, i.toLong, meta.frame_delay_cs,
                   img.getWidth.toLong, img.getHeight.toLong,
                   RealDecoder.argbCrc(img))
@@ -807,9 +831,9 @@ object MultimodalOps {
             }
           } else if (r.mime == "video/x-msvideo" || r.mime == "video/avi") {
             try {
-              val meta = RealDecoder.aviMeta(r.payload)
-              val idx = (0L until meta.n_frames by every.toLong).map(_.toInt)
-              RealDecoder.aviFrameImages(r.payload, idx).map { case (i, img) =>
+              // same clamp as extractFrames: the real chunk list sizes the
+              // plan, not the header count
+              RealDecoder.aviFrameImagesEvery(r.payload, every).map { case (i, img) =>
                 val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
                 val (tw, th) =
                   if (w >= h) (box.toLong, math.max(1L, h * box / w))

@@ -174,8 +174,12 @@ final class FsLease(root: String, name: String, ownerId: String,
     // a vacancy racer measured exactly that — re-created epoch 1 while
     // epoch-1's owner was the one being taken over). If the lock turns
     // out to be live (we lost to a faster challenger), the stray marker
-    // merely raises future floors — harmless.
-    writeAtomic(new Path(dir, s"dead-$deadEpoch"), "", overwrite = true)
+    // merely raises future floors — harmless. If the marker write FAILS,
+    // abort before the rename opens the vacancy (same monotonicity-over-
+    // availability rule as release): the lease stays expired and a later
+    // challenger retries.
+    if (!writeAtomic(new Path(dir, s"dead-$deadEpoch"), "", overwrite = true))
+      return None
     val claim = new Path(dir, s"claim-$ownerId-${System.nanoTime()}")
     try {
       if (!fs.rename(lock, claim)) return None // another challenger won
@@ -251,13 +255,19 @@ final class FsLease(root: String, name: String, ownerId: String,
     * token is the bare epoch NUMBER, not the (owner, epoch) pair. The
     * marker is written BEFORE the lock is deleted: a vacancy claimant
     * only scans the dir after observing the missing lock, so it always
-    * sees the floor. */
+    * sees the floor — and if the marker write FAILS, the lock is left in
+    * place to lapse by TTL (ADVICE r18): deleting it anyway would let
+    * the next vacant acquire re-issue this epoch, silently breaking the
+    * bare-epoch sequencer contract. Monotonicity over prompt vacancy —
+    * a failed release just looks like a crash, which the takeover path
+    * already handles with its own floor write. */
   def release(epoch: Long): Unit =
     readLock() match {
       case Some((o, e, _)) if o == ownerId && e == epoch =>
-        writeAtomic(new Path(dir, s"dead-$e"), "", overwrite = true)
-        try { fs.delete(lock, false); fs.delete(heartbeat(e), false) }
-        catch { case scala.util.control.NonFatal(_) => () }
+        if (writeAtomic(new Path(dir, s"dead-$e"), "", overwrite = true)) {
+          try { fs.delete(lock, false); fs.delete(heartbeat(e), false) }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       case _ => ()
     }
 }

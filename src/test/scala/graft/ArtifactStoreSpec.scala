@@ -285,6 +285,52 @@ class ArtifactStoreSpec extends SparkSuite {
     }
   }
 
+  test("a loaded frame survives eviction of its artifact files (loads are eager)") {
+    val ds = scratchDataset()
+    withStore { store =>
+      val p = ArtifactStore.frame("spec_evict_reader")
+      ArtifactStore.save(spark, p, ds, "fp", spark.range(6).toDF("v"))
+      val loaded = ArtifactStore.load(spark, p, ds, "fp").get
+      // a concurrent publisher evicts the artifact AFTER our load returned
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$store/spec_evict_reader"))
+      // the load staged eagerly (Materialize.stageShared fully reads the
+      // parquet before load returns), so the frame no longer references
+      // the artifact path — consuming it must not throw (ADVICE r18
+      // asked whether "degrades to a rebuild" was accurate for a reader
+      // holding a returned handle; this pins the stronger property: the
+      // handle itself stays valid)
+      assert(loaded.count() === 6)
+      assert(loaded.agg(sum("v")).head.getLong(0) === 15L)
+    }
+  }
+
+  test("a failed publish does not inflate the saves counter") {
+    val ds = scratchDataset()
+    withStore { _ =>
+      ArtifactStore.resetStats()
+      val p = ArtifactStore.frame("spec_saves_honest")
+      ArtifactStore.save(spark, p, ds, "fp", spark.range(2).toDF("v"))
+      assert(ArtifactStore.saves.get() === 1)
+      // the race loser's publish fails (incumbent holds the slot): saves
+      // must stay at 1 — it counts artifacts PUBLISHED, and the
+      // BENCH_DETAIL store stamp is built from it (ADVICE r18)
+      ArtifactStore.save(spark, p, ds, "fp", spark.range(9).toDF("v"))
+      assert(ArtifactStore.saves.get() === 1,
+        "race loser inflated the saves counter")
+      // a save whose write throws mid-flight must not count either
+      val broken = ArtifactStore.Persistence[org.apache.spark.sql.DataFrame](
+        "spec_saves_honest_broken",
+        save = (_, _, _) => sys.error("disk full"),
+        load = (s, path) => s.read.parquet(path))
+      ArtifactStore.save(spark, broken, ds, "fp", spark.range(9).toDF("v"))
+      assert(ArtifactStore.saves.get() === 1,
+        "failed write inflated the saves counter")
+    }
+  }
+
   test("store traffic counters: hit, miss, and save are each counted") {
     val ds = scratchDataset()
     withStore { _ =>

@@ -662,6 +662,39 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     assert(e4.getMessage.contains("hdrl"))
   }
 
+  test("a hostile avih frame count cannot size the sampling plan") {
+    // dwTotalFrames is an untrusted uint32: claim 2^32-1 frames over 3
+    // real chunks — the plan must come from the movi chunk list (bounded
+    // by the payload itself), never from the header count (ADVICE r18:
+    // an eagerly-materialized (0 until 4.3e9 by 30) index list was an
+    // executor OOM that also wrapped into negative indices past
+    // Int.MaxValue).
+    val avi = aviBytes(AviColors.take(3).map(jpegFrame(_, 8, 8)), 8, 8)
+    // patch dwTotalFrames in place: RIFF hdr(12) + LIST hdr(8) +
+    // 'hdrl'(4) + avih hdr(8) + 16-byte field offset = byte 48, LE
+    val patched = avi.clone()
+    assert(java.nio.ByteBuffer.wrap(patched, 48, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt === 3,
+      "fixture layout moved — dwTotalFrames is no longer at byte 48")
+    java.nio.ByteBuffer.wrap(patched, 48, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0xFFFFFFFF)
+    assert(RealDecoder.aviMeta(patched).n_frames === 0xFFFFFFFFL)
+    // direct: the every-sampler clamps to the 3 real chunks
+    assert(RealDecoder.aviFrameImagesEvery(patched, 2).map(_._1).toSeq === Seq(0, 2))
+    // negative indices (a wrapped Int plan) are dropped, not thrown
+    assert(RealDecoder.aviFrameImages(patched, Seq(-2147483000, 1))
+      .map(_._1) === Seq(1))
+    // end-to-end through both executor paths — must return the real
+    // frames promptly, not hang or OOM on the claimed 4.3B
+    val rows = Seq(MediaRow(55L, "video/x-msvideo", patched))
+    val got = MultimodalOps.extractFrames(spark.createDataset(rows), every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0L, 2L))
+    val rz = MultimodalOps.executeResize(
+        spark.createDataset(rows), box = 4, every = 2).collect()
+    assert(rz.map(_.frame_idx).toSeq.sorted === Seq(0L, 2L))
+  }
+
   test("a payload that passes the header walk but fails in gifFrames carries doc context") {
     // ADVICE r16: the doc-context catch must span BOTH decode steps. A
     // PNG byte stream under a gif mime is exactly that split: decode()
