@@ -78,8 +78,10 @@ object MultimodalOps {
     *    `stbl/stsd` carries the codec fourcc and `stbl/stsz` the sample
     *    (frame) count. Header boxes only — never the mdat payload, so
     *    the cost profile matches the image path. Frame PIXEL decode
-    *    still genuinely needs a codec (an ffmpeg binding); metadata does
-    *    not, and [[mp4Meta]] exposes the full typed record.
+    *    genuinely needs a codec (an ffmpeg binding) for true codecs
+    *    (avc1/hev1/...); 'jpeg'-fourcc MJPEG samples decode natively
+    *    through [[mp4FrameImagesEvery]]'s stbl walk, and [[mp4Meta]]
+    *    exposes the full typed record either way.
     *
     * Failure semantics: one bad payload throws a typed error that fails
     * only its task (extractMeta wraps it with the doc_id), preserving
@@ -518,31 +520,21 @@ object MultimodalOps {
       * WAV RIFF walk. Public: the full record (duration, track count,
       * codec) is the useful metadata surface; `decode` keeps only the
       * trait's (width, height, frames) triple. */
-    def mp4Meta(b: Array[Byte]): Mp4Meta = {
+    /** The shared spine of every vide-track walk: top → moov → the first
+      * trak whose mdia/hdlr handler is 'vide'. Returns (moovKids, trak
+      * count, videKids, mdia span) — [[mp4Meta]] reads mvhd/tkhd off it,
+      * the sample-table walk reads mdhd/stbl. A trak missing its
+      * mdia/hdlr is simply "not the video track", not a walk-killer. */
+    private def videSpine(b: Array[Byte])
+        : (Seq[(String, Long, Long)], Int, Seq[(String, Long, Long)], (Long, Long)) = {
       if (b.length < 8) badMp4(s"${b.length} bytes is too short for a box header")
       val top = childBoxes(b, 0L, b.length.toLong)
       if (!top.exists(t => t._1 == "ftyp" || t._1 == "moov"))
         badMp4("no ftyp/moov box — not an ISO-BMFF stream")
       val (moovS, moovE) = box1(b, top, "moov", "stream")
       val moovKids = childBoxes(b, moovS, moovE)
-
-      val (mvhdS, mvhdE) = box1(b, moovKids, "mvhd", "moov")
-      val mvhdVer = { need(mvhdE - mvhdS >= 4, "mvhd"); b(mvhdS.toInt) & 0xff }
-      val (timescale, duration) = mvhdVer match {
-        case 0 => need(mvhdE - mvhdS >= 20, "mvhd v0 body")
-          (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
-        case 1 => need(mvhdE - mvhdS >= 32, "mvhd v1 body")
-          (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
-        case v => badMp4(s"mvhd version $v")
-      }
-      if (timescale <= 0) badMp4(s"non-positive mvhd timescale $timescale")
-      if (duration < 0) badMp4(s"mvhd duration overflows signed 64-bit")
-
       val traks = moovKids.filter(_._1 == "trak")
       if (traks.isEmpty) badMp4("moov has no trak boxes")
-
-      // first track whose mdia/hdlr handler is 'vide'; a trak missing its
-      // mdia/hdlr is simply "not the video track", not a walk-killer
       val vide = traks.iterator.map { case (_, ts, te) =>
         val kids = childBoxes(b, ts, te)
         val mdia = kids.collectFirst { case ("mdia", s, e) => (s, e) }
@@ -556,7 +548,23 @@ object MultimodalOps {
       }.collectFirst { case (kids, Some(mdia), Some("vide")) => (kids, mdia) }
         .getOrElse(badMp4(s"none of the ${traks.size} trak boxes has a " +
           "'vide' handler"))
-      val (videKids, (mdiaS, mdiaE)) = vide
+      (moovKids, traks.size, vide._1, vide._2)
+    }
+
+    def mp4Meta(b: Array[Byte]): Mp4Meta = {
+      val (moovKids, nTraks, videKids, (mdiaS, mdiaE)) = videSpine(b)
+
+      val (mvhdS, mvhdE) = box1(b, moovKids, "mvhd", "moov")
+      val mvhdVer = { need(mvhdE - mvhdS >= 4, "mvhd"); b(mvhdS.toInt) & 0xff }
+      val (timescale, duration) = mvhdVer match {
+        case 0 => need(mvhdE - mvhdS >= 20, "mvhd v0 body")
+          (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+        case 1 => need(mvhdE - mvhdS >= 32, "mvhd v1 body")
+          (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+        case v => badMp4(s"mvhd version $v")
+      }
+      if (timescale <= 0) badMp4(s"non-positive mvhd timescale $timescale")
+      if (duration < 0) badMp4(s"mvhd duration overflows signed 64-bit")
 
       val (tkhdS, tkhdE) = box1(b, videKids, "tkhd", "vide trak")
       val tkhdVer = { need(tkhdE - tkhdS >= 4, "tkhd"); b(tkhdS.toInt) & 0xff }
@@ -595,7 +603,126 @@ object MultimodalOps {
         try math.multiplyExact(duration, 1000L) / timescale
         catch { case _: ArithmeticException =>
           badMp4(s"mvhd duration $duration overflows millisecond arithmetic") }
-      Mp4Meta(durMs, timescale, traks.size.toLong, width, height, codec, nFrames)
+      Mp4Meta(durMs, timescale, nTraks.toLong, width, height, codec, nFrames)
+    }
+
+    // ---- MJPEG-in-MP4 real pixels -----------------------------------
+
+    /** Every `every`-th sample of an MJPEG MP4 ('jpeg' fourcc in stsd)
+      * decoded to REAL pixels with the JDK's JPEG reader — the ISO-BMFF
+      * sibling of [[aviFrameImagesEvery]], completing the pure-JDK video
+      * matrix (VERDICT r18 item 4). Sample bytes are located through the
+      * stbl tables exactly as a demuxer would: stsc maps chunks to
+      * samples-per-chunk, stco/co64 gives chunk file offsets, stsz gives
+      * per-sample byte sizes; a sample's offset is its chunk's offset
+      * plus the sizes of the samples before it in that chunk. The plan
+      * is sized by the ADDRESSABLE samples — what the tables, each
+      * validated against its own box length, can actually locate inside
+      * the payload — never by a header count alone (the same
+      * untrusted-uint32 discipline as the AVI path). True codecs
+      * ('avc1', 'hev1'...) fail typed, naming the fourcc and the ffmpeg
+      * seam. Returns (sample index, image, delay_cs) with the delay from
+      * the first stts run against the mdhd media timescale. */
+    def mp4FrameImagesEvery(b: Array[Byte], every: Int)
+        : Seq[(Int, java.awt.image.BufferedImage, Long)] = {
+      require(every > 0, s"sampling step must be positive, got $every")
+      val (_, _, _, (mdiaS, mdiaE)) = videSpine(b)
+      val mdiaKids = childBoxes(b, mdiaS, mdiaE)
+      val (minfS, minfE) = box1(b, mdiaKids, "minf", "vide mdia")
+      val (stblS, stblE) = box1(b, childBoxes(b, minfS, minfE), "stbl", "minf")
+      val stblKids = childBoxes(b, stblS, stblE)
+
+      val (stsdS, stsdE) = box1(b, stblKids, "stsd", "stbl")
+      need(stsdE - stsdS >= 16, "stsd first sample entry")
+      val codec = tag4(b, stsdS + 12)
+      if (codec != "jpeg")
+        throw new IllegalArgumentException(
+          s"RealDecoder: MP4 frame pixels for codec '$codec' need the " +
+            "ffmpeg seam — 'jpeg' (MJPEG-in-MP4) is the JDK-decodable " +
+            "sample format")
+
+      // media timescale (mdhd) + first stts run ⇒ per-frame delay in cs
+      val delayCs = {
+        val ts = mdiaKids.collectFirst { case ("mdhd", s, e) if e - s >= 4 =>
+          (b(s.toInt) & 0xff) match {
+            case 0 => need(e - s >= 16, "mdhd v0 body"); be32(b, s + 12)
+            case 1 => need(e - s >= 28, "mdhd v1 body"); be32(b, s + 20)
+            case v => badMp4(s"mdhd version $v")
+          }
+        }.getOrElse(0L)
+        val delta = stblKids.collectFirst {
+          case ("stts", s, e) if e - s >= 16 && be32(b, s + 4) >= 1 =>
+            be32(b, s + 12) // first run's sample_delta
+        }.getOrElse(0L)
+        if (ts > 0) delta * 100 / ts else 0L
+      }
+
+      // stsz: uniform size, or per-sample sizes bounded by the box length
+      val (stszS, stszE) = box1(b, stblKids, "stsz", "stbl")
+      need(stszE - stszS >= 12, "stsz body")
+      val uniformSize = be32(b, stszS + 4)
+      val stszCount = be32(b, stszS + 8)
+      val sizedCount =
+        if (uniformSize != 0L) stszCount
+        else math.min(stszCount, (stszE - stszS - 12) / 4)
+      def sampleSize(i: Long): Long =
+        if (uniformSize != 0L) uniformSize else be32(b, stszS + 12 + 4 * i)
+
+      // stsc runs: (first_chunk, samples_per_chunk), count ≤ box length
+      val (stscS, stscE) = box1(b, stblKids, "stsc", "stbl")
+      need(stscE - stscS >= 8, "stsc body")
+      val stscN = math.min(be32(b, stscS + 4), (stscE - stscS - 8) / 12)
+      if (stscN < 1) badMp4("stsc has no entries")
+      val stscRuns = (0L until stscN).map(i =>
+        (be32(b, stscS + 8 + 12 * i), be32(b, stscS + 8 + 12 * i + 4)))
+
+      // chunk offsets: stco (uint32) or co64 (uint64), count ≤ box length
+      val chunkOffsets: IndexedSeq[Long] =
+        stblKids.collectFirst { case ("stco", s, e) => (s, e, 4) }
+          .orElse(stblKids.collectFirst { case ("co64", s, e) => (s, e, 8) })
+          .map { case (s, e, w) =>
+            need(e - s >= 8, "chunk offset box body")
+            val n = math.min(be32(b, s + 4), (e - s - 8) / w)
+            (0L until n).map(i =>
+              if (w == 4) be32(b, s + 8 + 4 * i) else be64(b, s + 8 + 8 * i))
+              .toIndexedSeq
+          }.getOrElse(badMp4("no stco/co64 box in stbl"))
+
+      // walk chunks in order, laying out sample (start, end) spans; every
+      // span is bounds-checked against the payload so a hostile offset or
+      // size fails typed, never an ArrayIndexOutOfBounds
+      def samplesInChunk(chunk1: Long): Long = // 1-based chunk number
+        stscRuns.foldLeft(stscRuns.head._2) { case (acc, (first, per)) =>
+          if (first <= chunk1) per else acc
+        }
+      val spans = IndexedSeq.newBuilder[(Long, Long)]
+      var produced = 0L
+      var c = 0
+      while (c < chunkOffsets.size && produced < sizedCount) {
+        var off = chunkOffsets(c)
+        var k = 0L
+        val per = samplesInChunk(c + 1L)
+        while (k < per && produced < sizedCount) {
+          val sz = sampleSize(produced)
+          if (sz < 0 || off < 0 || off + sz > b.length) badMp4(
+            s"sample $produced spans [$off, ${off + sz}) outside the " +
+              s"${b.length}-byte payload")
+          spans += ((off, off + sz))
+          off += sz; produced += 1; k += 1
+        }
+        c += 1
+      }
+      val all = spans.result()
+      (all.indices by every).map { i =>
+        val (s, e) = all(i)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(b, s.toInt, e.toInt)))
+        if (img == null) badMp4(
+          s"sample $i is not a JDK-decodable JPEG despite the 'jpeg' " +
+            "sample-description fourcc")
+        (i, img, delayCs)
+      }
     }
   }
 
@@ -772,11 +899,28 @@ object MultimodalOps {
               case e: Exception => throw new IllegalArgumentException(
                 s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
             }
+          } else if (r.mime == "video/mp4" || r.mime == "video/quicktime" ||
+              r.mime == "video/x-m4v") {
+            // the ISO-BMFF leg of the real-pixel matrix: 'jpeg' sample
+            // descriptions decode natively; true codecs throw the typed
+            // ffmpeg-seam error inside mp4FrameImagesEvery, re-wrapped
+            // here with doc context like every other decode failure
+            try {
+              RealDecoder.mp4FrameImagesEvery(r.payload, every).map {
+                case (i, img, delay) =>
+                  FrameRow(r.doc_id, i.toLong, delay, img.getWidth.toLong,
+                    img.getHeight.toLong, RealDecoder.argbCrc(img))
+              }
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"frame decode failed for doc_id=${r.doc_id}: ${e.getMessage}", e)
+            }
           } else
             throw new IllegalArgumentException(
               s"frame extraction for doc_id=${r.doc_id} (${r.mime}) needs " +
-                "a codec the JDK does not ship (the ffmpeg seam) — GIF and " +
-                "MJPEG-AVI are the JDK-native multi-frame containers")
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF, " +
+                "MJPEG-AVI and MJPEG-MP4 are the JDK-native multi-frame " +
+                "containers")
         }
       }
   }
@@ -847,11 +991,30 @@ object MultimodalOps {
                 s"resize execution failed for doc_id=${r.doc_id}: " +
                   s"${e.getMessage}", e)
             }
+          } else if (r.mime == "video/mp4" || r.mime == "video/quicktime" ||
+              r.mime == "video/x-m4v") {
+            try {
+              RealDecoder.mp4FrameImagesEvery(r.payload, every).map {
+                case (i, img, _) =>
+                  val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+                  val (tw, th) =
+                    if (w >= h) (box.toLong, math.max(1L, h * box / w))
+                    else (math.max(1L, w * box / h), box.toLong)
+                  val resized = RealDecoder.resizeArgb(img, tw.toInt, th.toInt)
+                  ResizedFrameRow(r.doc_id, i.toLong, w, h, tw, th,
+                    RealDecoder.argbCrc(resized))
+              }
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"resize execution failed for doc_id=${r.doc_id}: " +
+                  s"${e.getMessage}", e)
+            }
           } else
             throw new IllegalArgumentException(
               s"resize execution for doc_id=${r.doc_id} (${r.mime}) needs " +
-                "a codec the JDK does not ship (the ffmpeg seam) — GIF and " +
-                "MJPEG-AVI are the JDK-native multi-frame containers")
+                "a codec the JDK does not ship (the ffmpeg seam) — GIF, " +
+                "MJPEG-AVI and MJPEG-MP4 are the JDK-native multi-frame " +
+                "containers")
         }
       }
   }

@@ -202,6 +202,120 @@ class MultimodalRealDecoderSpec extends SparkSuite {
     assert(m.duration_ms === 7500L && m.width === 64L && m.n_frames === 30L)
   }
 
+  /** Spec-conformant MJPEG MP4: ftyp, mdat carrying the real JPEG sample
+    * bytes, then moov whose stbl tables address them with ABSOLUTE file
+    * offsets — mdat precedes moov exactly so the offsets are known when
+    * the tables are built. `samplesPerChunk` > 1 exercises the stsc walk
+    * and intra-chunk offset accumulation, not just one-sample chunks. */
+  private def mjpegMp4Bytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+      timescale: Int = 600, delta: Int = 60,
+      samplesPerChunk: Int = 2, codec: String = "jpeg"): Array[Byte] = {
+    val ftyp = mbox("ftyp", ascii("isom"), beI(512), ascii("isomiso2"))
+    val mdatBody = frames.flatten.toArray
+    val mdatOff = ftyp.length + 8 // first sample's absolute file offset
+    val sizes = frames.map(_.length)
+    val offsets = sizes.scanLeft(mdatOff)(_ + _)
+    val chunkOffsets = sizes.indices.grouped(samplesPerChunk)
+      .map(g => offsets(g.head)).toSeq
+    val stts = fullBox("stts", 0, beI(1) ++ beI(frames.size) ++ beI(delta))
+    val stsc = fullBox("stsc", 0,
+      beI(1) ++ beI(1) ++ beI(samplesPerChunk) ++ beI(1))
+    val stsz = fullBox("stsz", 0,
+      beI(0) ++ beI(frames.size) ++ sizes.flatMap(beI).toArray)
+    val stco = fullBox("stco", 0,
+      beI(chunkOffsets.size) ++ chunkOffsets.flatMap(beI).toArray)
+    val mdhd = fullBox("mdhd", 0,
+      beI(0) ++ beI(0) ++ beI(timescale) ++ beI(0) ++ beI(0))
+    val stblBox = mbox("stbl",
+      fullBox("stsd", 0,
+        beI(1) ++ beI(16) ++ ascii(codec) ++ Array.fill[Byte](8)(0)),
+      stts, stsc, stsz, stco)
+    val trak = mbox("trak", tkhd0(w, h),
+      mbox("mdia", mdhd, hdlr("vide"), mbox("minf", stblBox)))
+    ftyp ++ (beI(8 + mdatBody.length) ++ ascii("mdat") ++ mdatBody) ++
+      mbox("moov", mvhd0(600, 600), trak)
+  }
+
+  test("mp4FrameImagesEvery: real MJPEG-in-MP4 pixels via the stbl walk") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x123456)
+    val jpegs = colors.map(jpegFrame(_, 24, 16))
+    val mp4 = mjpegMp4Bytes(jpegs, 24, 16)
+    assert(RealDecoder.mp4Meta(mp4).codec === "jpeg")
+    assert(RealDecoder.decode("video/mp4", mp4) === ((24L, 16L, 5L)))
+    val got = RealDecoder.mp4FrameImagesEvery(mp4, 2)
+    assert(got.map(_._1).toSeq === Seq(0, 2, 4))
+    // delay from the stts run against the mdhd timescale: 60/600 s = 10 cs
+    assert(got.map(_._3).distinct === Seq(10L))
+    // each sampled frame re-decodes identically to an independent
+    // ImageIO pass over the same JPEG bytes — the CRC pin
+    val expected = Seq(0, 2, 4).map { i =>
+      RealDecoder.argbCrc(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpegs(i))))
+    }
+    assert(got.map(g => RealDecoder.argbCrc(g._2)).toSeq === expected)
+    // 2-sample chunks put odd samples mid-chunk: every=1 must locate
+    // them by size accumulation inside the chunk
+    val all = RealDecoder.mp4FrameImagesEvery(mp4, 1)
+    assert(all.map(_._1).toSeq === (0 until 5))
+    assert(all.map(a => RealDecoder.argbCrc(a._2)).distinct.size === 5)
+  }
+
+  test("extractFrames and executeResize run MJPEG-MP4 on real pixels end-to-end") {
+    val jpegs = Seq(0xff8800, 0x0088ff, 0x88ff00, 0x222222).map(jpegFrame(_, 32, 20))
+    val mp4 = mjpegMp4Bytes(jpegs, 32, 20, timescale = 1000, delta = 40)
+    val rows = Seq(MediaRow(61L, "video/mp4", mp4))
+    val got = MultimodalOps.extractFrames(spark.createDataset(rows), every = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0L, 3L))
+    assert(got.map(_.delay_cs).distinct.toSeq === Seq(4L)) // 40/1000 s
+    assert(got.forall(r => r.width === 32L && r.height === 20L))
+    got.foreach { r =>
+      val img = RealDecoder.mp4FrameImagesEvery(mp4, 1)(r.frame_idx.toInt)._2
+      assert(RealDecoder.argbCrc(img) === r.pixel_crc, s"frame ${r.frame_idx}")
+    }
+    val rz = MultimodalOps.executeResize(
+        spark.createDataset(rows), box = 8, every = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(rz.map(_.frame_idx).toSeq === Seq(0L, 3L))
+    assert(rz.forall(r => r.target_w === 8L && r.target_h === 5L))
+    rz.foreach { r =>
+      val img = RealDecoder.mp4FrameImagesEvery(mp4, 1)(r.frame_idx.toInt)._2
+      val re = RealDecoder.resizeArgb(img, 8, 5)
+      assert(RealDecoder.argbCrc(re) === r.pixel_crc, s"frame ${r.frame_idx}")
+    }
+  }
+
+  test("hostile MJPEG-MP4 sample tables fail typed, and true codecs name the seam") {
+    val jpegs = Seq(0xff0000, 0x00ff00).map(jpegFrame(_, 8, 8))
+    // a chunk offset pointing past the payload: typed span error
+    val mp4 = mjpegMp4Bytes(jpegs, 8, 8, samplesPerChunk = 1)
+    // find the stco box and overwrite its first offset with a huge value
+    val stcoAt = {
+      val needle = ascii("stco")
+      (0 until mp4.length - 4).find(i => mp4.slice(i, i + 4).sameElements(needle)).get
+    }
+    val patched = mp4.clone()
+    System.arraycopy(beI(0x7ff00000), 0, patched, stcoAt + 12, 4)
+    val e1 = intercept[IllegalArgumentException](
+      RealDecoder.mp4FrameImagesEvery(patched, 1))
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    // a hostile stsz sample_count cannot size the plan: the per-sample
+    // size table is clamped to its own box length
+    val stszAt = {
+      val needle = ascii("stsz")
+      (0 until mp4.length - 4).find(i => mp4.slice(i, i + 4).sameElements(needle)).get
+    }
+    val bigCount = mp4.clone()
+    System.arraycopy(beI(0x7fffffff), 0, bigCount, stszAt + 12, 4)
+    // still decodes the 2 REAL samples promptly — no OOM, no wrap
+    assert(RealDecoder.mp4FrameImagesEvery(bigCount, 1).size === 2)
+    // a true codec names the fourcc and the ffmpeg seam
+    val avc = mjpegMp4Bytes(jpegs, 8, 8, codec = "avc1")
+    val e2 = intercept[IllegalArgumentException](
+      RealDecoder.mp4FrameImagesEvery(avc, 1))
+    assert(e2.getMessage.contains("avc1") && e2.getMessage.contains("ffmpeg"))
+  }
+
   test("hostile mp4 bytes fail typed: truncation, bad sizes, no video track") {
     // truncated moov: declared size far beyond the buffer
     val truncated = mbox("ftyp", ascii("isom")) ++
