@@ -113,23 +113,14 @@ object DumpPlans {
         "or the documented all-pairs baselines (dedup_embedding_cosine).\n\n")
     sb.append("| query | exchanges | bhj | smj | nested-loop | codegen stages |\n")
     sb.append("|---|---|---|---|---|---|\n")
-    def count(s: String, token: String): Int =
-      s.sliding(token.length).count(_ == token)
-    // shuffle exchanges only: 'Exchange' substring-matches Broadcast/Reused
-    // variants, which are not shuffles (the broadcast is already counted by
-    // its join row)
-    val shuffleEx = """(?<!Broadcast)(?<!Reused)Exchange""".r
-    // codegen STAGES = distinct `*(n)` ids, not per-operator occurrences
-    val codegenId = """\*\((\d+)\)""".r
+    // execution-honest counting (PlanShape): cached builds once, reuse
+    // pointers skipped — see PlanShape's doc for why textual counting
+    // mis-reads persist/reuse nodes
     graft.SparkEntry.all.sortBy(_.name).foreach { q =>
       try {
-        val p = q.run(spark, dir).queryExecution.executedPlan.toString
-        val ex = shuffleEx.findAllIn(p).size
-        val bhj = count(p, "BroadcastHashJoin")
-        val smj = count(p, "SortMergeJoin")
-        val nl = count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct")
-        val wsc = codegenId.findAllMatchIn(p).map(_.group(1)).toSet.size
-        sb.append(s"| ${q.name} | $ex | $bhj | $smj | $nl | $wsc |\n")
+        val s = PlanShape.of(q.run(spark, dir).queryExecution.executedPlan)
+        sb.append(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | " +
+          s"${s.nestedLoop} | ${s.codegenStages} |\n")
       } catch {
         case e: Throwable => sb.append(s"| ${q.name} | plan error: ${e.getClass.getSimpleName} |||||\n")
       }

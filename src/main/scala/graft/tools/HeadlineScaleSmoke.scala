@@ -1,0 +1,209 @@
+package graft.tools
+
+import graft.{Bench, GQuery, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 10× RELATIONAL scale point (judge r18, next-round item 1): every
+  * other family carries a measured scale tier (dedup 10.5M docs, graph
+  * 20M edges, ANN 10M vectors, streaming 80M events, the composed
+  * pipeline at 2M/10M docs), but the TPC-H/analytics headline registry
+  * had only ever been measured at sf0.1. This tool builds an
+  * sf1-EQUIVALENT testbed — ten key-shifted replicas of the driver's
+  * sf0.1 tables, referential integrity preserved — runs the relational
+  * headline subset at both scales with the bench's warm protocol
+  * (min of two timed passes after a full warmup pass, per-pass
+  * calibration recorded), reports per-family scaling, and FAILS if any
+  * query scales super-linearly.
+  *
+  *   SPARK_DRIVER_MEM=16g sbt "runMain graft.tools.HeadlineScaleSmoke"
+  *
+  * Testbed construction (idempotent; `scale_testbed/sf1`, gitignored):
+  * replica i shifts every key id-space by i × (max key + 1) —
+  * c_custkey/s_suppkey/p_partkey/o_orderkey and their foreign keys move
+  * together, so joins land exactly as at sf0.1 with 10× the rows;
+  * events shift event_id AND user_id (10× users at the original
+  * per-user density — the weak-scaling shape of a bigger deployment,
+  * and it keeps per-key window/state partitions bounded); region/nation
+  * stay fixed (real dimensions don't grow with the fact). c_name gains
+  * a per-replica 3-char suffix with TWO varying characters, so the
+  * edit-distance-1 linkage (fuzzy_name_pairs) stays replica-local —
+  * otherwise ten verbatim name copies would quadratically pair ACROSS
+  * replicas and the smoke would measure the hostile data it fabricated,
+  * not the engine. Fact tables are written as 32 files so the sf1 scan
+  * parallelizes the way any real multi-file table would.
+  *
+  * Query selection: the headline (bench=true) queries whose input files
+  * are exactly the replicated relational/events tables — the
+  * documents/embeddings families are excluded because their scale
+  * evidence lives in the dedicated smokes, and file-less sources (the
+  * LCG generator) are excluded because their volume doesn't move with
+  * the sf dir. Selection is derived from each query's actual
+  * `inputFiles`, not a hand-kept list, so a new query lands in the
+  * right bucket automatically.
+  *
+  * Super-linear gate: sf1/sf0.1 warm ratio ≤ replicas × 1.3 for every
+  * query with a non-noise sf1 time (> 1 s) — 10× the rows may cost 10×
+  * plus spill/merge overhead, but a quadratic pair generator or a
+  * driver-side collect would blow straight past 13×.
+  */
+object HeadlineScaleSmoke {
+
+  private val Replicas = sys.env.getOrElse("REPLICAS", "10").toInt
+  private val SuperLinearCeiling = Replicas * 1.3
+  private val NoiseFloorSec = 1.0
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dstDir = sys.env.getOrElse("SCALE_DIR",
+      new java.io.File(s"scale_testbed/sf1").getAbsolutePath)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("headline-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ensureTestbed(spark, srcDir, dstDir)
+
+    // relational headline subset, derived from actual inputs; the graph
+    // family is allowlisted by name because its queries STAGE the edge
+    // frame (an eager checkpoint truncates lineage, so inputFiles reads
+    // empty) yet are pure events-table consumers — and the iterative
+    // joins are exactly the shapes a scale point must cover
+    val selected = SparkEntry.benchQueries.sortBy(_.name).filter { q =>
+      val files =
+        try q.run(spark, srcDir).inputFiles.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      q.name.startsWith("graph_") || (files.nonEmpty && files.forall(f =>
+        !f.contains("documents") && !f.contains("embeddings")))
+    }
+    println(s"[smoke] headline-scale: ${selected.size} relational headline " +
+      s"queries of ${SparkEntry.benchQueries.size} total headline")
+
+    def releaseStaged(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def pass(dir: String): Map[String, Double] =
+      selected.map { q =>
+        val t0 = System.nanoTime()
+        q.run(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        releaseStaged()
+        q.name -> sec
+      }.toMap
+
+    def measured(dir: String): (Map[String, Double], Double) = {
+      pass(dir) // warmup: codegen, parquet footers, memo builds
+      val calib = Bench.calibrationProbeOnce(spark)
+      val p1 = pass(dir); val p2 = pass(dir)
+      (selected.map(q =>
+        q.name -> math.min(p1(q.name), p2(q.name))).toMap, calib)
+    }
+
+    val (small, calibSmall) = measured(srcDir)
+    val (big, calibBig) = measured(dstDir)
+    println(f"[smoke] headline-scale: calibration sf0.1-pass $calibSmall%.3f s, " +
+      f"sf1-pass $calibBig%.3f s (pin ${Bench.CalibrationRefSec}%.3f)")
+
+    def family(n: String): String =
+      if (n.matches("^q\\d+.*")) "tpch" else n.split('_').head
+    val rows = selected.map(_.name).map(n => (n, small(n), big(n), big(n) / small(n)))
+    val byFamily = rows.groupBy(r => family(r._1)).toSeq.sortBy(_._1)
+    println(f"[smoke] ${"family"}%-12s ${"n"}%3s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ratio")
+    byFamily.foreach { case (fam, rs) =>
+      val s = rs.map(_._2).sum; val b = rs.map(_._3).sum
+      println(f"[smoke] $fam%-12s ${rs.size}%3d $s%9.2f $b%9.2f ${b / s}%5.2f×")
+    }
+    val totalS = rows.map(_._2).sum; val totalB = rows.map(_._3).sum
+    println(f"[smoke] ${"TOTAL"}%-12s ${rows.size}%3d $totalS%9.2f $totalB%9.2f ${totalB / totalS}%5.2f×")
+
+    rows.sortBy(-_._4).take(8).foreach { case (n, s, b, r) =>
+      println(f"[smoke]   top-ratio $n%-28s $s%7.3f → $b%7.3f  $r%5.2f×") }
+
+    val violations = rows.filter { case (_, _, b, r) =>
+      b > NoiseFloorSec && r > SuperLinearCeiling }
+    violations.foreach { case (n, s, b, r) =>
+      println(f"[smoke] SUPER-LINEAR $n: $s%.3f s → $b%.3f s ($r%.1f× > " +
+        f"$SuperLinearCeiling%.1f×)") }
+    assert(violations.isEmpty,
+      s"${violations.size} queries scale super-linearly at ${Replicas}×")
+    println(f"[smoke] headline-scale PASS: ${rows.size} queries, total " +
+      f"$totalS%.1f s → $totalB%.1f s (${totalB / totalS}%.2f× for ${Replicas}× rows), " +
+      "0 super-linear")
+    spark.stop()
+  }
+
+  /** Build the replicated testbed once; a `_READY` marker makes re-runs
+    * free. Every replicated table's row count is asserted = replicas ×
+    * source before the marker is written. */
+  private def ensureTestbed(spark: SparkSession, srcDir: String,
+                            dstDir: String): Unit = {
+    val ready = new java.io.File(dstDir, "_READY")
+    if (ready.exists()) { println(s"[smoke] testbed ready at $dstDir"); return }
+    println(s"[smoke] building ${Replicas}× testbed at $dstDir from $srcDir")
+    new java.io.File(dstDir).mkdirs()
+
+    def src(name: String): DataFrame =
+      if (name == "events") Tables.events(spark, srcDir)
+      else spark.read.parquet(s"$srcDir/$name.parquet")
+
+    /** One id-space shift per replicated key column: base = max+1, so
+      * replica key spaces are disjoint and foreign keys stay aligned. */
+    def base(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    def replicate(name: String, keys: Seq[(String, Long)],
+                  extra: (DataFrame, Int) => DataFrame = (d, _) => d,
+                  files: Int = 8): Unit = {
+      val s = src(name)
+      val cols = s.columns
+      val union = (0 until Replicas).map { i =>
+        val shifted = keys.foldLeft(s) { case (d, (k, b)) =>
+          d.withColumn(k, col(k) + lit(i * b)) }
+        extra(shifted, i).select(cols.map(col).toSeq: _*)
+      }.reduce(_.unionByName(_))
+      union.repartition(files).write.mode("overwrite")
+        .parquet(s"$dstDir/$name.parquet")
+      val got = spark.read.parquet(s"$dstDir/$name.parquet").count()
+      val want = s.count() * Replicas
+      assert(got == want, s"$name: wrote $got rows, expected $want")
+      println(s"[smoke]   $name: $got rows")
+    }
+
+    // fixed dims copy verbatim
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .repartition(1).write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      println(s"[smoke]   $t: copied")
+    }
+    val custB = base(src("customer"), "c_custkey")
+    val suppB = base(src("supplier"), "s_suppkey")
+    val partB = base(src("part"), "p_partkey")
+    val ordB = base(src("orders"), "o_orderkey")
+    val evB = base(src("events"), "event_id")
+    val userB = base(src("events"), "user_id")
+    // two varying characters per replica suffix (digit pair + letter):
+    // cross-replica name distance ≥ 2, so edit-distance-1 linkage stays
+    // replica-local (see class doc)
+    def tagName(colName: String)(d: DataFrame, i: Int): DataFrame =
+      d.withColumn(colName, concat(col(colName),
+        lit(f"_$i%02d${('A' + i).toChar}")))
+    replicate("customer", Seq("c_custkey" -> custB), tagName("c_name"))
+    replicate("supplier", Seq("s_suppkey" -> suppB), tagName("s_name"))
+    replicate("part", Seq("p_partkey" -> partB))
+    replicate("orders", Seq("o_orderkey" -> ordB, "o_custkey" -> custB))
+    replicate("lineitem", Seq("l_orderkey" -> ordB, "l_partkey" -> partB,
+      "l_suppkey" -> suppB), files = 32)
+    replicate("events", Seq("event_id" -> evB, "user_id" -> userB),
+      files = 32)
+    val w = new java.io.PrintWriter(ready)
+    try w.println(s"replicas=$Replicas src=$srcDir") finally w.close()
+    println(s"[smoke] testbed complete")
+  }
+}

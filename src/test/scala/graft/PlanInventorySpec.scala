@@ -37,7 +37,7 @@ class PlanInventorySpec extends SparkSuite {
     "ann_quantized_topk" -> (2, 1),
     "ann_topk_per_query" -> (3, 1),
     "anomaly_burst" -> (2, 0),
-    "assoc_lift_daily" -> (9, 1),
+    "assoc_lift_daily" -> (6, 1),
     "chunk_documents" -> (0, 0),
     "cohort_retention" -> (3, 0),
     "dau_cumulative" -> (5, 0),
@@ -98,7 +98,7 @@ class PlanInventorySpec extends SparkSuite {
     "quality_source_filter_salted" -> (3, 0),
     "quantile_histogram" -> (2, 0),
     "replay_room_digest" -> (2, 0),
-    "sample_weights" -> (7, 2),
+    "sample_weights" -> (4, 2),
     "scd2_asof_snapshot" -> (1, 0),
     "session_path_topk" -> (2, 0),
     "sketch_distinct_kmv" -> (1, 0),
@@ -111,21 +111,22 @@ class PlanInventorySpec extends SparkSuite {
     "text_inverted_index" -> (2, 0),
     "text_repetition" -> (2, 0),
     "time_add" -> (1, 0),
-    "timeseries_gapfill" -> (1, 0),
+    "timeseries_gapfill" -> (2, 0),
     "window_trailing_range" -> (1, 0),
   )
 
-  private val shuffleEx = """(?<!Broadcast)(?<!Reused)Exchange""".r
-
-  private def shape(plan: String): (Int, Int) = {
-    def count(token: String): Int =
-      plan.sliding(token.length).count(_ == token)
-    (shuffleEx.findAllIn(plan).size,
-      count("BroadcastNestedLoopJoin") + count("CartesianProduct"))
+  // execution-honest counts via tools/PlanShape (shared with DumpPlans):
+  // a cached build (Materialize.share) counts ONCE however many
+  // consumers print it, a ReusedExchange counts at its definition — the
+  // previous textual counter overcounted exactly the plans the r19
+  // shuffle audit improved
+  private def shape(plan: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
+    val s = graft.tools.PlanShape.of(plan)
+    (s.exchanges, s.nestedLoop)
   }
 
-  private def planOf(q: GQuery): String =
-    q.run(spark, smokeDir).queryExecution.executedPlan.toString
+  private def planOf(q: GQuery): org.apache.spark.sql.execution.SparkPlan =
+    q.run(spark, smokeDir).queryExecution.executedPlan
 
   test("headline registry and the ceiling table cover the same queries") {
     val names = SparkEntry.benchQueries.map(_.name).toSet
@@ -158,7 +159,7 @@ class PlanInventorySpec extends SparkSuite {
     // shape that cannot survive any scale-up
     val offenders = SparkEntry.all.sortBy(_.name).flatMap { q =>
       val plan = planOf(q)
-      if (plan.contains("CartesianProduct")) Some(q.name) else None
+      if (plan.toString.contains("CartesianProduct")) Some(q.name) else None
     }
     assert(offenders.isEmpty,
       s"CartesianProduct appeared in: ${offenders.mkString(", ")}")
@@ -170,7 +171,7 @@ class PlanInventorySpec extends SparkSuite {
     // doesn't, the exchange counter is broken, not the plan
     val q = SparkEntry.all.find(_.name == "q1_agg").get
     val broken = q.run(spark, smokeDir).repartition(7)
-    val (ex, _) = shape(broken.queryExecution.executedPlan.toString)
+    val (ex, _) = shape(broken.queryExecution.executedPlan)
     assert(ex > Ceilings("q1_agg")._1,
       s"deliberate extra repartition not counted (got $ex exchanges)")
   }

@@ -40,7 +40,18 @@ import graft.tools.SqlParityProbe.canon
   * a per-LEVEL DISTINCT (each level ≤ n rows; the hop bound zeroes the
   * step at level 5, so termination never depended on the cross-level
   * dedup).
+  *
+  * Tagged [[org.scalatest.tags.Slow]] (judge r18, item 6): this suite
+  * alone is ~38 of the full matrix's ~48 minutes (184 oracle texts ×
+  * plan+execute+canon compare), and it guards the SQL-entry surface,
+  * not the operators themselves — so the CORE gate skips it:
+  *
+  *   sbt "testOnly * -- -l org.scalatest.tags.Slow"   # ~11 min
+  *
+  * while plain `sbt test` (the round-close command) still runs the
+  * full matrix including this suite.
   */
+@org.scalatest.tags.Slow
 class SqlParitySpec extends SparkSuite {
 
   private val AnsiSubset = Seq(
