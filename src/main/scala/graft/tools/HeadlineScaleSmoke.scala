@@ -76,8 +76,16 @@ object HeadlineScaleSmoke {
     // joins are exactly the shapes a scale point must cover
     val selected = SparkEntry.benchQueries.sortBy(_.name).filter { q =>
       val files =
-        try q.run(spark, srcDir).inputFiles.toSeq
-        catch { case scala.util.control.NonFatal(_) => Nil }
+        try {
+          val df = q.run(spark, srcDir)
+          // a query that share()-persists a subframe registers it with
+          // the cache manager during run(); the substituted
+          // InMemoryRelation leaf would hide the file scans from
+          // inputFiles (assoc_lift_daily vanished this way) — clear
+          // before probing
+          spark.sharedState.cacheManager.clearCache()
+          df.inputFiles.toSeq
+        } catch { case scala.util.control.NonFatal(_) => Nil }
       q.name.startsWith("graph_") || (files.nonEmpty && files.forall(f =>
         !f.contains("documents") && !f.contains("embeddings")))
     }
@@ -122,6 +130,14 @@ object HeadlineScaleSmoke {
     }
     val totalS = rows.map(_._2).sum; val totalB = rows.map(_._3).sum
     println(f"[smoke] ${"TOTAL"}%-12s ${rows.size}%3d $totalS%9.2f $totalB%9.2f ${totalB / totalS}%5.2f×")
+    // calibration-normalized ratio: each side scaled by its own pass's
+    // machine speed, so a contention burst during ONE side's passes
+    // (visible as its calibration drifting off the pin) doesn't
+    // masquerade as scaling behavior
+    val normRatio = (totalB * Bench.CalibrationRefSec / calibBig) /
+      (totalS * Bench.CalibrationRefSec / calibSmall)
+    println(f"[smoke] normalized ratio ${normRatio}%.2f× " +
+      f"(raw ${totalB / totalS}%.2f×; sf0.1 calib $calibSmall%.3f, sf1 calib $calibBig%.3f)")
 
     rows.sortBy(-_._4).take(8).foreach { case (n, s, b, r) =>
       println(f"[smoke]   top-ratio $n%-28s $s%7.3f → $b%7.3f  $r%5.2f×") }
