@@ -595,8 +595,10 @@ object AnalyticsOps {
     // make the two copies non-canonical — exchange reuse cannot serve
     // them (unlike q15's identical twins), so without staging the raw
     // events would be scanned and aggregated twice. The staged frame is
-    // bounded by types × hours, not by row count.
-    val b = graft.Materialize.share(events
+    // bounded by types × hours, not by row count. (stage, not share:
+    // PlanSpec pins the final plan free of raw-events scans, which the
+    // checkpoint's lineage truncation is what guarantees.)
+    val b = graft.Materialize.stage(events
       .groupBy(col("event_type"),
         expr(ExactSql.HourSpark).as("hr"))
       .agg(count(lit(1)).as("cnt"),

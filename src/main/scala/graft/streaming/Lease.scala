@@ -144,16 +144,39 @@ final class FsLease(root: String, name: String, ownerId: String,
         else if (live) None
         else takeover(e)
       case None =>
-        // vacant: race the atomic create; losers report the winner's
-        // ownership. Epoch clears any tombstone/heartbeat floor so a
-        // vacancy observed MID-takeover (lock renamed away, successor
-        // not yet published) still fences above the dead owner.
-        val epoch = maxKnownEpoch() + 1
-        if (createExclusive(lock, s"$ownerId\n$epoch\n${now() + ttlMs}"))
-          Some(epoch)
-        else None
+        // vacant: but a FRESH claim file means a takeover is in flight —
+        // the claimant will either publish epoch+1 or RESTORE a live
+        // lock it caught by mistake. Claiming the vacancy now could
+        // re-issue the epoch of that caught-live lock (its owner
+        // acquired moments ago and has no heartbeat yet, so the floor
+        // scan cannot see it — the full-suite r19 run produced exactly
+        // that: two processes both fenced at epoch 2). Defer; the
+        // caller's retry loop comes back after the claimant resolves.
+        // Claims older than the TTL belong to a crashed claimant and no
+        // longer gate (their lock, if any was caught, has lapsed too).
+        if (freshClaimExists()) None
+        else {
+          // race the atomic create; losers report the winner's
+          // ownership. Epoch clears any tombstone/heartbeat floor so a
+          // vacancy observed MID-takeover (lock renamed away, successor
+          // not yet published) still fences above the dead owner.
+          val epoch = maxKnownEpoch() + 1
+          if (createExclusive(lock, s"$ownerId\n$epoch\n${now() + ttlMs}"))
+            Some(epoch)
+          else None
+        }
     }
   }
+
+  /** A claim file younger than the TTL — an in-flight takeover whose
+    * outcome (publish or restore) the vacancy path must wait out. */
+  private def freshClaimExists(): Boolean =
+    try {
+      val cutoff = now() - ttlMs
+      fs.listStatus(dir).exists(s =>
+        s.getPath.getName.startsWith("claim-") &&
+          s.getModificationTime > cutoff)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Expired-lease takeover. The rename is the single-winner arbiter
     * (exactly one challenger's rename finds the source present), but it
@@ -197,11 +220,19 @@ final class FsLease(root: String, name: String, ownerId: String,
       case Some((o, e, x))
           if math.max(x, heartbeatDeadline(e)) > now() =>
         // stole a LIVE lock (a faster challenger already succeeded):
-        // put it back and report lost. If the restore loses a race to a
-        // vacancy claimant, that claimant's epoch cleared the floor
-        // markers, so fencing stays sound and owner `o` simply observes
-        // isOwner == false — a spurious eviction, same failure class as
-        // an expiry blip.
+        // put it back and report lost. Pin the caught epoch's floor
+        // FIRST: the freshly-acquired owner may have no heartbeat yet,
+        // so without the marker a vacancy claimant racing this restore
+        // window could re-issue epoch `e` to a second owner (the exact
+        // two-winners-at-epoch-2 interleaving the r19 full-suite run
+        // caught; freshClaimExists is the first defense, this marker
+        // covers a claimant that crashed before restoring). The marker
+        // never revokes `o`'s ownership — floors only raise FUTURE
+        // epoch issuance, and isOwner/renew compare lock content.
+        writeAtomic(new Path(dir, s"dead-$e"), "", overwrite = true)
+        // restore may race a vacancy claimant; if it loses, owner `o`
+        // observes isOwner == false — a spurious eviction, same failure
+        // class as an expiry blip, but never a re-issued epoch.
         if (!createExclusive(lock, content.get)) ()
         try fs.delete(claim, false)
         catch { case scala.util.control.NonFatal(_) => () }

@@ -111,7 +111,7 @@ class PlanInventorySpec extends SparkSuite {
     "text_inverted_index" -> (2, 0),
     "text_repetition" -> (2, 0),
     "time_add" -> (1, 0),
-    "timeseries_gapfill" -> (2, 0),
+    "timeseries_gapfill" -> (1, 0),
     "window_trailing_range" -> (1, 0),
   )
 
