@@ -67,6 +67,26 @@ object Materialize {
     }
   }
 
+  /** [[stage]] for a frame that a LATER action in the SAME query is
+    * guaranteed to consume (an iterative round followed by its digest,
+    * a staged edge frame walked by the final count): local checkpoint
+    * with eager = false, so the final-stage materialization job merges
+    * into that consumer's job instead of running as its own — one fewer
+    * scheduled job per staged frame (AQE still materializes the frame's
+    * internal exchange stages at call time; only the last stage defers).
+    * Partial consumption is safe: LocalRDDCheckpointData completes any
+    * missing partitions at first-job end. Under [[DirConfKey]] (the
+    * reliable-checkpoint 100 TB posture) this stays EAGER — a lazy
+    * reliable checkpoint recomputes the frame a second time to write the
+    * checkpoint files, which is strictly worse. */
+  def stageLazy[T](df: Dataset[T]): Dataset[T] = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConfKey) match {
+      case Some(dir) => reliably(df, dir)
+      case None      => withRetryBarrier(df).localCheckpoint(eager = false)
+    }
+  }
+
   /** Audit-only fault point (graft.tools.RetryAudit): staged intermediates
     * are computed by their own checkpoint job, so a barrier here makes that
     * job's final stage — post-shuffle wherever the staged frame shuffles —

@@ -1111,6 +1111,30 @@ object DedupOps {
     * jobs per round (the round-7 shape) become one 1-row aggregate per
     * round plus one set-difference at the fixpoint.
     *
+    * Optimization-round shape (r19, guide §2.3/§2.4 — measured 54→~33
+    * scheduled jobs on graph_components at bench scale, and one fewer
+    * full-edge-set shuffle per round at any scale):
+    *  - large-star emits its rewrite WITHOUT a dedicating distinct: the
+    *    duplicates it can produce (several smaller neighbors sharing one
+    *    component-min) are bounded by 2·|E| rows and die in small-star's
+    *    closing distinct, so the removed exchange shuffled O(|E|) rows
+    *    per round for nothing;
+    *  - the exact fixpoint check is ONE-directional (next ⊆ prev): it
+    *    only runs once digests — which carry the cardinality — already
+    *    match, and two equal-size distinct sets with one containment are
+    *    equal;
+    *  - labels come straight OFF the fixpoint: converged edges are
+    *    exactly {(v, root) : v ≠ root}, so (doc_id, rep) = edge rows
+    *    plus one (root, root) row per distinct root — the input pair
+    *    set is never rescanned and the former nodes-side distinct +
+    *    left join (two more shuffles of every node) are gone. This
+    *    relies on the documented precondition that pairs are proper
+    *    (doc_a ≠ doc_b — all callers canonicalize a < b; a self-pair
+    *    would previously have surfaced as its own singleton component,
+    *    now it is dropped by a row-local guard at entry, so a node with
+    *    ONLY self-pairs is absent from the labeling — no caller, oracle
+    *    or property generator produces one).
+    *
     * StarRewriteProperties checks this differentially against plain
     * min-label propagation on arbitrary random graphs.
     */
@@ -1119,18 +1143,17 @@ object DedupOps {
   def componentsFromPairs(pairs: DataFrame): DataFrame = starComponents(pairs)
 
   private[operators] def starComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = graft.Materialize.stage(pairsIn.select("doc_a", "doc_b"))
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b"))).distinct()
-
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
       val m = sym.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no closing distinct (see scaladoc): duplicates — several smaller
+      // neighbors sharing one component-min — are ≤ 2·|E| rows and die in
+      // small-star's distinct; the removed exchange re-shuffled the whole
+      // edge set once per round
       sym.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input is child→parent (src > dst by large-star construction)
@@ -1151,18 +1174,21 @@ object DedupOps {
         expr("bit_xor(xxhash64(src, dst))").as("h")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // one-directional: called only when digests (count included) already
+    // match, and two equal-cardinality distinct sets with a ⊆ b are equal
     def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean =
-      a.except(b).union(b.except(a)).isEmpty
+      a.except(b).isEmpty
 
-    var edges = graft.Materialize.stage(
-      pairs.select(least(col("doc_a"), col("doc_b")).as("dst"),
+    var edges = graft.Materialize.stageLazy(
+      pairsIn.select(least(col("doc_a"), col("doc_b")).as("dst"),
         greatest(col("doc_a"), col("doc_b")).as("src"))
+        .filter(col("src") =!= col("dst")) // proper-pair guard (scaladoc)
         .select(col("src"), col("dst")).distinct())
     var dig = digest(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
-      val next = graft.Materialize.stage(smallStar(largeStar(edges)))
+      val next = graft.Materialize.stageLazy(smallStar(largeStar(edges)))
       val nextDig = digest(next)
       // exact set equality checked ONLY when the cheap digest matches —
       // see the convergence paragraph in the scaladoc above
@@ -1174,10 +1200,13 @@ object DedupOps {
     require(converged,
       s"starComponents: not converged after $rounds star rounds — " +
         "raise the bound (log2 of component count should far undercut it)")
-    // fixpoint edges are exactly (doc → component-min) stars; roots
-    // carry themselves
-    nodes.join(edges.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("rep"))
+    // fixpoint edges are exactly (doc → component-min) stars: every
+    // non-root appears once as src, every root once per child as dst —
+    // so the labeling is the edge rows plus one (root, root) row per
+    // distinct root, straight off the staged fixpoint (the input pair
+    // set is never rescanned; see scaladoc)
+    edges.select(col("src").as("doc_id"), col("dst").as("rep"))
+      .union(edges.select(col("dst"), col("dst")).distinct())
   }
 
   /** Connected-component labels over the symmetric `edges` CTE WITHOUT

@@ -94,22 +94,16 @@ object GraphOps {
   /** [[PrIters]] PageRank iterations over [[temporalEdges]]. Each
     * iteration is one user-keyed join (ranks onto edge sources) and one
     * map-side-combinable sum onto destinations; nodes with no in-edges
-    * keep the damping base via the left join. The edge frame is
-    * materialized ONCE (Materialize.stage: localCheckpoint locally, a
-    * reliable checkpoint dir under spark.graft.checkpoint.dir — the
-    * 100 TB posture): without it every
-    * iteration re-derives the first-touch aggregate and chain window,
-    * tripling the shuffle count of the unrolled plan.
+    * keep the damping base via the left join. The edge frame (with
+    * outdegree attached) is materialized ONCE inside [[ranks]]
+    * (Materialize.stageLazy: localCheckpoint locally, a reliable
+    * checkpoint dir under spark.graft.checkpoint.dir — the 100 TB
+    * posture): without it every iteration re-derives the first-touch
+    * aggregate and chain window, tripling the shuffle count of the
+    * unrolled plan.
     */
   def pagerank(events: DataFrame): DataFrame =
-    // staged PRE-PARTITIONED on src (r18 judge item 5 — pinned at 10
-    // exchanges): the checkpoint preserves the hash partitioning, so
-    // the outdegree aggregate and every iteration's edge-side join
-    // consume the EDGE frame — the only side that is corpus-sized at
-    // 100 TB — without ever re-shuffling it; the per-iteration
-    // exchanges that remain move node-sized frames only (ranks to src,
-    // contributions to dst), which is PageRank's inherent data flow.
-    ranks(graft.Materialize.stage(temporalEdges(events)))
+    ranks(temporalEdges(events))
       .orderBy(col("r").desc, col("u"))
       .limit(10)
       .select(col("u").as("user_id"), col("r").as("rank_e6"))
@@ -119,24 +113,34 @@ object GraphOps {
     * derivation and the final top-k so properties can check it
     * differentially on arbitrary graphs. */
   private[graft] def ranks(ed: DataFrame): DataFrame = {
-    // nodes and outdegree are loop INVARIANTS, but declared inline each
-    // is re-instantiated per iteration (no exchange reuse across the
-    // unrolled tree — r18 judge item 5: graph_pagerank pinned at 10
-    // exchanges, 2 of them EDGE-sized per iteration). SHARED once
-    // (lazy persist — the eager-checkpoint variant was measured ~0.5 s
-    // slower at sf0.1, paying two extra jobs), the iterations derive
-    // them once and the remaining per-iteration exchanges move only
-    // node-sized frames: ranks→src and contributions→dst, PageRank's
-    // inherent data flow. Exchanges drop 10 → 8 and isolated warm time
-    // 2.8 → 2.4 s; at 100 TB the edge-sized node-set/outdegree
-    // shuffles run once instead of once per iteration.
-    val nodes = graft.Materialize.share(ed.select(col("src").as("u"))
-      .union(ed.select(col("dst").as("u"))).distinct())
-    val od = graft.Materialize.share(
-      ed.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // r19 optimization-round shape (guide §2.3/§2.4): the two loop
+    // INVARIANTS — outdegree and the node set — are folded into TWO
+    // staged frames instead of being re-derived (or re-exchanged) per
+    // iteration:
+    //  - edc = edges ⋈ outdegree, staged PRE-PARTITIONED on src: the
+    //    groupBy("src") and the join both cluster `ed` by src, so AQE
+    //    reuses ONE exchange of the edge frame and the checkpointed
+    //    LogicalRDD carries hashpartitioning(src) — every iteration's
+    //    edge-side join consumes the only corpus-sized frame at 100 TB
+    //    with ZERO further edge shuffles (the r18 shape re-exchanged it
+    //    once per iteration, visible as Exchange over Scan ExistingRDD
+    //    in plans/r19/graph_pagerank_before.txt);
+    //  - nodes staged partitioned on u: the per-iteration left join
+    //    reuses the partitioning instead of re-exchanging the cached
+    //    frame each iteration (the r18 persist() variant lost it).
+    // Remaining per-iteration exchange: contributions to dst — with
+    // map-side partial aggregation that moves node-sized partials,
+    // PageRank's inherent data flow. Lazy staging (stageLazy) merges
+    // each checkpoint's final materialization job into its first
+    // consumer.
+    val edc = graft.Materialize.stageLazy(
+      ed.join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+    val nodes = graft.Materialize.stageLazy(
+      edc.select(col("src").as("u"))
+        .union(edc.select(col("dst").as("u"))).distinct())
     var r = nodes.withColumn("r", lit(PrUnit))
     for (_ <- 1 to PrIters) {
-      val contrib = ed.join(od, "src")
+      val contrib = edc
         .join(r.withColumnRenamed("u", "src"), "src")
         .select(col("dst").as("u"),
           expr(s"(r * $PrDampNum) div (outdeg * $PrDampDen)").as("c"))
@@ -301,7 +305,7 @@ object GraphOps {
     * (triangles-per-wedge, ppm) hash-matches exactly.
     */
   def triangles(events: DataFrame): DataFrame =
-    triangleStats(graft.Materialize.stage(cooccurrenceEdges(events)))
+    triangleStats(graft.Materialize.stageLazy(cooccurrenceEdges(events)))
 
   /** The orientation/wedge/close pipeline over an undirected edge frame
     * (u, v) with u < v, deduplicated — separated from the edge derivation
@@ -325,7 +329,7 @@ object GraphOps {
     // edges whose src/dst/ddg contradict each other
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    graft.Materialize.stage(wd.select(
+    graft.Materialize.stageLazy(wd.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddg")))
@@ -424,7 +428,7 @@ object GraphOps {
     * where many nodes tie at 10⁶.
     */
   def lccTopk(events: DataFrame): DataFrame =
-    lccFromEdges(graft.Materialize.stage(cooccurrenceEdges(events)))
+    lccFromEdges(graft.Materialize.stageLazy(cooccurrenceEdges(events)))
 
   /** The lcc ranking over an explicit undirected edge frame — the seam
     * GraphSpec pins against hand-computed K4 coefficients. */
@@ -483,26 +487,45 @@ object GraphOps {
     * by user_id.
     */
   def bfsHops(events: DataFrame): DataFrame =
-    bfsFromEdges(graft.Materialize.stage(cooccurrenceEdges(events)))
+    bfsFromEdges(graft.Materialize.stageLazy(cooccurrenceEdges(events)))
 
   /** The frontier loop over an explicit undirected edge frame — the seam
     * GraphSpec pins against hand-traced hop distances. */
   private[graft] def bfsFromEdges(und: DataFrame): DataFrame = {
-    val edges = graft.Materialize.stage(
+    // r19 optimization-round shape (guide §2.3/§2.4):
+    //  - the both-direction edge frame is staged PRE-PARTITIONED on src
+    //    (repartition + checkpoint ⇒ LogicalRDD carries the hash
+    //    partitioning), so each round's frontier⋈edges join re-shuffles
+    //    only the frontier — the corpus-sized frame crosses the network
+    //    ONCE at any scale instead of once per hop;
+    //  - the settled set is a LAZY UNION of the staged per-hop frontiers
+    //    instead of a re-staged frame per round: the old shape re-wrote
+    //    every settled node each hop (O(n·hops) materialized bytes and
+    //    one extra checkpoint job per round) just to feed the anti-join,
+    //    which reads the same checkpointed blocks either way;
+    //  - stageLazy merges each frontier checkpoint's final
+    //    materialization job into its first consumer (next hop's join).
+    val edges = graft.Materialize.stageLazy(
       und.select(col("u").as("src"), col("v").as("dst"))
-        .union(und.select(col("v").as("src"), col("u").as("dst"))))
-    var dist = graft.Materialize.stage(
-      und.agg(min("u").as("x")).select(col("x"), lit(0L).as("hops")))
-    var frontier = dist
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
+    // seed off the STAGED frame (min src over both directions = min u)
+    // rather than re-walking the input pair derivation; staged because
+    // every level union references it
+    var frontier = graft.Materialize.stageLazy(
+      edges.agg(min("src").as("x")).select(col("x"), lit(0L).as("hops")))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1L to BfsMaxHops) {
-      frontier = graft.Materialize.stage(
+      val settled = levels.reduce(_ union _)
+      frontier = graft.Materialize.stageLazy(
         frontier.join(edges, col("x") === col("src"))
           .select(col("dst").as("x"), lit(i).as("hops"))
           .distinct()
-          .join(dist, Seq("x"), "left_anti"))
-      dist = graft.Materialize.stage(dist.union(frontier))
+          .join(settled, Seq("x"), "left_anti"))
+      levels += frontier
     }
-    dist.orderBy("x").select(col("x").as("user_id"), col("hops"))
+    levels.reduce(_ union _)
+      .orderBy("x").select(col("x").as("user_id"), col("hops"))
   }
 
   val graphBfsHops = GQuery(
@@ -557,31 +580,48 @@ object GraphOps {
     * in-plan like BFS.
     */
   def ssspWeighted(events: DataFrame): DataFrame =
-    ssspFromEdges(graft.Materialize.stage(weightedCoocEdges(events)))
+    ssspFromEdges(graft.Materialize.stageLazy(weightedCoocEdges(events)))
 
   /** The delta-relaxation loop over an explicit weighted edge frame
     * (u, v, cnt) — the seam GraphSpec pins against hand-traced costs. */
   private[graft] def ssspFromEdges(wund: DataFrame): DataFrame = {
+    // r19 optimization-round shape (guide §2.3/§2.4):
+    //  - edges staged PRE-PARTITIONED on src, as in [[bfsFromEdges]]:
+    //    the corpus-sized frame shuffles once, not once per round;
+    //  - ONE flag-carrying aggregate per round replaces the old
+    //    merge-then-compare-join: previous distances enter with f = 0,
+    //    candidate relaxations with f = 1, and
+    //    min(CASE WHEN f = 0 THEN cost END) recovers the previous cost
+    //    next to the merged min — so the frontier ("did this node
+    //    improve?") is a row-local filter over the SAME staged frame
+    //    instead of a second staged join of the full distance table
+    //    (one checkpoint job and one n-sized join removed per round).
     val w = wund.withColumn("w", expr(costExpr("cnt")))
-    val edges = graft.Materialize.stage(
+    val edges = graft.Materialize.stageLazy(
       w.select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .union(w.select(col("v").as("src"), col("u").as("dst"), col("w"))))
-    var dist = graft.Materialize.stage(
-      wund.agg(min("u").as("x")).select(col("x"), lit(0L).as("cost")))
+        .union(w.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .repartition(col("src")))
+    // seed off the STAGED frame (min src over both directions = min u):
+    // an agg over wund here would re-derive the whole weighted-edge
+    // subtree a second time
+    var dist = graft.Materialize.stageLazy(
+      edges.agg(min("src").as("x")).select(col("x"), lit(0L).as("cost")))
     var frontier = dist
     for (round <- 1 to SsspMaxRounds) {
       val cand = frontier.join(edges, col("x") === col("src"))
-        .select(col("dst").as("x"), (col("cost") + col("w")).as("cost"))
-      val merged = graft.Materialize.stage(
-        dist.union(cand).groupBy("x").agg(min("cost").as("cost")))
-      // the last round's frontier has no consumer — don't run its job
+        .select(col("dst").as("x"), (col("cost") + col("w")).as("cost"),
+          lit(1).as("f"))
+      val merged = graft.Materialize.stageLazy(
+        dist.select(col("x"), col("cost"), lit(0).as("f")).union(cand)
+          .groupBy("x").agg(min("cost").as("cost"),
+            min(when(col("f") === 0, col("cost"))).as("old")))
+      dist = merged.select("x", "cost")
+      // improved = newly reached (no f=0 row) or strictly cheaper; the
+      // last round's frontier has no consumer — don't derive it
       if (round < SsspMaxRounds)
-        frontier = graft.Materialize.stage(
-          merged.join(dist.select(col("x"), col("cost").as("old")),
-              Seq("x"), "left")
-            .filter(col("old").isNull || col("cost") < col("old"))
-            .select("x", "cost"))
-      dist = merged
+        frontier = merged
+          .filter(col("old").isNull || col("cost") < col("old"))
+          .select("x", "cost")
     }
     dist.orderBy("x").select(col("x").as("user_id"), col("cost"))
   }
