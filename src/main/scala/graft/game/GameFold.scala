@@ -309,8 +309,16 @@ object GameFold {
     * too, and the tie would fall to shuffle-read order.
     */
   private def byRoomSorted(events: Dataset[GameEvent]): Dataset[GameEvent] =
+    // explicit partition count (r19): the fold below is CPU-bound typed
+    // Scala per event, but its shuffle WRITES only compact rows — AQE's
+    // byte-based coalescing sees a few MB and would fold the whole corpus
+    // into one partition, serializing the fold (measured at sf0.1: the
+    // replay pair ran on 1 post-shuffle task). An explicit count is
+    // exempt from coalescing; the value is the session's configured
+    // shuffle parallelism — the cluster-tuned knob, not a local constant.
     events
-      .repartition(col("room"))
+      .repartition(events.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("room"))
       .sortWithinPartitions(col("room"), col("seq"))
 
   /** The distributed fold: one shuffle on the room key, in-partition sort,

@@ -874,7 +874,13 @@ object DedupOps {
     */
   private def substrWindowRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
+    // spread the rolling-hash kernel across cores (r19): the testbed's
+    // documents arrive as one scan split, so the CPU-bound per-window
+    // hashing otherwise runs single-core — same tradeoff and precedent
+    // as hashedShingleArrays (the shuffle moves the text once; at scale
+    // many scan splits make it near-free)
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         when(col("doc_id") % SubstrPlantMod === 0,
           concat(lit(SubstrBoiler + " "), col("text")))
@@ -1003,7 +1009,9 @@ object DedupOps {
     * non-transitive form; full connected-component clustering is an
     * iterative graph job, deliberately out of single-query scope. Scale
     * shape: four loser sets, each produced by an already-scale-audited
-    * subplan, left-joined to the corpus on doc_id.
+    * subplan, unioned with a precedence rank into ONE min-rank aggregate
+    * and left-joined to the corpus on doc_id once (r19 — formerly four
+    * sequential corpus-keyed left joins).
     */
   val pipelineCorpusClean = GQuery(
     "pipeline_corpus_clean",
@@ -1013,7 +1021,7 @@ object DedupOps {
       // never cross the dedup shuffle
       val exactLosers = exactDupRank(docs, Seq.empty)
         .filter(col("rn") > 1)
-        .select(col("doc_id"), lit(1).as("f_exact"))
+        .select(col("doc_id"), lit(0).as("pri"))
       val toks = docs.select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= "").as("t"),
         length(col("text")).cast("long").as("ncl"))
@@ -1028,23 +1036,27 @@ object DedupOps {
             least(expr("(ncl - n + 1) * 200 div (8 * n)"), lit(200L)))
           .otherwise(lit(0L)))
       val lowQ = quality.filter(col("q") < QualityFloor)
-        .select(col("doc_id"), lit(1).as("f_quality"))
+        .select(col("doc_id"), lit(1).as("pri"))
+      // r19 (guide §2.3): the four loser sets carry a PRECEDENCE rank and
+      // meet in ONE union → min-rank aggregate → ONE left join, replacing
+      // four sequential corpus-keyed left joins; the near/emb distincts
+      // fold into the same aggregate (a doc_b repeated across pairs just
+      // contributes the same rank twice to the min). Outcome per doc is
+      // identical: membership in set k ⟺ min-rank ≤ k, and the CASE
+      // precedence below is exactly min-rank.
       val nearLosers = minhashPairs(s, d)
-        .select(col("doc_b").as("doc_id")).distinct()
-        .select(col("doc_id"), lit(1).as("f_near"))
+        .select(col("doc_b").as("doc_id"), lit(2).as("pri"))
       val embLosers = bandedEmbPairs(s, d)
-        .select(col("vec_b").as("doc_id")).distinct()
-        .select(col("doc_id"), lit(1).as("f_emb"))
+        .select(col("vec_b").as("doc_id"), lit(3).as("pri"))
+      val losers = exactLosers.union(lowQ).union(nearLosers).union(embLosers)
+        .groupBy("doc_id").agg(min("pri").as("pri"))
       docs.select("doc_id", "source")
-        .join(exactLosers, Seq("doc_id"), "left")
-        .join(lowQ, Seq("doc_id"), "left")
-        .join(nearLosers, Seq("doc_id"), "left")
-        .join(embLosers, Seq("doc_id"), "left")
+        .join(losers, Seq("doc_id"), "left")
         .withColumn("outcome",
-          when(col("f_exact").isNotNull, "exact_dup")
-            .when(col("f_quality").isNotNull, "low_quality")
-            .when(col("f_near").isNotNull, "near_dup")
-            .when(col("f_emb").isNotNull, "emb_near_dup")
+          when(col("pri") === 0, "exact_dup")
+            .when(col("pri") === 1, "low_quality")
+            .when(col("pri") === 2, "near_dup")
+            .when(col("pri") === 3, "emb_near_dup")
             .otherwise("kept"))
         .groupBy("source", "outcome")
         .agg(count(lit(1)).as("n"))

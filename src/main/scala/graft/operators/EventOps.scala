@@ -344,7 +344,17 @@ object EventOps {
   val schemaEnforce = GQuery(
     "schema_enforce",
     (s, d) => {
-      val wire = gameView(s, d).select(
+      // r19: spread the enforcement kernel (Jackson encode + schema-checked
+      // decode, ~µs per row) across cores with one compact-row shuffle —
+      // the scan side is a single split here (one parquet row group) and
+      // in production any few-file/skewed feed has the same shape; the
+      // shuffled row is just (seq + four small columns), far cheaper than
+      // the serialize/parse CPU it unlocks. Explicit count: exempt from
+      // AQE byte-based coalescing (the stage is CPU-bound, not
+      // byte-bound); the value is the session's configured shuffle
+      // parallelism — the cluster-tuned knob.
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val wire = gameView(s, d).repartition(np).select(
         col("seq"),
         to_json(struct(col("room"), col("victim"), col("event_type"), col("value")))
           .as("payload"))

@@ -929,12 +929,24 @@ object RelationalOps {
     * audit frame; nothing quadratic, nothing driver-side.
     */
   val dqReferential: GQuery = {
-    def auditDf(name: String,
+    // r19: each relationship contributes its TAGGED full-outer key frame
+    // and the four 1-row reductions collapse into ONE final aggregate
+    // over the union, keyed by the relationship tag — partial aggregation
+    // reduces every partition to ≤ 4 rows map-side, so the tag-keyed
+    // shuffle moves a handful of partials at any scale while four
+    // separate final-aggregate stages (and the union of their 1-row
+    // results) disappear from the schedule.
+    def keyedDf(name: String,
         child: org.apache.spark.sql.DataFrame, ck: String,
         parent: org.apache.spark.sql.DataFrame, pk: String) = {
       val cg = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n_c"))
       val pg = parent.groupBy(col(pk).as("k")).agg(count(lit(1)).as("n_p"))
       cg.join(pg, Seq("k"), "full_outer")
+        .select(lit(name).as("relationship"), col("n_c"), col("n_p"))
+    }
+    def auditAll(frames: Seq[org.apache.spark.sql.DataFrame]) =
+      frames.reduce(_ union _)
+        .groupBy("relationship")
         .agg(
           sum(coalesce(col("n_c"), lit(0L))).as("n_child"),
           sum(when(col("n_p").isNull, col("n_c")).otherwise(lit(0L)))
@@ -942,9 +954,6 @@ object RelationalOps {
           sum(coalesce(col("n_p"), lit(0L))).as("n_parent"),
           sum(when(col("n_c").isNull, col("n_p")).otherwise(lit(0L)))
             .as("n_childless"))
-        .select(lit(name).as("relationship"), col("n_child"),
-          col("n_orphans"), col("n_parent"), col("n_childless"))
-    }
     def duckAudit(name: String, c: String, ck: String,
         p: String, pk: String) =
       s"""SELECT '$name' AS relationship,
@@ -961,9 +970,9 @@ object RelationalOps {
       ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
     GQuery(
       "dq_referential",
-      (s, d) => rels.map { case (name, c, ck, p, pk) =>
-        auditDf(name, Tables.table(s, d, c), ck, Tables.table(s, d, p), pk)
-      }.reduce(_ union _),
+      (s, d) => auditAll(rels.map { case (name, c, ck, p, pk) =>
+        keyedDf(name, Tables.table(s, d, c), ck, Tables.table(s, d, p), pk)
+      }),
       oracle = Some(rels.map { case (name, c, ck, p, pk) =>
         duckAudit(name, c, ck, p, pk)
       }.mkString("", "\nUNION ALL\n", "")))

@@ -329,13 +329,42 @@ object SimilarityOps {
     * candidate join stays co-keyed and skew-free at any corpus size.
     */
   def fuzzyPairs(names: DataFrame): DataFrame = {
+    // r19 (guide §8 — use what you know that the optimizer does not):
+    // carrying the DELETION POSITION makes the candidate classes exact,
+    // so the levenshtein verification kernel — formerly ~18 CPU-seconds
+    // at sf0.1, the whole cost of this query — disappears:
+    //  - (pos 0, pos j) or (pos i, pos 0): one name IS the other's
+    //    single-character deletion ⇒ distance exactly 1;
+    //  - (pos i, pos i): del_i(a) = del_i(b) forces prefix and suffix
+    //    equality, so a and b differ at most at position i ⇒ a
+    //    substitution, distance exactly 1 (they are distinct names);
+    //  - (pos i, pos j), i ≠ j, is ONLY reachable for pairs at distance
+    //    2 — any true distance-1 pair is a substitution (caught at
+    //    i = j) or an insert/delete (caught against the full-name key) —
+    //    so the class is dropped inside the join predicate and never
+    //    materializes.
+    // The key frame keeps duplicate deletion keys (no array_union: the
+    // position matters now); a repeated-character name contributes the
+    // same (key, i)/(key, i+1) rows whose pairs all fall in the i = j
+    // class and collapse in the closing distinct.
+    //
+    // Explicit-count hash repartition on the join key, both sides
+    // (guide §2.4): the two sides are the SAME canonical subtree +
+    // partitioning, so AQE ReuseExchange computes the
+    // scan→distinct→explode derivation once and reads it twice, and an
+    // explicit numPartitions keeps AQE byte-based coalescing from
+    // folding the candidate join to one task. The count is the session's
+    // configured shuffle parallelism — the cluster-tuned knob, not a
+    // local constant.
+    val np = names.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = names
-      .select(col("name"), explode(expr(
-        """array_union(array(name),
+      .select(col("name"), posexplode(expr(
+        """concat(array(name),
           |  transform(sequence(1, length(name)),
           |    i -> concat(substring(name, 1, i - 1),
           |                substring(name, i + 1, length(name)))))"""
-          .stripMargin)).as("key"))
+          .stripMargin)).as(Seq("pos", "key")))
+      .repartition(np, col("key"))
     keys.as("a")
       // shuffle_hash, not broadcast: the key frame is CORPUS-DERIVED
       // (|name|+1 rows per name), exactly the frame the rest of the repo
@@ -344,14 +373,10 @@ object SimilarityOps {
       // 8.9 s vs 2.5 s at sf0.1)
       .hint("shuffle_hash")
       .join(keys.as("b"),
-        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+        col("a.key") === col("b.key") && col("a.name") < col("b.name") &&
+          (col("a.pos") === 0 || col("b.pos") === 0 ||
+            col("a.pos") === col("b.pos")))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      // verify BEFORE distinct: levenshtein is row-local and cuts the
-      // distinct's shuffle to the true pairs (~¼ of the candidates here).
-      // The THRESHOLD form early-exits the DP once the running distance
-      // exceeds 1 (returns −1 past the bound) — most candidates are
-      // rejected, so the bound is where the verification time goes.
-      .filter(expr("levenshtein(name_a, name_b, 1) >= 0"))
       .distinct()
   }
 

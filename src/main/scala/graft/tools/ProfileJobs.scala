@@ -55,7 +55,14 @@ object ProfileJobs {
         "dedup_substring_runs", "flame_blocking", "q5_region_revenue",
         "replay_room_digest", "text_bigram_logfreq", "text_bm25_topk")
 
-    println(f"${"query"}%-28s  warm_s  jobs stages  tasks")
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+
+    println(f"${"query"}%-28s  warm_s   cpu_s  jobs stages  tasks")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // one cold run to warm codegen/scan caches, then the measured run
@@ -63,11 +70,13 @@ object ProfileJobs {
       ProfileRelease.releaseStaged(spark)
       Thread.sleep(50)
       jobs.set(0); stages.set(0); tasks.set(0)
+      val c0 = cpuSec()
       val t0 = System.nanoTime()
       fn(spark, dir).count(): Unit
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = cpuSec() - c0
       Thread.sleep(100) // let listener events drain
-      println(f"$name%-28s ${sec}%6.2f  ${jobs.get()}%5d ${stages.get()}%6d ${tasks.get()}%6d")
+      println(f"$name%-28s ${sec}%6.2f  ${cpu}%6.2f ${jobs.get()}%5d ${stages.get()}%6d ${tasks.get()}%6d")
       ProfileRelease.releaseStaged(spark)
     }
     spark.stop()
