@@ -598,7 +598,7 @@ object AnalyticsOps {
     // bounded by types × hours, not by row count. (stage, not share:
     // PlanSpec pins the final plan free of raw-events scans, which the
     // checkpoint's lineage truncation is what guarantees.)
-    val b = graft.Materialize.stage(events
+    val b = graft.Materialize.stageLazy(events
       .groupBy(col("event_type"),
         expr(ExactSql.HourSpark).as("hr"))
       .agg(count(lit(1)).as("cnt"),

@@ -142,7 +142,7 @@ object CorpusOps {
         java.util.Arrays.asList(head: _*), boiler.schema)
       spans.join(broadcast(local), Seq("span"), "left_anti")
     } else
-      spans.join(Materialize.stage(boiler), Seq("span"), "left_anti")
+      spans.join(Materialize.stageLazy(boiler), Seq("span"), "left_anti")
   }
 
   /** Shared oracle CTE chain: docs → (doc_id, i, span) rows → boilerplate

@@ -335,7 +335,7 @@ object DedupOps {
     * memo on, so this path stages fresh per call).
     */
   def minhashPairsOf(docs: DataFrame): DataFrame =
-    minhashPairsStaged(graft.Materialize.stage(hashedShinglesOf(docs)))
+    minhashPairsStaged(graft.Materialize.stageLazy(hashedShinglesOf(docs)))
 
   /** The banding + verification pipeline over a pre-STAGED hashed-shingle
     * corpus (one materialization feeds signatures AND verification —
@@ -489,7 +489,7 @@ object DedupOps {
       val tks = hashedShingleArrays(s, d)
       // 1 row/doc, read by both sides of the band self-join; staging is
       // safe here at any scale (the signature table is ~16 bytes/doc)
-      val sig = graft.Materialize.stage(
+      val sig = graft.Materialize.stageLazy(
         tks.select(col("doc_id"), expr(s"graft_simhash(tks, $SimhashBits)").as("sig")))
       val nBands = SimhashMaxDist + 1           // ≥ maxDist+1 bands required
       val bandBits = SimhashBits / nBands
@@ -1307,7 +1307,7 @@ object DedupOps {
       // staged: both sides of the self-join consume the bucketed frame, and
       // at scale the signature pass over the corpus must not run twice
       val e = capBuckets(
-        Materialize.stage(SimilarityOps.withBucket(normalizedVecs(s, d))),
+        Materialize.stageLazy(SimilarityOps.withBucket(normalizedVecs(s, d))),
         Seq("bucket"))
       e.as("a")
         .join(e.as("b"),

@@ -35,11 +35,11 @@ object FoldOps {
     "replay_room_digest",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      val log = graft.Materialize.stage(GameLog.derive(s, d))
+      val log = graft.Materialize.stageLazy(GameLog.derive(s, d))
       // ONE fold pass: the digest row carries both the plumbing counters
       // and the per-player liveness, and is staged (it is per-ROOM sized)
       // so the two consumers below never re-fold the log
-      val folded = graft.Materialize.stage(GameFold.roomDigest(log)).toDF()
+      val folded = graft.Materialize.stageLazy(GameFold.roomDigest(log)).toDF()
       val rooms = folded.select("room", "n_events", "last_seq")
       val states = folded
         .select(col("room"), explode(col("players")).as("p"))
@@ -111,7 +111,7 @@ object FoldOps {
       // one materialized derivation feeds both DAG branches (fold + cohort);
       // Materialize.stage picks localCheckpoint or a reliable checkpoint
       // dir from spark.graft.checkpoint.dir (the 100 TB posture)
-      val log = graft.Materialize.stage(GameLog.derive(s, d))
+      val log = graft.Materialize.stageLazy(GameLog.derive(s, d))
       val states = GameFold.playerStates(log).toDF()
       val creators = log.toDF()
         .filter(col("event_type").isin("UserJoinEvent", "UserReviveEvent"))

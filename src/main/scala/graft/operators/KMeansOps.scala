@@ -395,7 +395,7 @@ object KMeansOps {
       // staged once: both the broadcast query side and the big probe side
       // consume the assignment, and at scale the cell-assignment pass over
       // the corpus must not run twice
-      val asg = Materialize.stage(withCid(pts, cents.map(c => (c._1, c._2)))
+      val asg = Materialize.stageLazy(withCid(pts, cents.map(c => (c._1, c._2)))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
       val q = broadcast(asg.filter(col("vec_id") < SimilarityOps.NumQueries).as("a"))
       val scored = q.join(asg.as("b"),
@@ -449,7 +449,7 @@ object KMeansOps {
     (s, d) => {
       val pts = stagedPts(s, d)
       val cents = lloyd(pts, d, Iters).map(c => (c._1, c._2))
-      val asg = Materialize.stage(withCid(pts, cents)
+      val asg = Materialize.stageLazy(withCid(pts, cents)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
       val sorted = array_sort(array(compCols(cents): _*))
       val probes = pts.filter(col("vec_id") < SimilarityOps.NumQueries)

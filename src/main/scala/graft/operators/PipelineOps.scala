@@ -400,7 +400,7 @@ object PipelineOps {
   val mixtureBalance = GQuery(
     "mixture_balance",
     (s, d) => {
-      val perDoc = graft.Materialize.stage(
+      val perDoc = graft.Materialize.stageLazy(
         Tables.documents(s, d).select(
           col("source"),
           array_size(tokArr(col("text"))).cast("long").as("ntok"),

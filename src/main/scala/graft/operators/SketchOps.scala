@@ -151,7 +151,7 @@ object SketchOps {
         expr(bucketSql(0)).as("b0"),
         expr(bucketSql(1)).as("b1"),
         expr(bucketSql(2)).as("b2"))
-      val sketch = graft.Materialize.stage(
+      val sketch = graft.Materialize.stageLazy(
         bk.select(explode(array(
             struct(lit(0).as("j"), col("b0").as("b")),
             struct(lit(1).as("j"), col("b1").as("b")),
@@ -452,7 +452,7 @@ object SketchOps {
       // staged: BOTH self-join sides consume it — unstaged, Catalyst
       // duplicates the subplan and the corpus scan + KMV aggregation run
       // twice for a frame of k longs per type
-      val sk = graft.Materialize.stage(perTypeSketch(s, d))
+      val sk = graft.Materialize.stageLazy(perTypeSketch(s, d))
       sk.as("a")
         .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
         .select(

@@ -678,6 +678,10 @@ object TextOps {
     // itself is deliberately NOT staged: it re-derives with a scan plus
     // row-local explode (no shuffle), cheaper than materializing a
     // corpus of exploded rows.
+    // stage, NOT stageLazy (r19 measured): the first consumer is the
+    // driver-side hot-key probe, an orderBy+limit collect whose partial
+    // take-evaluation interacts pathologically with a lazy local
+    // checkpoint (19 s vs 0.9 s at sf0.1) — the eager job is cheap here
     val lm = graft.Materialize.stage(
       bi.groupBy("bigram").agg(count(lit(1)).as("n")))
     val hot = lm.filter(col("n") > HotBigramDf)
