@@ -201,10 +201,34 @@ object GraphOps {
     * star loop as undirected pairs; the oracle is the same recursive
     * closure CTE shape as `dedup_clusters`.
     */
-  /** (user_id, rep, csize) component labels over [[temporalEdges]]. */
+  /** (user_id, rep, csize) component labels over [[temporalEdges]].
+    *
+    * r19 (guide §1.2 step 1 — fix the algorithm first): the star loop is
+    * fed PER-ITEM STARS (every user of an item → the item's minimum
+    * user) instead of the temporal chains. The connected components are
+    * IDENTICAL — within one item the chain and the star both connect
+    * exactly that item's distinct-user set, and across items both merge
+    * through shared users — but the derivation drops the first-touch
+    * aggregate and the per-item ordering window (no sort, no `ts` read
+    * at all), and star-shaped input is the star algorithm's best case
+    * where chains are its worst: measured at sf0.1 the loop converges in
+    * 3 rounds instead of 6 (the temporal chains run ~64 users deep per
+    * item). The oracle keeps the chain-edge label-propagation definition
+    * unchanged — same partition, same reps, same sizes.
+    */
   def components(events: DataFrame): DataFrame = {
-    val ed = temporalEdges(events)
-      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val iu = events
+      .select(get_json_object(col("props"), "$.k").try_cast("long").as("item"),
+        col("user_id"))
+      .filter(col("item").isNotNull && col("user_id").isNotNull)
+      .distinct()
+    // one exchange on item serves BOTH the min aggregate and the join
+    // (AQE exchange reuse) — the edge set is Σ_items (users − 1) rows,
+    // exactly the chain derivation's count
+    val ed = iu
+      .join(iu.groupBy("item").agg(min("user_id").as("mn")), "item")
+      .filter(col("user_id") =!= col("mn"))
+      .select(col("user_id").as("doc_a"), col("mn").as("doc_b"))
     val labels = DedupOps.starComponents(ed)
     val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csize"))
     labels.join(sizes, Seq("rep"))

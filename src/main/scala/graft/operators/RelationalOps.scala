@@ -1481,8 +1481,14 @@ object RelationalOps {
         .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
           col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
         .select("p_partkey", "p_brand", "p_type", "p_size")
+      // r19: no pre-distinct on the link — count(DISTINCT l_suppkey)
+      // dedupes (part, supplier) repetition itself, so the former
+      // full-link distinct exchange was pure cost; the broadcast part
+      // filter and supplier anti-join now prune rows BEFORE the only
+      // remaining shuffle (the aggregate's map-side-distinct expand),
+      // guide §2.3/§2.4. Result identical by definition of the agg.
       Tables.lineitem(s, d)
-        .select("l_partkey", "l_suppkey").distinct()
+        .select("l_partkey", "l_suppkey")
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")

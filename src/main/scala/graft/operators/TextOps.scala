@@ -519,7 +519,10 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tf = termFreq(tokenRows(s, d))
+      // shared (r19): tf feeds the df aggregate AND the scored join —
+      // inline, Catalyst re-derives the token explode + (doc, word)
+      // shuffle for each (two corpus scans, two tokenize passes)
+      val tf = graft.Materialize.stageLazy(termFreq(tokenRows(s, d)))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // corpus size as a broadcast 1-row aggregate — no driver-side action
       val n = broadcast(docs.agg(count(lit(1)).as("nd")))
@@ -568,9 +571,12 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tok = tokenRows(s, d)
-      val tf = termFreq(tok)
-      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // shared tf (r19): feeds df, dlen AND the scored join — one token
+      // explode + one (doc, word) shuffle instead of three
+      val tf = graft.Materialize.stageLazy(termFreq(tokenRows(s, d)))
+      // doc length from tf, not a second pass over the tokens: the count
+      // of non-empty tokens is exactly sum(tf) per doc
+      val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // two 1-row scalar aggregates, broadcast together (no driver action);
       // Spark and DuckDB both sum integer lengths exactly before dividing,
