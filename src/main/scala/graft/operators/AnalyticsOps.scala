@@ -285,16 +285,18 @@ object AnalyticsOps {
     // sides); built inline, per-branch column pruning makes the
     // subtrees canonically distinct, so nothing reuses and the plan
     // re-scans events and re-shuffles the basket FIVE times (the r18
-    // pin: 9 exchanges). SHARED once (lazy persist — an eager
-    // checkpoint was measured ~0.5 s/run SLOWER at sf0.1: it pays a
-    // separate job, while persist materializes inside the first
-    // consumer's own stage), repartitioned on (user_id, day) first so
-    // the basket distinct, nb's basket distinct and both self-join
-    // sides are all satisfied by the carried clustering. Exchanges
-    // drop 9 → 5 and isolated warm time 1.4 → 0.9 s; at 100 TB it is
-    // the difference between scanning the event log once and five
-    // times.
-    val b = graft.Materialize.share(events
+    // pin: 9 exchanges). Staged once via LAZY local checkpoint (r19 —
+    // supersedes the r18 persist(): the checkpointed LogicalRDD carries
+    // the hashpartitioning(user_id, day) that InMemoryRelation lost, so
+    // the self-join sides and nb's distinct are satisfied WITHOUT
+    // re-exchanging the cached frame, and the lazy variant pays no
+    // separate materialization job — the objection that ruled out the
+    // eager checkpoint in r18. Measured: 17 jobs/327 tasks (persist) →
+    // 10 jobs/10 tasks at sf0.1.) Repartitioned on (user_id, day) first
+    // so the basket distinct runs exchange-free and the clustering is
+    // what the checkpoint preserves. At 100 TB this is the difference
+    // between scanning the event log once and five times.
+    val b = graft.Materialize.stageLazy(events
       .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"),
         col("event_type"))
       .repartition(col("user_id"), col("day"))

@@ -193,7 +193,7 @@ object PipelineOps {
       // source-shuffled once per branch (r18 judge item 5: 7 exchanges
       // pinned). Shared (lazy persist), the corpus aggregate runs once
       // and exchanges drop 7 → 3 at unchanged warm time.
-      val perSrc = graft.Materialize.share(perDoc.groupBy("source")
+      val perSrc = graft.Materialize.stageLazy(perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("src_chars")))
       val totals = broadcast(perSrc

@@ -59,11 +59,15 @@ object StreamingDedup {
   def candidatePairs(docs: DataFrame): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // r19 (guide §4): column-level rename + as[BandedDoc] instead of a
+    // typed .map closure — the lambda was an opaque row-at-a-time
+    // deserialize/reserialize boundary right before the banding shuffle,
+    // defeating whole-stage codegen and column pruning on the hot path
     val banded = graft.operators.DedupOps.bandKeys(
       graft.operators.DedupOps.rowLocalSignatures(
         graft.operators.DedupOps.hashedShinglesOf(docs)))
-      .as[(Long, String)]
-      .map { case (id, key) => BandedDoc(key, id) }
+      .select(col("band_key"), col("doc_id"))
+      .as[BandedDoc]
     banded
       .groupByKey(_.band_key)
       .transformWithState(new BucketProcessor, TimeMode.None(), OutputMode.Append())

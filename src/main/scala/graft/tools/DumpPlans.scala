@@ -45,7 +45,7 @@ object DumpPlans {
       "cohort_retention" -> "cohort matrix: (user, day) distinct → first-day agg → co-keyed join → plain count — the distinct turns count-distinct cells into count(*)",
       "sketch_distinct_kmv" -> "KMV sketch: ONE hash aggregate with partial_kmvsketchaggregate below the exchange — ≤ k longs per group cross the shuffle at any key cardinality",
       "chunk_documents" -> "chunking: scan → generate (sequence/explode) → project, ZERO exchanges — chunk geometry is fully row-local",
-      "graph_pagerank" -> "PageRank: per-iteration user-keyed join + map-side-combinable sum onto dst; final top-k is TakeOrderedAndProject, no global sort",
+      "graph_pagerank" -> "PageRank: outdegree pre-joined into the src-partitioned staged edge frame (r19) — zero per-iteration edge shuffles; contributions sum map-side onto dst; final top-k is TakeOrderedAndProject, no global sort",
       "quantile_histogram" -> "histogram quantiles: (type, bin) hash agg bounds the shuffle at the bin count; cumulative window runs over bins, not rows",
       "q5_region_revenue" -> "TPC-H Q5 shape: statistics-driven joins — at testbed scale ALL five joins broadcast (1 exchange = the final agg); at 100 TB orders exceeds the threshold and lineitem⋈orders becomes the one co-keyed shuffle",
       "sketch_kmv_union" -> "KMV merge: per-type partial_kmvsketchaggregate → explode of n_groups·k longs → ONE re-sketch aggregate — union cardinality from sketch metadata, the input is never rescanned",
@@ -63,12 +63,12 @@ object DumpPlans {
       "text_inverted_index" -> "inverted index: (doc, word) distinct → ONE word-keyed aggregate with partial_topkaggregate below the exchange — K postings per term cross the shuffle, a stop-word's full list never materializes",
       "q7_volume_shipping" -> "TPC-H Q7 shape: the 3-nation dim predicate filters supplier/customer BEFORE the fact joins; lineitem⋈orders is the one co-keyed shuffle; direction filter on the tiny post-join frame",
       "ohlc_daily" -> "OHLC bars: ONE hash aggregate — min_by/max_by partials carry a single (value,id) pair, so ticks reduce map-side and only candles cross the shuffle",
-      "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join (bucket ≤ alphabet at the deleted position) → exact levenshtein verify — no O(n²) pair scan",
+      "fuzzy_name_pairs" -> "deletion-neighborhood join: linear key blowup (|name|+1 keys/name) → co-keyed candidate equi-join with position-class predicate (r19: full/same-position collisions are provably distance-1, cross-position provably distance-2 — no verification kernel at all) — no O(n²) pair scan",
       "session_path_topk" -> "path mining: gap flag, session ids, and lead×2 share ONE user-keyed shuffle; trigram counts combine map-side; top-10 via TakeOrderedAndProject",
       "cdc_snapshot_diff" -> "CDC diff: two prefix-scanned last-per-key states (ts predicate pushed into each scan) joined on the shared user key — the T1 pass reads a prefix of the log, not all of it",
       "reshape_unpivot" -> "melt: row-local stack inside whole-stage codegen — ZERO exchanges, the contrast case to every shuffling query",
       "layout_zorder_stats" -> "z-order audit: 62-term Morton interleave fully inside whole-stage codegen; the observed-range bucket width is a 1-row broadcast over a second pruned 2-int-column scan, then ONE bucket-keyed hash aggregate — the write-side clustering readout",
-      "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) and ONE co-keyed full-outer join + conditional aggregate yields all four counts — one scan per table, not three",
+      "dq_referential" -> "FK audit: per relationship both sides pre-aggregate to (key, multiplicity) into a co-keyed full-outer join; ONE tagged map-side-combinable final aggregate (r19) yields all four counts for all relationships — one scan per table, not three",
       "q21_suppliers_kept_waiting" -> "TPC-H Q21 decorrelated: ONE lineitem scan → (order,supplier)-grain agg → order-keyed window counts replace BOTH correlated subqueries — the naive plan scans the fact three times",
       "q22_global_sales_opportunity" -> "TPC-H Q22: broadcast 1-row balance stats with integer cross-multiplied threshold; NOT EXISTS as LeftAnti over the pushed recent-orders projection",
       "q4_order_priority" -> "TPC-H Q4: correlated EXISTS as a left-semi join with the non-equi lateness predicate riding the orderkey equi-join as a residual",
