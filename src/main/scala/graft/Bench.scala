@@ -257,6 +257,19 @@ object Bench {
       xs.flatten match { case Seq() => None; case s => Some(s.min) }
     val warms = qs.map(q => q.name ->
       minDefined(Seq(warm1.times(q.name), warm2.times(q.name))))
+    // PASS PROVENANCE (r20, judge item 5): which warm pass supplied each
+    // query's raw min — 1 or 2 (ties → 1), null when neither ran. A
+    // contention burst over a contiguous alphabetical stretch of ONE pass
+    // (the r19 agg_*/ann_* mirage) is then machine-checkable: the
+    // affected queries' mins all come from the OTHER pass.
+    val warmSrc: Seq[(String, Option[Int])] = qs.map { q =>
+      q.name -> ((warm1.times(q.name), warm2.times(q.name)) match {
+        case (Some(a), Some(b)) => Some(if (a <= b) 1 else 2)
+        case (Some(_), None)    => Some(1)
+        case (None, Some(_))    => Some(2)
+        case (None, None)       => None
+      })
+    }
     val warmsNorm = qs.map(q => q.name -> minDefined(Seq(
       warm1.times(q.name).map(_ * scale(warm1)),
       warm2.times(q.name).map(_ * scale(warm2)))))
@@ -267,6 +280,9 @@ object Bench {
     def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
     def qmap(rs: Seq[(String, Option[Double])]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }
+        .mkString("{", ",", "}")
+    def qmapInt(rs: Seq[(String, Option[Int])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
         .mkString("{", ",", "}")
     def total(rs: Seq[(String, Option[Double])],
               keep: String => Boolean = _ => true): Double =
@@ -290,7 +306,7 @@ object Bench {
     val storeJson =
       s"""{"armed":${artifactsDir.nonEmpty},"cold_hits":${cold.storeHits},"cold_misses":${cold.storeMisses},"saves":${ArtifactStore.saves.get()}}"""
     val detail =
-      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"calibration_ref_sec":${fmt(CalibrationRefSec)},"headline_norm_sec":${fmt(headlineNorm)},"headline_cold_norm_sec":${fmt(headlineColdNorm)},"total_all_norm_sec":${fmt(totalAllNorm)},"total_all_cold_norm_sec":${fmt(totalAllColdNorm)},"artifact_store":$storeJson,"passes":{"cold":${passJson(cold)},"warm1":${passJson(warm1)},"warm2":${passJson(warm2)}},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)},"queries_warm_norm":${qmap(warmsNorm)},"queries_cold_norm":${qmap(coldsNorm)}}"""
+      s"""{"metric":"detail","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"headline_sec":${fmt(headlineTotal)},"headline_cold_sec":${fmt(headlineCold)},"total_all_cold_sec":${fmt(totalAllCold)},"calibration_ref_sec":${fmt(CalibrationRefSec)},"headline_norm_sec":${fmt(headlineNorm)},"headline_cold_norm_sec":${fmt(headlineColdNorm)},"total_all_norm_sec":${fmt(totalAllNorm)},"total_all_cold_norm_sec":${fmt(totalAllColdNorm)},"artifact_store":$storeJson,"passes":{"cold":${passJson(cold)},"warm1":${passJson(warm1)},"warm2":${passJson(warm2)}},"errors":$errJson,"queries_warm":${qmap(warms)},"queries_cold":${qmap(colds)},"queries_warm_norm":${qmap(warmsNorm)},"queries_cold_norm":${qmap(coldsNorm)},"queries_warm_pass":${qmapInt(warmSrc)}}"""
     // NO per-query map on the final line: round 11's headline map alone
     // was 2.4 KB — past the driver's ~2000-char tail window, so
     // BENCH_r11.json parsed null. Totals only (~450 bytes); the maps

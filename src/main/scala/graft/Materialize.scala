@@ -18,6 +18,18 @@ import org.apache.spark.sql.Dataset
   */
 object Materialize {
 
+  /** Effective shuffle parallelism for an EXPLICIT-COUNT repartition that
+    * spreads a CPU-bound kernel (the §2.5 AQE-starved-stage fix): under
+    * AQE with `coalescePartitions.initialPartitionNum` set, that override
+    * — not `spark.sql.shuffle.partitions` — is the intended pre-coalesce
+    * parallelism; reading the base knob raw would understate it. One
+    * helper instead of three drifting `.toInt` call sites (ADVICE r19). */
+  def shuffleParallelism(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
   val DirConfKey = "spark.graft.checkpoint.dir"
 
   /** Reliable-checkpoint dir for SHARED intermediates only (the
@@ -42,22 +54,6 @@ object Materialize {
       case None      => stage(df)
     }
   }
-
-  /** Share a multi-consumer or loop-invariant frame WITHIN one query:
-    * lazy persist (memory-and-disk), so every consumer branch reads one
-    * materialization instead of re-instantiating the subtree — without
-    * the separate eager job a checkpoint pays. Measured on the r18
-    * judge's shuffle-audit queries (sf0.1, isolated 2-run harness): the
-    * checkpoint variant cost +0.4-0.6 s/query over inline-redundant
-    * branches (machine parallelism absorbs redundancy at bench scale),
-    * while persist removes the redundant scans AND the plan's duplicate
-    * exchanges with no extra job. Unlike [[stage]] this does NOT
-    * truncate lineage — right for frames consumed a handful of times in
-    * one query, wrong for deep iterative lineage (star/BFS/SSSP rounds
-    * keep [[stage]]). Blocks are dropped by the harnesses'
-    * post-query release (Bench.releaseStaged) or session cache clear. */
-  def share[T](df: Dataset[T]): Dataset[T] =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def stage[T](df: Dataset[T]): Dataset[T] = {
     val spark = df.sparkSession

@@ -317,8 +317,8 @@ object GameFold {
     // exempt from coalescing; the value is the session's configured
     // shuffle parallelism — the cluster-tuned knob, not a local constant.
     events
-      .repartition(events.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("room"))
+      .repartition(graft.Materialize.shuffleParallelism(events.sparkSession),
+        col("room"))
       .sortWithinPartitions(col("room"), col("seq"))
 
   /** The distributed fold: one shuffle on the room key, in-partition sort,

@@ -62,12 +62,27 @@ object AnalyticsOps {
     }
   }
 
-  /** Per-stage user counts over any [[stageTimes]] result. */
-  private def stageCounts(stages: Seq[DataFrame]): DataFrame =
-    stages.zip(FunnelStages).map { case (df, (idx, name)) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+  /** Per-stage user counts over any [[stageTimes]] result. r20 (guide
+    * §2.3, the dq_referential tagged-aggregate pattern): the three 1-row
+    * final aggregates + union (three scheduled aggregate jobs) fold into
+    * ONE tagged, map-side-combinable aggregate over the stage-tagged
+    * union — ≤3 partial rows per task cross the tag shuffle at any scale.
+    * A stage that no user reached still reports (the r19 objection that
+    * kept the three-count shape): the 3-row stage dimension is built
+    * driver-side from [[FunnelStages]] (schema constants, not data) and
+    * left-joined against the counts, coalescing to 0 — one broadcast of
+    * three literal rows, no extra pass. */
+  private def stageCounts(stages: Seq[DataFrame]): DataFrame = {
+    val spark = stages.head.sparkSession
+    val tagged = stages.zipWithIndex.map { case (df, i) =>
+      df.select(lit(FunnelStages(i)._1).as("stage_idx"))
     }.reduce(_ union _)
+    val counts = tagged.groupBy("stage_idx").agg(count(lit(1)).as("n"))
+    val dim = spark.createDataFrame(FunnelStages).toDF("stage_idx", "stage")
+    dim.join(counts, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_users"))
+  }
 
   /** Ordered-funnel conversion counts: one row per stage with the number
     * of users who reached it (view → click after their first view →

@@ -840,12 +840,17 @@ object DedupOps {
     * LONG VERBATIM RUNS anywhere in a doc (the Lee et al. exact-substring
     * signal): a sliding [[SubstrWindow]]-token window whose polyhash
     * occurs ≥ 2 times corpus-wide marks a repeated region; the per-doc
-    * repeated-window fraction is the removal signal. Plan shape mirrors
-    * text_bigram_logfreq: window hashes are row-local (one
-    * graft_polyhash per window over the joined tokens), the frequency
-    * table is one map-side-combinable shuffle, and the marking join is
-    * co-keyed on the hash — the repeated-window table scales with the
-    * corpus and is never broadcast-assumed. Hash collisions (p = 2³¹−1)
+    * repeated-window fraction is the removal signal. Plan shape (r20):
+    * window hashes are row-local (one graft_polyhash per window over the
+    * joined tokens), and the corpus-wide frequency is a COUNT OVER
+    * (PARTITION BY wh, wh2) window — ONE hash-keyed exchange of the
+    * window rows, replacing r19's aggregate + co-keyed marking join,
+    * which shuffled the same rows PLUS the frequency partials and
+    * instantiated the scan+kernel subtree in both join branches (the
+    * rolling-hash kernel ran twice per query; measured 15.3 → 2.5
+    * process-CPU-s at sf0.1). Skew profile is unchanged — a hot
+    * (wh, wh2) landed in one join partition before and lands in one
+    * window partition now. Hash collisions (p = 2³¹−1)
     * can mark a false repeat; both engines share the hash, so the oracle
     * stays exact while production would re-verify marked regions
     * byte-wise (the candidates-then-verify pattern of the LSH family).
@@ -874,13 +879,7 @@ object DedupOps {
     */
   private def substrWindowRows(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
-    // spread the rolling-hash kernel across cores (r19): the testbed's
-    // documents arrive as one scan split, so the CPU-bound per-window
-    // hashing otherwise runs single-core — same tradeoff and precedent
-    // as hashedShingleArrays (the shuffle moves the text once; at scale
-    // many scan splits make it near-free)
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         when(col("doc_id") % SubstrPlantMod === 0,
           concat(lit(SubstrBoiler + " "), col("text")))
@@ -898,10 +897,9 @@ object DedupOps {
     "dedup_substring_windows",
     (s, d) => {
       val wins = substrWindowRows(s, d)
-      val freq = wins.groupBy("wh", "wh2").agg(count(lit(1)).as("df"))
-      wins.join(freq, Seq("wh", "wh2"))
-        .select(col("doc_id"),
-          when(col("df") >= 2, lit(1L)).otherwise(lit(0L)).as("rep"))
+      val df = count(lit(1)).over(Window.partitionBy("wh", "wh2"))
+      wins.select(col("doc_id"),
+          when(df >= 2, lit(1L)).otherwise(lit(0L)).as("rep"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),
           sum(col("rep")).cast("long").as("n_repeated"))
@@ -940,10 +938,11 @@ object DedupOps {
     * not 6 window hits. The merge is the island trick: repeated window
     * starts j within a doc get group key j − row_number() (constant
     * exactly on consecutive-j islands), then one groupBy per island. Plan
-    * shape adds a single doc_id-partitioned window over the already
-    * co-keyed marking join of [[dedupSubstringWindows]]; the island
-    * groupBy needs no further shuffle (hash-partitioning on doc_id
-    * satisfies the (doc_id, grp) clustering). Output: one row per maximal
+    * shape adds a single doc_id-partitioned window over the frequency
+    * window of [[dedupSubstringWindows]] (same r20 COUNT OVER rewrite —
+    * one hash-keyed exchange, kernel once); the island groupBy needs no
+    * further shuffle (hash-partitioning on doc_id satisfies the
+    * (doc_id, grp) clustering). Output: one row per maximal
     * run — run_tokens = run_windows + W − 1 because island windows are
     * consecutive by construction.
     */
@@ -951,9 +950,9 @@ object DedupOps {
     "dedup_substring_runs",
     (s, d) => {
       val wins = substrWindowRows(s, d)
-      val freq = wins.groupBy("wh", "wh2").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-      val rep = wins.join(freq, Seq("wh", "wh2")).select("doc_id", "j")
+      val df = count(lit(1)).over(Window.partitionBy("wh", "wh2"))
+      val rep = wins.select(col("doc_id"), col("j"), df.as("df"))
+        .filter(col("df") >= 2).select("doc_id", "j")
       val w = Window.partitionBy("doc_id").orderBy("j")
       rep.withColumn("grp", col("j") - row_number().over(w))
         .groupBy(col("doc_id"), col("grp"))
@@ -1155,24 +1154,35 @@ object DedupOps {
   def componentsFromPairs(pairs: DataFrame): DataFrame = starComponents(pairs)
 
   private[operators] def starComponents(pairsIn: DataFrame): DataFrame = {
+    // r20 (guide §2.4): both star halves attach the per-src neighborhood
+    // minimum with MIN OVER (PARTITION BY src) instead of a groupBy-
+    // aggregate joined back — the window needs ONE exchange of the edge
+    // rows where the agg+join shape paid two (aggregate partials + the
+    // full rows for the co-keyed join), so a star round drops from ~5
+    // exchanges to 3. Clustering (and therefore skew) is unchanged: a
+    // hot star center put its whole edge partition on one task in the
+    // join form too. No closing distinct on large-star (r19; dups — a
+    // few smaller neighbors sharing one component-min — die in
+    // small-star's distinct). Re-adjudicated r20 after the r19 bench
+    // flagged dedup_clusters: a same-day ProfileJobs A/B (3 warm samples
+    // each) read distinct-restored at 5.6 s median wall / +2 jobs vs
+    // 4.0 s without, and r18-code on the same day at 6.4 s / 44 jobs —
+    // the flagged regression was machine-day contention, not this edit.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
-      val m = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      // no closing distinct (see scaladoc): duplicates — several smaller
-      // neighbors sharing one component-min — are ≤ 2·|E| rows and die in
-      // small-star's distinct; the removed exchange re-shuffled the whole
-      // edge set once per round
-      sym.join(m, "src")
+      sym
+        .withColumn("m", least(
+          min(col("dst")).over(Window.partitionBy("src")), col("src")))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
     }
     def smallStar(e: DataFrame): DataFrame = {
-      // input is child→parent (src > dst by large-star construction)
-      val m = e.groupBy("src").agg(min("dst").as("m"))
-      e.join(m, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(m.select(col("src"), col("m")))
+      // input is child→parent (src > dst by large-star construction);
+      // the (src → m) root rows repeat once per edge of src and die in
+      // the closing distinct, same as large-star's duplicates
+      val wm = e.withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+      wm.select(col("dst").as("src"), col("m").as("dst"))
+        .union(wm.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
     }

@@ -353,7 +353,7 @@ object EventOps {
       // AQE byte-based coalescing (the stage is CPU-bound, not
       // byte-bound); the value is the session's configured shuffle
       // parallelism — the cluster-tuned knob.
-      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val np = graft.Materialize.shuffleParallelism(s)
       val wire = gameView(s, d).repartition(np).select(
         col("seq"),
         to_json(struct(col("room"), col("victim"), col("event_type"), col("value")))

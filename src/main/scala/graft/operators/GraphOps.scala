@@ -495,7 +495,12 @@ object GraphOps {
     bench = true)
 
   /** Hop bound for [[bfsHops]] — deep enough to cross the testbed's
-    * communities, small enough that the recursive oracle stays cheap. */
+    * communities, small enough that the recursive oracle stays cheap.
+    * COUPLING NOTE (ADVICE r19): bfsFromEdges rebuilds the settled set
+    * each round as a lazy union of every prior level's checkpoint and
+    * unions all levels again for the output, so driver-side plan arms
+    * grow O(hops²) — harmless at 4, but raising this past ~16 should
+    * re-stage the cumulative settled frame once per few hops instead. */
   final val BfsMaxHops = 4L
 
   /** Q:graph_bfs_hops — single-source BFS hop distance over the

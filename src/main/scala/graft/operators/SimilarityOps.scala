@@ -356,7 +356,7 @@ object SimilarityOps {
     // folding the candidate join to one task. The count is the session's
     // configured shuffle parallelism — the cluster-tuned knob, not a
     // local constant.
-    val np = names.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val np = graft.Materialize.shuffleParallelism(names.sparkSession)
     val keys = names
       .select(col("name"), posexplode(expr(
         """concat(array(name),

@@ -523,12 +523,17 @@ object TextOps {
       // inline, Catalyst re-derives the token explode + (doc, word)
       // shuffle for each (two corpus scans, two tokenize passes)
       val tf = graft.Materialize.stageLazy(termFreq(tokenRows(s, d)))
-      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // corpus size as a broadcast 1-row aggregate — no driver-side action
       val n = broadcast(docs.agg(count(lit(1)).as("nd")))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("score"), asc("word"))
-      tf.join(df, Seq("word"))
+      // df as COUNT OVER (PARTITION BY word) (r20): one word-keyed
+      // exchange of the staged tf rows, replacing the groupBy-aggregate
+      // joined back (which read the staged tf twice and paid the
+      // aggregate-partials exchange on top of the join's). Skew
+      // unchanged: a corpus-wide stopword concentrated its tf rows on
+      // one co-keyed join partition before, one window partition now.
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
         .crossJoin(n)
         .withColumn("score",
           col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)))
@@ -575,9 +580,10 @@ object TextOps {
       // explode + one (doc, word) shuffle instead of three
       val tf = graft.Materialize.stageLazy(termFreq(tokenRows(s, d)))
       // doc length from tf, not a second pass over the tokens: the count
-      // of non-empty tokens is exactly sum(tf) per doc
+      // of non-empty tokens is exactly sum(tf) per doc. This aggregate
+      // now feeds ONLY the 1-row avgdl scalar (vocabulary-bounded
+      // partials); the per-row dl rides the doc_id window below.
       val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       // two 1-row scalar aggregates, broadcast together (no driver action);
       // Spark and DuckDB both sum integer lengths exactly before dividing,
       // so avgdl is the identical double in both engines
@@ -586,8 +592,12 @@ object TextOps {
           .crossJoin(dlen.agg(avg(col("dl")).as("avgdl"))))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("score"), asc("word"))
-      tf.join(df, Seq("word"))
-        .join(dlen, Seq("doc_id"))
+      // df and dl as windows (r20, same rewrite as tf-idf): the word
+      // exchange carries the tf rows once, and the dl window's doc_id
+      // partitioning is exactly what the rank window needs — no further
+      // exchange between them (two sorts, one doc_id shuffle).
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
         .crossJoin(stats)
         .withColumn("idf", log((col("nd") + 1.0) / (col("df") + 1.0)))
         .withColumn("score",

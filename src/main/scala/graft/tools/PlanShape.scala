@@ -12,7 +12,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * `executedPlan.toString`, which mis-reads two node families:
   *
   *  - a lazily CACHED subtree (`InMemoryTableScan` over the same
-  *    `InMemoryRelation` — the [[graft.Materialize.share]] sites) prints
+  *    `InMemoryRelation`, or a [[graft.Materialize.stageLazy]] frame
+  *    printed before its first action) prints
   *    its build plan under EVERY consumer but executes it once; the
   *    textual count charged it once per consumer, so collapsing five
   *    redundant subtrees into one cached build made the "exchange

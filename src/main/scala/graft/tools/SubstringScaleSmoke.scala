@@ -58,10 +58,14 @@ object SubstringScaleSmoke {
         posexplode(arrays_zip(col("h1"), col("h2"))).as(Seq("p", "z")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("j"),
         col("z.h1").as("wh"), col("z.h2").as("wh2"))
-    val rep = wins.join(
-      wins.groupBy("wh", "wh2").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2),
-      Seq("wh", "wh2")).select("doc_id", "j")
+    // r20: the registered queries' COUNT OVER (PARTITION BY wh, wh2)
+    // frequency shape — one hash-keyed exchange, rolling-hash kernel
+    // once (formerly a groupBy-aggregate joined back to the window rows,
+    // which instantiated the kernel subtree in both join branches)
+    val rep = wins
+      .select(col("doc_id"), col("j"),
+        count(lit(1)).over(Window.partitionBy("wh", "wh2")).as("df"))
+      .filter(col("df") >= 2).select("doc_id", "j")
     rep.withColumn("grp",
         col("j") - row_number().over(Window.partitionBy("doc_id").orderBy("j")))
       .groupBy(col("doc_id"), col("grp"))

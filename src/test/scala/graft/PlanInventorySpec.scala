@@ -116,7 +116,8 @@ class PlanInventorySpec extends SparkSuite {
   )
 
   // execution-honest counts via tools/PlanShape (shared with DumpPlans):
-  // a cached build (Materialize.share) counts ONCE however many
+  // a cached/lazily-staged build (Materialize.stageLazy before its first
+  // action) counts ONCE however many
   // consumers print it, a ReusedExchange counts at its definition — the
   // previous textual counter overcounted exactly the plans the r19
   // shuffle audit improved
