@@ -946,13 +946,32 @@ object RelationalOps {
     // shuffle moves a handful of partials at any scale while four
     // separate final-aggregate stages (and the union of their 1-row
     // results) disappear from the schedule.
+    // r20 (guide §2.4): the two per-side aggregates + co-keyed full-outer
+    // join become ONE union + groupBy per relationship — the tagged union
+    // shuffles one set of map-side-combined (k, c, p) partials where the
+    // join shape paid two partial exchanges and a sort-merge. NULL keys
+    // need the join's non-matching semantics, not the groupBy's
+    // nulls-group-together: the NULL-key group explodes into a
+    // child-only row (those children are all orphans) and a parent-only
+    // row (those parents all childless), exactly what the full-outer
+    // join produced as two unmatched sides. A zero count maps to NULL so
+    // the downstream conditional aggregate reads unchanged.
     def keyedDf(name: String,
         child: org.apache.spark.sql.DataFrame, ck: String,
         parent: org.apache.spark.sql.DataFrame, pk: String) = {
-      val cg = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n_c"))
-      val pg = parent.groupBy(col(pk).as("k")).agg(count(lit(1)).as("n_p"))
-      cg.join(pg, Seq("k"), "full_outer")
-        .select(lit(name).as("relationship"), col("n_c"), col("n_p"))
+      val u = child.select(col(ck).as("k"), lit(1L).as("c"), lit(0L).as("p"))
+        .union(parent.select(col(pk).as("k"), lit(0L).as("c"), lit(1L).as("p")))
+      val nn = (n: org.apache.spark.sql.Column) => when(n > 0, n)
+      u.groupBy("k").agg(sum("c").as("cn"), sum("p").as("pn"))
+        .select(explode(when(col("k").isNotNull,
+            array(struct(nn(col("cn")).as("n_c"), nn(col("pn")).as("n_p"))))
+          .otherwise(array(
+            struct(nn(col("cn")).as("n_c"),
+              lit(null).cast("long").as("n_p")),
+            struct(lit(null).cast("long").as("n_c"),
+              nn(col("pn")).as("n_p"))))).as("s"))
+        .select(lit(name).as("relationship"),
+          col("s.n_c").as("n_c"), col("s.n_p").as("n_p"))
     }
     def auditAll(frames: Seq[org.apache.spark.sql.DataFrame]) =
       frames.reduce(_ union _)
